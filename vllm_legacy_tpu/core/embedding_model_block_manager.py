@@ -1,0 +1,68 @@
+"""No-op block manager for embedding models (reference:
+vllm/core/embedding_model_block_manager.py)."""
+from __future__ import annotations
+
+from typing import Dict, List
+
+from vllm_legacy_tpu.core.interfaces import AllocStatus, BlockSpaceManager
+from vllm_legacy_tpu.sequence import Sequence, SequenceGroup
+
+
+class EmbeddingModelBlockSpaceManager(BlockSpaceManager):
+    """Embedding models need no KV cache; every operation is a no-op."""
+
+    def __init__(self, **kwargs) -> None:
+        pass
+
+    def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
+        return AllocStatus.OK
+
+    def allocate(self, seq_group: SequenceGroup) -> None:
+        pass
+
+    def can_append_slots(self, seq_group: SequenceGroup,
+                         num_lookahead_slots: int) -> bool:
+        return True
+
+    def append_slots(self, seq: Sequence,
+                     num_lookahead_slots: int) -> Dict[int, List[int]]:
+        return {}
+
+    def fork(self, parent_seq: Sequence, child_seq: Sequence) -> None:
+        pass
+
+    def can_swap_in(self, seq_group: SequenceGroup,
+                    num_lookahead_slots: int) -> AllocStatus:
+        return AllocStatus.OK
+
+    def swap_in(self, seq_group: SequenceGroup,
+                num_lookahead_slots: int) -> Dict[int, int]:
+        return {}
+
+    def can_swap_out(self, seq_group: SequenceGroup) -> bool:
+        return True
+
+    def swap_out(self, seq_group: SequenceGroup) -> Dict[int, int]:
+        return {}
+
+    def free(self, seq: Sequence) -> None:
+        pass
+
+    def get_block_table(self, seq: Sequence) -> List[int]:
+        return []
+
+    def get_num_free_gpu_blocks(self) -> int:
+        return 1
+
+    def get_num_free_cpu_blocks(self) -> int:
+        return 1
+
+    def access_all_blocks_in_seq(self, seq: Sequence, now: float) -> None:
+        pass
+
+    def get_common_computed_block_ids(self,
+                                      seqs: List[Sequence]) -> List[int]:
+        return []
+
+    def mark_blocks_as_computed(self, seq_group: SequenceGroup) -> None:
+        pass

@@ -1,0 +1,55 @@
+"""Lazy environment-variable registry.
+
+Parity with the reference's ``vllm/envs.py`` (~30 VLLM_* vars) plus the
+fork's ad-hoc envs (CACHE_ENGINE, HIP_K, ... — SURVEY.md §5.6), renamed to
+a single VLT_* namespace for this engine.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+environment_variables: dict[str, Callable[[], Any]] = {
+    # Attention backend override: "pallas" | "xla" (reference impl).
+    "VLT_ATTENTION_BACKEND":
+    lambda: os.getenv("VLT_ATTENTION_BACKEND", None),
+    # Logging.
+    "VLT_CONFIGURE_LOGGING":
+    lambda: int(os.getenv("VLT_CONFIGURE_LOGGING", "1")),
+    "VLT_LOGGING_LEVEL":
+    lambda: os.getenv("VLT_LOGGING_LEVEL", "INFO"),
+    "VLT_TRACE_FUNCTION":
+    lambda: int(os.getenv("VLT_TRACE_FUNCTION", "0")),
+    # Engine behavior.
+    "VLT_ENGINE_ITERATION_TIMEOUT_S":
+    lambda: int(os.getenv("VLT_ENGINE_ITERATION_TIMEOUT_S", "60")),
+    "VLT_API_KEY":
+    lambda: os.getenv("VLT_API_KEY", None),
+    # Usage stats are always off (no telemetry in this engine).
+    "VLT_NO_USAGE_STATS":
+    lambda: int(os.getenv("VLT_NO_USAGE_STATS", "1")),
+    # Test hooks (reference: VLLM_TEST_ENABLE_ARTIFICIAL_PREEMPT,
+    # core/scheduler.py:21-24).
+    "VLT_TEST_ENABLE_ARTIFICIAL_PREEMPT":
+    lambda: int(os.getenv("VLT_TEST_ENABLE_ARTIFICIAL_PREEMPT", "0")),
+    # Per-step runner instrumentation (fork: BENCHMARK_RUNNER,
+    # model_runner.py:992).
+    "VLT_BENCHMARK_RUNNER":
+    lambda: int(os.getenv("VLT_BENCHMARK_RUNNER", "0")),
+    # Force interpret mode for Pallas kernels (debugging / CPU test runs).
+    "VLT_PALLAS_INTERPRET":
+    lambda: int(os.getenv("VLT_PALLAS_INTERPRET", "0")),
+    # Use the pure-XLA reference attention instead of Pallas kernels.
+    "VLT_USE_XLA_OPS":
+    lambda: int(os.getenv("VLT_USE_XLA_OPS", "0")),
+}
+
+
+def __getattr__(name: str) -> Any:
+    if name in environment_variables:
+        return environment_variables[name]()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__() -> list[str]:
+    return list(environment_variables.keys())

@@ -1,0 +1,152 @@
+"""Streaming request outputs (reference: vllm/outputs.py:11,67,163,209)."""
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Union
+
+from vllm_legacy_tpu.sequence import (PromptLogprobs, RequestMetrics,
+                                      SampleLogprobs, SequenceGroup,
+                                      SequenceStatus)
+
+
+class CompletionOutput:
+    """One generated completion of a request."""
+
+    def __init__(
+        self,
+        index: int,
+        text: str,
+        token_ids: List[int],
+        cumulative_logprob: float,
+        logprobs: Optional[SampleLogprobs],
+        finish_reason: Optional[str] = None,
+        stop_reason: Union[int, str, None] = None,
+        lora_request: Optional[object] = None,
+    ) -> None:
+        self.index = index
+        self.text = text
+        self.token_ids = token_ids
+        self.cumulative_logprob = cumulative_logprob
+        self.logprobs = logprobs
+        self.finish_reason = finish_reason
+        self.stop_reason = stop_reason
+        self.lora_request = lora_request
+
+    def finished(self) -> bool:
+        return self.finish_reason is not None
+
+    def __repr__(self) -> str:
+        return (f"CompletionOutput(index={self.index}, "
+                f"text={self.text!r}, "
+                f"token_ids={self.token_ids}, "
+                f"cumulative_logprob={self.cumulative_logprob}, "
+                f"finish_reason={self.finish_reason}, "
+                f"stop_reason={self.stop_reason})")
+
+
+class EmbeddingOutput:
+    def __init__(self, embedding: List[float]) -> None:
+        self.embedding = embedding
+
+    def __repr__(self) -> str:
+        return f"EmbeddingOutput(embedding_dim={len(self.embedding)})"
+
+
+class RequestOutput:
+    """Engine → client output for one request at one step."""
+
+    def __init__(
+        self,
+        request_id: str,
+        prompt: Optional[str],
+        prompt_token_ids: List[int],
+        prompt_logprobs: Optional[PromptLogprobs],
+        outputs: List[CompletionOutput],
+        finished: bool,
+        metrics: Optional[RequestMetrics] = None,
+        lora_request: Optional[object] = None,
+    ) -> None:
+        self.request_id = request_id
+        self.prompt = prompt
+        self.prompt_token_ids = prompt_token_ids
+        self.prompt_logprobs = prompt_logprobs
+        self.outputs = outputs
+        self.finished = finished
+        self.metrics = metrics
+        self.lora_request = lora_request
+
+    @classmethod
+    def from_seq_group(cls, seq_group: SequenceGroup) -> "RequestOutput":
+        seqs = seq_group.get_seqs()
+        sampling_params = seq_group.sampling_params
+        if sampling_params is None:
+            raise ValueError("Sampling params are missing in seq group.")
+        n = sampling_params.n
+        if sampling_params.use_beam_search:
+            sorting_key = lambda s: s.get_beam_search_score(
+                sampling_params.length_penalty)
+        else:
+            sorting_key = lambda s: s.get_cumulative_logprob()
+        if len(seqs) == 1:
+            top_n_seqs = seqs
+        else:
+            top_n_seqs = sorted(seqs, key=sorting_key, reverse=True)[:n]
+
+        include_logprobs = sampling_params.logprobs is not None
+        text_buffer_length = sampling_params.output_text_buffer_length
+        outputs = [
+            CompletionOutput(
+                index=seqs.index(seq),
+                text=seq.get_output_text_to_return(text_buffer_length),
+                token_ids=seq.get_output_token_ids(),
+                cumulative_logprob=seq.get_cumulative_logprob(),
+                logprobs=seq.output_logprobs if include_logprobs else None,
+                finish_reason=SequenceStatus.get_finished_reason(seq.status),
+                stop_reason=seq.stop_reason,
+            ) for seq in top_n_seqs
+        ]
+
+        finished = seq_group.is_finished()
+        if finished:
+            seq_group.set_finished_time(time.time())
+        return cls(
+            request_id=seq_group.request_id,
+            prompt=seq_group.prompt,
+            prompt_token_ids=seq_group.prompt_token_ids,
+            prompt_logprobs=seq_group.prompt_logprobs,
+            outputs=outputs,
+            finished=finished,
+            metrics=seq_group.metrics,
+            lora_request=seq_group.lora_request,
+        )
+
+    def __repr__(self) -> str:
+        return (f"RequestOutput(request_id={self.request_id}, "
+                f"prompt={self.prompt!r}, "
+                f"outputs={self.outputs}, finished={self.finished})")
+
+
+class EmbeddingRequestOutput:
+    def __init__(self, request_id: str, outputs: EmbeddingOutput,
+                 prompt_token_ids: List[int], finished: bool):
+        self.request_id = request_id
+        self.prompt_token_ids = prompt_token_ids
+        self.finished = finished
+        self.outputs = outputs
+
+    @classmethod
+    def from_seq_group(
+            cls, seq_group: SequenceGroup) -> "EmbeddingRequestOutput":
+        output = EmbeddingOutput(seq_group.embeddings or [])
+        return cls(seq_group.request_id, output,
+                   seq_group.prompt_token_ids, seq_group.is_finished())
+
+
+class RequestOutputFactory:
+    """Dispatch embedding vs completion outputs (reference: outputs.py:209)."""
+
+    @staticmethod
+    def create(seq_group: SequenceGroup):
+        if seq_group.embeddings is not None:
+            return EmbeddingRequestOutput.from_seq_group(seq_group)
+        return RequestOutput.from_seq_group(seq_group)

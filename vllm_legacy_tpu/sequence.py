@@ -1,0 +1,590 @@
+"""Request/sequence state machine shared by scheduler and model runner.
+
+Capability parity with the reference's ``vllm/sequence.py`` (SequenceData
+:107, Sequence :216 incl. hash_of_block :281, SequenceGroup :429,
+SequenceGroupMetadata :623, SequenceOutput :709, SamplerOutput :805,
+ExecuteModelRequest :879) plus the fork's per-step latency statistics
+(SamplerPerformanceStatistics :798).
+"""
+from __future__ import annotations
+
+import copy
+import enum
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Set, Tuple, Union
+
+from vllm_legacy_tpu.block import LogicalTokenBlock
+from vllm_legacy_tpu.sampling_params import SamplingParams
+
+
+@dataclass
+class Logprob:
+    """Log-probability of one token (+ optional rank and decoded text)."""
+    logprob: float
+    rank: Optional[int] = None
+    decoded_token: Optional[str] = None
+
+
+# {token_id: Logprob} per generated position.
+SampleLogprobs = List[Dict[int, Logprob]]
+# One entry per prompt position (None for the first token).
+PromptLogprobs = List[Optional[Dict[int, Logprob]]]
+
+
+class SequenceStatus(enum.Enum):
+    WAITING = enum.auto()
+    RUNNING = enum.auto()
+    SWAPPED = enum.auto()
+    FINISHED_STOPPED = enum.auto()
+    FINISHED_LENGTH_CAPPED = enum.auto()
+    FINISHED_ABORTED = enum.auto()
+    FINISHED_IGNORED = enum.auto()
+
+    @staticmethod
+    def is_finished(status: "SequenceStatus") -> bool:
+        return status in (
+            SequenceStatus.FINISHED_STOPPED,
+            SequenceStatus.FINISHED_LENGTH_CAPPED,
+            SequenceStatus.FINISHED_ABORTED,
+            SequenceStatus.FINISHED_IGNORED,
+        )
+
+    @staticmethod
+    def get_finished_reason(status: "SequenceStatus") -> Optional[str]:
+        return {
+            SequenceStatus.FINISHED_STOPPED: "stop",
+            SequenceStatus.FINISHED_LENGTH_CAPPED: "length",
+            SequenceStatus.FINISHED_ABORTED: "abort",
+            SequenceStatus.FINISHED_IGNORED: "length",
+        }.get(status)
+
+
+class SequenceStage(enum.Enum):
+    PREFILL = enum.auto()
+    DECODE = enum.auto()
+
+
+@dataclass
+class RequestMetrics:
+    """Per-request latency breakdown (reference: sequence.py:84)."""
+    arrival_time: float
+    last_token_time: float
+    first_scheduled_time: Optional[float] = None
+    first_token_time: Optional[float] = None
+    time_in_queue: Optional[float] = None
+    finished_time: Optional[float] = None
+
+
+@dataclass
+class StepPerformanceStatistics:
+    """Per-step host/device timing attached to SamplerOutput (fork parity:
+    SamplerPerformanceStatistics, sequence.py:797-802)."""
+    prepare_time_ms: float = 0.0
+    model_time_ms: float = 0.0
+    sample_time_ms: float = 0.0
+    num_batched_tokens: int = 0
+
+
+class SequenceData:
+    """Token-level state of one sequence (reference: sequence.py:107)."""
+
+    def __init__(
+        self,
+        prompt_token_ids: List[int],
+        output_token_ids: Optional[List[int]] = None,
+    ) -> None:
+        self.prompt_token_ids = list(prompt_token_ids)
+        self.output_token_ids: List[int] = list(output_token_ids or [])
+        self.cumulative_logprob = 0.0
+        # Tokens already computed into KV cache (prefill progress for
+        # chunked prefill; reference: SequenceData._num_computed_tokens).
+        self._num_computed_tokens = 0
+        self._stage = SequenceStage.PREFILL
+
+    def append_token_id(self, token_id: int, logprob: float) -> None:
+        self.output_token_ids.append(token_id)
+        self.cumulative_logprob += logprob
+
+    def get_len(self) -> int:
+        return len(self.prompt_token_ids) + len(self.output_token_ids)
+
+    def get_prompt_len(self) -> int:
+        return len(self.prompt_token_ids)
+
+    def get_output_len(self) -> int:
+        return len(self.output_token_ids)
+
+    def get_token_ids(self) -> List[int]:
+        return self.prompt_token_ids + self.output_token_ids
+
+    def get_prefix_token_ids(
+            self, num_tokens: int
+    ) -> Tuple[Tuple[int, ...], Optional[Tuple[int, ...]]]:
+        prompt_len = self.get_prompt_len()
+        if num_tokens > prompt_len:
+            return (tuple(self.prompt_token_ids),
+                    tuple(self.output_token_ids[:num_tokens - prompt_len]))
+        return (tuple(self.prompt_token_ids[:num_tokens]), None)
+
+    def get_num_computed_tokens(self) -> int:
+        return self._num_computed_tokens
+
+    def update_num_computed_tokens(self, num_new_computed: int) -> None:
+        self._num_computed_tokens += num_new_computed
+        assert self._num_computed_tokens <= self.get_len(), (
+            self._num_computed_tokens, self.get_len())
+        if self.get_num_uncomputed_tokens() == 0:
+            self._stage = SequenceStage.DECODE
+
+    def reset_state_for_recompute(self) -> None:
+        """Preempt-by-recompute: all tokens must be re-prefilled."""
+        self._num_computed_tokens = 0
+        self._stage = SequenceStage.PREFILL
+
+    def get_num_uncomputed_tokens(self) -> int:
+        return self.get_len() - self.get_num_computed_tokens()
+
+    def get_last_token_id(self) -> int:
+        if not self.output_token_ids:
+            return self.prompt_token_ids[-1]
+        return self.output_token_ids[-1]
+
+    @property
+    def stage(self) -> SequenceStage:
+        return self._stage
+
+    def __repr__(self) -> str:
+        return (f"SequenceData(prompt_len={self.get_prompt_len()}, "
+                f"output_len={self.get_output_len()}, "
+                f"cumulative_logprob={self.cumulative_logprob})")
+
+
+class Sequence:
+    """One generation stream: token data + logical block map + output text
+    (reference: sequence.py:216)."""
+
+    def __init__(
+        self,
+        seq_id: int,
+        prompt: Optional[str],
+        prompt_token_ids: List[int],
+        block_size: int,
+        eos_token_id: Optional[int] = None,
+        lora_request: Optional[Any] = None,
+    ) -> None:
+        self.seq_id = seq_id
+        self.prompt = prompt
+        self.block_size = block_size
+        self.eos_token_id = eos_token_id
+        self.lora_request = lora_request
+
+        self.data = SequenceData(prompt_token_ids)
+        self.output_logprobs: SampleLogprobs = []
+        self.output_text = ""
+
+        self.logical_token_blocks: List[LogicalTokenBlock] = []
+        self._append_tokens_to_blocks(prompt_token_ids)
+        self.status = SequenceStatus.WAITING
+        self.stop_reason: Union[int, str, None] = None
+
+        # Incremental detokenization cursors.
+        self.prefix_offset = 0
+        self.read_offset = 0
+        self.tokens: Optional[List[str]] = None
+
+    @property
+    def lora_int_id(self) -> int:
+        return self.lora_request.lora_int_id if self.lora_request else 0
+
+    def get_output_text_to_return(self, buffer_length: int) -> str:
+        # Hold back `buffer_length` chars in streaming mode so stop strings
+        # never leak (reference: sequence.py:266).
+        return (self.output_text[:-buffer_length]
+                if buffer_length else self.output_text)
+
+    def hash_of_block(self, logical_idx: int) -> int:
+        """Content hash of block prefix [0, logical_idx] for prefix caching
+        (reference: Sequence.hash_of_block, sequence.py:281)."""
+        num_tokens = self.num_hashed_tokens_of_block(logical_idx)
+        hashed = self.data.get_prefix_token_ids(num_tokens)
+        return hash((hashed, self.lora_int_id))
+
+    def num_hashed_tokens_of_block(self, logical_idx: int) -> int:
+        return logical_idx * self.block_size + self.block_size
+
+    def reset_state_for_recompute(self) -> None:
+        self.data.reset_state_for_recompute()
+
+    def _append_logical_block(self) -> None:
+        self.logical_token_blocks.append(
+            LogicalTokenBlock(
+                block_number=len(self.logical_token_blocks),
+                block_size=self.block_size,
+            ))
+
+    def _append_tokens_to_blocks(self, token_ids: List[int]) -> None:
+        cursor = 0
+        while cursor < len(token_ids):
+            if not self.logical_token_blocks:
+                self._append_logical_block()
+            last_block = self.logical_token_blocks[-1]
+            if last_block.is_full():
+                self._append_logical_block()
+                last_block = self.logical_token_blocks[-1]
+            num_empty = last_block.get_num_empty_slots()
+            last_block.append_tokens(token_ids[cursor:cursor + num_empty])
+            cursor += num_empty
+
+    def append_token_id(self, token_id: int,
+                        logprobs: Dict[int, Logprob]) -> None:
+        assert token_id in logprobs
+        self._append_tokens_to_blocks([token_id])
+        self.output_logprobs.append(logprobs)
+        self.data.append_token_id(token_id, logprobs[token_id].logprob)
+
+    def get_len(self) -> int:
+        return self.data.get_len()
+
+    def get_prompt_len(self) -> int:
+        return self.data.get_prompt_len()
+
+    def get_output_len(self) -> int:
+        return self.data.get_output_len()
+
+    def get_token_ids(self) -> List[int]:
+        return self.data.get_token_ids()
+
+    def get_prompt_token_ids(self) -> List[int]:
+        return self.data.prompt_token_ids
+
+    def get_last_token_id(self) -> int:
+        return self.data.get_last_token_id()
+
+    def get_output_token_ids(self) -> List[int]:
+        return self.data.output_token_ids
+
+    def get_cumulative_logprob(self) -> float:
+        return self.data.cumulative_logprob
+
+    def get_beam_search_score(self,
+                              length_penalty: float = 1.0,
+                              seq_len: Optional[int] = None,
+                              eos_token_id: Optional[int] = None) -> float:
+        """Sequence score with HF-compatible length penalty (reference:
+        sequence.py:354)."""
+        if seq_len is None:
+            seq_len = self.get_len()
+            if (eos_token_id is not None
+                    and self.get_last_token_id() == eos_token_id):
+                seq_len -= 1
+        return self.get_cumulative_logprob() / (seq_len**length_penalty)
+
+    def is_finished(self) -> bool:
+        return SequenceStatus.is_finished(self.status)
+
+    def fork(self, new_seq_id: int) -> "Sequence":
+        new_seq = copy.deepcopy(self)
+        new_seq.seq_id = new_seq_id
+        return new_seq
+
+    def get_num_new_tokens(self) -> int:
+        """Tokens to compute this step: 1 in decode, else remaining
+        uncomputed prompt tokens (chunked prefill may take a slice)."""
+        if self.data.stage == SequenceStage.DECODE:
+            return 1
+        return self.data.get_num_uncomputed_tokens()
+
+    def is_prefill(self) -> bool:
+        return self.data.stage == SequenceStage.PREFILL
+
+    def __repr__(self) -> str:
+        return (f"Sequence(seq_id={self.seq_id}, status={self.status.name}, "
+                f"num_blocks={len(self.logical_token_blocks)})")
+
+
+class SequenceGroup:
+    """All sequences born from one request (n / best_of / beam forks)
+    (reference: sequence.py:429)."""
+
+    def __init__(
+        self,
+        request_id: str,
+        seqs: List[Sequence],
+        arrival_time: float,
+        sampling_params: Optional[SamplingParams] = None,
+        lora_request: Optional[Any] = None,
+        multi_modal_data: Optional[Any] = None,
+        embeddings: Optional[List[float]] = None,
+        pooling_params: Optional[Any] = None,
+    ) -> None:
+        self.request_id = request_id
+        self.seqs_dict = {seq.seq_id: seq for seq in seqs}
+        self.sampling_params = sampling_params
+        self.metrics = RequestMetrics(arrival_time=arrival_time,
+                                      last_token_time=arrival_time)
+        self.lora_request = lora_request
+        self.prompt_logprobs: Optional[PromptLogprobs] = None
+        self.multi_modal_data = multi_modal_data
+        self.embeddings = embeddings
+        self.pooling_params = pooling_params
+        self.state = SequenceGroupState()
+
+    @property
+    def prompt(self) -> Optional[str]:
+        return next(iter(self.seqs_dict.values())).prompt
+
+    @property
+    def prompt_token_ids(self) -> List[int]:
+        return next(iter(self.seqs_dict.values())).data.prompt_token_ids
+
+    @property
+    def lora_int_id(self) -> int:
+        return self.lora_request.lora_int_id if self.lora_request else 0
+
+    def get_last_latency(self, now: float) -> Optional[float]:
+        if self.is_prefill():
+            raise ValueError("seq_group.get_last_latency() should not be "
+                             "called if the seq_group is in prefill phase.")
+        latency = now - self.metrics.last_token_time
+        self.metrics.last_token_time = now
+        return latency
+
+    def maybe_set_first_token_time(self, time_: float) -> None:
+        if (self.metrics.first_token_time is None
+                and next(iter(self.seqs_dict.values())).get_output_len() == 1):
+            self.metrics.first_token_time = time_
+
+    def maybe_set_first_scheduled_time(self, time_: float) -> None:
+        if self.metrics.first_scheduled_time is None:
+            self.metrics.first_scheduled_time = time_
+            self.metrics.time_in_queue = time_ - self.metrics.arrival_time
+
+    def set_finished_time(self, time_: Optional[float]) -> None:
+        self.metrics.finished_time = time_
+
+    def get_max_num_running_seqs(self) -> int:
+        """Upper bound of parallel sequences over the request's lifetime
+        (reference: sequence.py:512)."""
+        if self.sampling_params and self.sampling_params.use_beam_search:
+            return self.sampling_params.best_of
+        if self.sampling_params and self.sampling_params.best_of > self.num_seqs():
+            return self.sampling_params.best_of
+        return self.num_unfinished_seqs()
+
+    def get_seqs(
+        self,
+        status: Optional[SequenceStatus] = None,
+    ) -> List[Sequence]:
+        if status is None:
+            return list(self.seqs_dict.values())
+        return [s for s in self.seqs_dict.values() if s.status == status]
+
+    def is_encoder_decoder(self) -> bool:
+        return False
+
+    def get_unfinished_seqs(self) -> List[Sequence]:
+        return [s for s in self.seqs_dict.values() if not s.is_finished()]
+
+    def get_finished_seqs(self) -> List[Sequence]:
+        return [s for s in self.seqs_dict.values() if s.is_finished()]
+
+    def update_num_computed_tokens(self, num_new_computed: int) -> None:
+        for seq in self.seqs_dict.values():
+            if not seq.is_finished():
+                seq.data.update_num_computed_tokens(num_new_computed)
+
+    def get_num_uncomputed_tokens(self) -> int:
+        return sum(s.data.get_num_uncomputed_tokens()
+                   for s in self.get_unfinished_seqs())
+
+    def num_seqs(self, status: Optional[SequenceStatus] = None) -> int:
+        return len(self.get_seqs(status))
+
+    def num_unfinished_seqs(self) -> int:
+        return len(self.get_unfinished_seqs())
+
+    def num_finished_seqs(self) -> int:
+        return len(self.get_finished_seqs())
+
+    def find(self, seq_id: int) -> Sequence:
+        if seq_id not in self.seqs_dict:
+            raise ValueError(f"Sequence {seq_id} not found.")
+        return self.seqs_dict[seq_id]
+
+    def add(self, seq: Sequence) -> None:
+        if seq.seq_id in self.seqs_dict:
+            raise ValueError(f"Sequence {seq.seq_id} already exists.")
+        self.seqs_dict[seq.seq_id] = seq
+
+    def remove(self, seq_id: int) -> None:
+        if seq_id not in self.seqs_dict:
+            raise ValueError(f"Sequence {seq_id} not found.")
+        del self.seqs_dict[seq_id]
+
+    def is_finished(self) -> bool:
+        return all(s.is_finished() for s in self.seqs_dict.values())
+
+    def is_prefill(self) -> bool:
+        return next(iter(self.seqs_dict.values())).is_prefill()
+
+    def __repr__(self) -> str:
+        return (f"SequenceGroup(request_id={self.request_id}, "
+                f"sampling_params={self.sampling_params}, "
+                f"num_seqs={len(self.seqs_dict)})")
+
+
+@dataclass
+class SequenceGroupState:
+    """Mutable cross-step state (e.g. spec-decode bookkeeping)."""
+    generator_seed_offset: int = 0
+    num_steps: int = 0
+
+
+class SequenceGroupMetadata:
+    """Scheduler → model-runner wire format for one group in one step
+    (reference: sequence.py:623)."""
+
+    def __init__(
+        self,
+        request_id: str,
+        is_prompt: bool,
+        seq_data: Dict[int, SequenceData],
+        sampling_params: Optional[SamplingParams],
+        block_tables: Dict[int, List[int]],
+        do_sample: bool = True,
+        pooling_params: Optional[Any] = None,
+        token_chunk_size: Optional[int] = None,
+        lora_request: Optional[Any] = None,
+        computed_block_nums: Optional[List[int]] = None,
+        state: Optional[SequenceGroupState] = None,
+        multi_modal_data: Optional[Any] = None,
+    ) -> None:
+        self.request_id = request_id
+        self.is_prompt = is_prompt
+        self.seq_data = seq_data
+        self.sampling_params = sampling_params
+        self.block_tables = block_tables
+        self.pooling_params = pooling_params
+        self.lora_request = lora_request
+        self.computed_block_nums = computed_block_nums
+        self.multi_modal_data = multi_modal_data
+        self.state = SequenceGroupState() if state is None else state
+        self.do_sample = do_sample
+        self._token_chunk_size = token_chunk_size
+        if token_chunk_size is None:
+            if is_prompt:
+                self._token_chunk_size = next(iter(
+                    seq_data.values())).get_len()
+            else:
+                self._token_chunk_size = 1
+
+    @property
+    def lora_int_id(self) -> int:
+        return self.lora_request.lora_int_id if self.lora_request else 0
+
+    @property
+    def token_chunk_size(self) -> int:
+        assert self._token_chunk_size is not None
+        return self._token_chunk_size
+
+
+class SequenceOutput:
+    """One sampled token for one parent sequence (reference:
+    sequence.py:709)."""
+
+    def __init__(self, parent_seq_id: int, output_token: int,
+                 logprobs: Dict[int, Logprob]) -> None:
+        self.parent_seq_id = parent_seq_id
+        self.output_token = output_token
+        self.logprobs = logprobs
+
+    def __repr__(self) -> str:
+        return (f"SequenceOutput(parent_seq_id={self.parent_seq_id}, "
+                f"output_token={self.output_token})")
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, SequenceOutput):
+            raise NotImplementedError()
+        return (self.parent_seq_id == other.parent_seq_id
+                and self.output_token == other.output_token)
+
+
+class CompletionSequenceGroupOutput:
+    """Model output for one sequence group at one step (reference:
+    sequence.py:756)."""
+
+    def __init__(self, samples: List[SequenceOutput],
+                 prompt_logprobs: Optional[PromptLogprobs]) -> None:
+        self.samples = samples
+        self.prompt_logprobs = prompt_logprobs
+
+    def __repr__(self) -> str:
+        return (f"CompletionSequenceGroupOutput(samples={self.samples})")
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, CompletionSequenceGroupOutput):
+            raise NotImplementedError()
+        return (self.samples == other.samples
+                and self.prompt_logprobs == other.prompt_logprobs)
+
+
+class EmbeddingSequenceGroupOutput:
+    def __init__(self, embeddings: List[float]) -> None:
+        self.embeddings = embeddings
+
+
+@dataclass
+class SamplerOutput:
+    """Output of one model+sample step for all scheduled groups (reference:
+    sequence.py:805). On TPU, device arrays are fetched once per step; all
+    fields here are host data."""
+    outputs: List[CompletionSequenceGroupOutput]
+    sampled_token_probs: Optional[Any] = None  # device array [B, V]
+    sampled_token_ids: Optional[Any] = None  # device array [B]
+    spec_decode_worker_metrics: Optional[Any] = None
+    performance_statistics: Optional[StepPerformanceStatistics] = None
+
+    def __getitem__(self, idx: int) -> CompletionSequenceGroupOutput:
+        return self.outputs[idx]
+
+    def __setitem__(self, idx: int, value) -> None:
+        self.outputs[idx] = value
+
+    def __len__(self) -> int:
+        return len(self.outputs)
+
+
+@dataclass
+class PoolerOutput:
+    outputs: List[EmbeddingSequenceGroupOutput]
+
+    def __getitem__(self, idx: int) -> EmbeddingSequenceGroupOutput:
+        return self.outputs[idx]
+
+    def __len__(self) -> int:
+        return len(self.outputs)
+
+
+@dataclass
+class ExecuteModelRequest:
+    """Engine → model-executor request for one step (reference:
+    sequence.py:879). Swap/copy lists drive the KV block-move kernels."""
+    seq_group_metadata_list: List[SequenceGroupMetadata]
+    blocks_to_swap_in: Dict[int, int] = field(default_factory=dict)
+    blocks_to_swap_out: Dict[int, int] = field(default_factory=dict)
+    blocks_to_copy: Dict[int, List[int]] = field(default_factory=dict)
+    num_lookahead_slots: int = 0
+    running_queue_size: int = 0
+
+    def clone(
+        self, seq_group_metadata_list: List[SequenceGroupMetadata]
+    ) -> "ExecuteModelRequest":
+        return ExecuteModelRequest(
+            seq_group_metadata_list=seq_group_metadata_list,
+            blocks_to_swap_in=dict(self.blocks_to_swap_in),
+            blocks_to_swap_out=dict(self.blocks_to_swap_out),
+            blocks_to_copy=copy.deepcopy(self.blocks_to_copy),
+            num_lookahead_slots=self.num_lookahead_slots,
+            running_queue_size=self.running_queue_size,
+        )
