@@ -6,8 +6,13 @@ SURVEY.md §4 implication (d)).
 """
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force-assign: the host
+# environment may export JAX_PLATFORMS=<tpu plugin> already.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon TPU plugin ignores the env var — force via config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

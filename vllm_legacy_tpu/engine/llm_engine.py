@@ -1,0 +1,250 @@
+"""Synchronous engine: tokenize → schedule → execute → process outputs.
+
+Reference: ``vllm/engine/llm_engine.py`` LLMEngine :61 (add_request :498,
+step :741, _process_model_outputs :667, _initialize_kv_caches :307).
+TPU redesign: one executor (single-controller SPMD mesh), deterministic
+KV sizing, no Ray/mp selection logic (llm_engine.py:329-366).
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterable, List, Optional, Type, Union
+
+from vllm_legacy_tpu.config import EngineConfig
+from vllm_legacy_tpu.core.scheduler import Scheduler, SchedulerOutputs
+from vllm_legacy_tpu.engine.output_processor.single_step import (
+    SingleStepOutputProcessor)
+from vllm_legacy_tpu.engine.output_processor.stop_checker import StopChecker
+from vllm_legacy_tpu.executor.executor_base import ExecutorBase
+from vllm_legacy_tpu.inputs import LLMInputs, PromptInputs
+from vllm_legacy_tpu.logger import init_logger
+from vllm_legacy_tpu.outputs import RequestOutput, RequestOutputFactory
+from vllm_legacy_tpu.sampling_params import SamplingParams
+from vllm_legacy_tpu.sequence import (ExecuteModelRequest, SamplerOutput,
+                                      Sequence, SequenceGroup,
+                                      SequenceStatus)
+from vllm_legacy_tpu.transformers_utils.detokenizer import Detokenizer
+from vllm_legacy_tpu.transformers_utils.tokenizer import TokenizerGroup
+from vllm_legacy_tpu.utils import Counter
+
+logger = init_logger(__name__)
+
+
+class LLMEngine:
+
+    def __init__(
+        self,
+        engine_config: EngineConfig,
+        executor_class: Optional[Type[ExecutorBase]] = None,
+        log_stats: bool = True,
+    ) -> None:
+        self.engine_config = engine_config
+        self.model_config = engine_config.model_config
+        self.cache_config = engine_config.cache_config
+        self.parallel_config = engine_config.parallel_config
+        self.scheduler_config = engine_config.scheduler_config
+        self.lora_config = engine_config.lora_config
+        self.log_stats = log_stats
+
+        self.seq_counter = Counter()
+
+        if not self.model_config.skip_tokenizer_init:
+            self.tokenizer: Optional[TokenizerGroup] = TokenizerGroup(
+                self.model_config.tokenizer,
+                tokenizer_mode=self.model_config.tokenizer_mode,
+                trust_remote_code=self.model_config.trust_remote_code,
+                revision=self.model_config.revision,
+                enable_lora=bool(self.lora_config),
+            )
+            self.detokenizer: Optional[Detokenizer] = Detokenizer(
+                self.tokenizer)
+        else:
+            self.tokenizer = None
+            self.detokenizer = None
+
+        if executor_class is None:
+            from vllm_legacy_tpu.executor.tpu_executor import TPUExecutor
+            executor_class = TPUExecutor
+        self.model_executor = executor_class(engine_config)
+
+        self._initialize_kv_caches()
+
+        self.scheduler = Scheduler(self.scheduler_config, self.cache_config,
+                                   self.lora_config)
+
+        self.output_processor = SingleStepOutputProcessor(
+            self.scheduler_config,
+            self.detokenizer,
+            self.scheduler,
+            self.seq_counter,
+            StopChecker(self.model_config.max_model_len,
+                        self._get_tokenizer_for_seq),
+        )
+
+        from vllm_legacy_tpu.engine.metrics import StatLogger
+        self.stat_logger = StatLogger(
+            labels=dict(model_name=self.model_config.served_model_name)
+        ) if log_stats else None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_engine_args(cls, engine_args,
+                         log_stats: Optional[bool] = None) -> "LLMEngine":
+        engine_config = engine_args.create_engine_config()
+        return cls(engine_config,
+                   log_stats=not engine_args.disable_log_stats
+                   if log_stats is None else log_stats)
+
+    def _initialize_kv_caches(self) -> None:
+        num_tpu_blocks, num_cpu_blocks = (
+            self.model_executor.determine_num_available_blocks())
+        self.cache_config.num_tpu_blocks = num_tpu_blocks
+        self.cache_config.num_cpu_blocks = num_cpu_blocks
+        self.model_executor.initialize_cache(num_tpu_blocks,
+                                             num_cpu_blocks)
+
+    def _get_tokenizer_for_seq(self, sequence: Sequence):
+        return self.tokenizer.get_lora_tokenizer(None)
+
+    def get_tokenizer(self):
+        return self.tokenizer.get_lora_tokenizer(None)
+
+    # ------------------------------------------------------------------
+    # Request intake
+    # ------------------------------------------------------------------
+    def _get_eos_token_id(self, lora_request=None) -> Optional[int]:
+        if self.tokenizer is None:
+            return None
+        return self.tokenizer.get_lora_tokenizer(
+            lora_request).eos_token_id
+
+    def process_model_inputs(self, request_id: str,
+                             inputs: PromptInputs,
+                             lora_request=None) -> LLMInputs:
+        if isinstance(inputs, str):
+            inputs = {"prompt": inputs}
+        if "prompt_token_ids" not in inputs:
+            prompt_token_ids = self.tokenizer.encode(
+                inputs["prompt"], request_id=request_id,
+                lora_request=lora_request)
+        else:
+            prompt_token_ids = inputs["prompt_token_ids"]
+        return LLMInputs(prompt_token_ids=prompt_token_ids,
+                         prompt=inputs.get("prompt"),
+                         multi_modal_data=inputs.get("multi_modal_data"))
+
+    def add_request(
+        self,
+        request_id: str,
+        inputs: PromptInputs,
+        params: SamplingParams,
+        arrival_time: Optional[float] = None,
+        lora_request=None,
+    ) -> None:
+        if arrival_time is None:
+            arrival_time = time.time()
+        processed = self.process_model_inputs(request_id, inputs,
+                                              lora_request)
+        if len(processed["prompt_token_ids"]) > \
+                self.model_config.max_model_len:
+            raise ValueError(
+                f"Prompt length {len(processed['prompt_token_ids'])} "
+                f"exceeds max_model_len {self.model_config.max_model_len}")
+
+        block_size = self.cache_config.block_size
+        seq_id = next(self.seq_counter)
+        eos_token_id = self._get_eos_token_id(lora_request)
+        seq = Sequence(seq_id, processed.get("prompt"),
+                       processed["prompt_token_ids"], block_size,
+                       eos_token_id, lora_request)
+
+        params = params.clone()
+        if params.max_tokens is None:
+            params.max_tokens = max(
+                self.model_config.max_model_len - seq.get_prompt_len(), 1)
+
+        seq_group = SequenceGroup(request_id=request_id,
+                                  seqs=[seq],
+                                  arrival_time=arrival_time,
+                                  sampling_params=params,
+                                  lora_request=lora_request)
+        self.scheduler.add_seq_group(seq_group)
+
+    def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:
+        self.scheduler.abort_seq_group(request_id)
+
+    # ------------------------------------------------------------------
+    # Introspection
+    # ------------------------------------------------------------------
+    def get_model_config(self):
+        return self.model_config
+
+    def get_num_unfinished_requests(self) -> int:
+        return self.scheduler.get_num_unfinished_seq_groups()
+
+    def has_unfinished_requests(self) -> bool:
+        return self.scheduler.has_unfinished_seqs()
+
+    def check_health(self) -> None:
+        self.model_executor.check_health()
+
+    # ------------------------------------------------------------------
+    # The hot loop
+    # ------------------------------------------------------------------
+    def step(self) -> List[RequestOutput]:
+        """One engine iteration (reference: llm_engine.py:741)."""
+        seq_group_metadata_list, scheduler_outputs = \
+            self.scheduler.schedule()
+
+        if not scheduler_outputs.is_empty():
+            request = ExecuteModelRequest(
+                seq_group_metadata_list=seq_group_metadata_list,
+                blocks_to_swap_in=scheduler_outputs.blocks_to_swap_in,
+                blocks_to_swap_out=scheduler_outputs.blocks_to_swap_out,
+                blocks_to_copy=scheduler_outputs.blocks_to_copy,
+                num_lookahead_slots=scheduler_outputs.num_lookahead_slots,
+                running_queue_size=scheduler_outputs.running_queue_size,
+            )
+            outputs = self.model_executor.execute_model(request)
+        else:
+            outputs = []
+
+        return self._process_model_outputs(outputs,
+                                           scheduler_outputs)
+
+    def _process_model_outputs(
+            self, outputs: List[SamplerOutput],
+            scheduler_outputs: SchedulerOutputs) -> List[RequestOutput]:
+        now = time.time()
+        request_outputs: List[RequestOutput] = []
+
+        if outputs:
+            sampler_output = outputs[0]
+            for scheduled, group_output in zip(
+                    scheduler_outputs.scheduled_seq_groups,
+                    sampler_output.outputs):
+                seq_group = scheduled.seq_group
+                seq_group.update_num_computed_tokens(
+                    scheduled.token_chunk_size)
+                self.output_processor.process_prompt_logprob(
+                    seq_group, [group_output])
+                if seq_group.is_prefill() and not group_output.samples:
+                    # chunked prefill: nothing sampled yet
+                    pass
+                else:
+                    self.output_processor.process_outputs(
+                        seq_group, [group_output])
+
+        self.scheduler.free_finished_seq_groups()
+
+        for scheduled in scheduler_outputs.scheduled_seq_groups:
+            seq_group = scheduled.seq_group
+            seq_group.maybe_set_first_token_time(now)
+            request_output = RequestOutputFactory.create(seq_group)
+            request_outputs.append(request_output)
+        for seq_group in scheduler_outputs.ignored_seq_groups:
+            request_outputs.append(RequestOutputFactory.create(seq_group))
+
+        if self.stat_logger is not None:
+            self.stat_logger.log_step(scheduler_outputs, now)
+        return request_outputs

@@ -1,0 +1,48 @@
+"""Activations (reference: vllm/model_executor/layers/activation.py
+SiluAndMul/GeluAndMul/NewGELU/FastGELU :16-101 backed by CUDA — on TPU
+these are jnp expressions XLA fuses into the gate/up matmul epilogue)."""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def silu_and_mul(x: jax.Array) -> jax.Array:
+    """x = [..., 2*d] (gate || up) -> silu(gate) * up."""
+    gate, up = jnp.split(x, 2, axis=-1)
+    return jax.nn.silu(gate) * up
+
+
+def gelu_and_mul(x: jax.Array, approximate: str = "none") -> jax.Array:
+    gate, up = jnp.split(x, 2, axis=-1)
+    return jax.nn.gelu(gate, approximate=(approximate == "tanh")) * up
+
+
+def gelu_new(x: jax.Array) -> jax.Array:
+    return jax.nn.gelu(x, approximate=True)
+
+
+def gelu_fast(x: jax.Array) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + jnp.tanh(xf * 0.7978845608 *
+                                       (1.0 + 0.044715 * xf * xf)))).astype(
+                                           x.dtype)
+
+
+_ACT = {
+    "silu": jax.nn.silu,
+    "gelu": jax.nn.gelu,
+    "gelu_new": gelu_new,
+    "gelu_fast": gelu_fast,
+    "gelu_pytorch_tanh": gelu_new,
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+}
+
+
+def get_act_fn(name: str):
+    if name not in _ACT:
+        raise ValueError(f"Unsupported activation: {name}")
+    return _ACT[name]

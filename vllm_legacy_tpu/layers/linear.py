@@ -1,0 +1,81 @@
+"""Linear layers as pure functions over param dicts.
+
+Replaces the reference's TP nn.Modules (vllm/model_executor/layers/
+linear.py — ColumnParallelLinear :187, MergedColumnParallelLinear :301,
+QKVParallelLinear :461, RowParallelLinear :662). On TPU there is ONE
+linear: weights are stored ``[in_features, out_features]`` and annotated
+with a ``PartitionSpec``; GSPMD inserts the all-reduce the reference
+hand-codes after RowParallelLinear. Merged/QKV fusion happens at weight
+*load* time (model_loader), not in layer code.
+
+Quantized variants plug in through ``LinearMethod`` (mirrors the
+reference's LinearMethodBase :29) — a static object chosen per layer at
+model build; params stay a flat dict of arrays so the whole model is one
+jittable pytree.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+Params = Dict[str, jax.Array]
+
+
+class LinearMethod:
+    """Unquantized bf16/f32 matmul (reference: UnquantizedLinearMethod)."""
+
+    name = "unquantized"
+
+    def create_params(self, in_features: int, out_features: int,
+                      dtype: Any, *, bias: bool = False) -> Dict[str, Any]:
+        shapes = {"weight": ((in_features, out_features), dtype)}
+        if bias:
+            shapes["bias"] = ((out_features, ), dtype)
+        return shapes
+
+    def partition_specs(self, mode: str) -> Dict[str, P]:
+        """mode: column | row | replicated (tensor axis = "model")."""
+        if mode == "column":
+            return {"weight": P(None, "model"), "bias": P("model")}
+        if mode == "row":
+            return {"weight": P("model", None), "bias": P()}
+        return {"weight": P(None, None), "bias": P()}
+
+    def apply(self, params: Params, x: jax.Array) -> jax.Array:
+        out = jnp.dot(x, params["weight"],
+                      preferred_element_type=jnp.float32)
+        out = out.astype(x.dtype)
+        if "bias" in params:
+            out = out + params["bias"].astype(out.dtype)
+        return out
+
+
+def linear(x: jax.Array,
+           params: Params,
+           method: Optional[LinearMethod] = None) -> jax.Array:
+    if method is None:
+        method = _DEFAULT
+    return method.apply(params, x)
+
+
+def row_parallel_linear(x: jax.Array,
+                        params: Params,
+                        method: Optional[LinearMethod] = None,
+                        axis: str = "model") -> jax.Array:
+    """Row-parallel matmul under shard_map: partial matmul on the locally
+    sharded contraction dim, psum over the mesh axis, THEN bias (the
+    reference's RowParallelLinear all-reduce, linear.py:755-780)."""
+    if method is None:
+        method = _DEFAULT
+    bias = params.get("bias")
+    out = method.apply({k: v for k, v in params.items() if k != "bias"}, x)
+    out = jax.lax.psum(out, axis)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+_DEFAULT = LinearMethod()

@@ -1,0 +1,50 @@
+"""Model construction + weight loading facade.
+
+Reference: ``vllm/model_executor/model_loader/loader.py`` —
+DefaultModelLoader :116 (HF safetensors/bin), DummyModelLoader :261
+(random init). Returns (model, host_params); placing params onto the
+device mesh with their PartitionSpecs is the worker's job
+(worker/worker.py), mirroring how the reference loads weights on CPU then
+moves them per-rank.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+
+from vllm_legacy_tpu.config import LoadFormat, ModelConfig, ParallelConfig
+from vllm_legacy_tpu.logger import init_logger
+from vllm_legacy_tpu.model_loader.weight_utils import (iterate_weights,
+                                                       resolve_weight_files)
+from vllm_legacy_tpu.models.registry import ModelRegistry
+from vllm_legacy_tpu.utils import MonotonicTimer
+
+logger = init_logger(__name__)
+
+
+def initialize_model(model_config: ModelConfig,
+                     parallel_config: ParallelConfig):
+    archs = getattr(model_config.hf_config, "architectures", [])
+    model_cls, arch = ModelRegistry.resolve_model_cls(archs)
+    dtype = jnp.bfloat16 if model_config.dtype == "bfloat16" \
+        else jnp.float32
+    return model_cls(model_config.hf_config,
+                     tp_size=parallel_config.tensor_parallel_size,
+                     dtype=dtype)
+
+
+def get_model(model_config: ModelConfig, parallel_config: ParallelConfig,
+              load_format: LoadFormat = LoadFormat.AUTO
+              ) -> Tuple[Any, Dict[str, Any]]:
+    """Build the model object and load host-side params."""
+    model = initialize_model(model_config, parallel_config)
+    timer = MonotonicTimer()
+    if load_format == LoadFormat.DUMMY:
+        params = model.init_dummy_params(seed=model_config.seed or 0)
+    else:
+        files, fmt = resolve_weight_files(model_config.model,
+                                          load_format.value)
+        params = model.load_weights(iterate_weights(files, fmt))
+    logger.info("Loaded model weights in %.2fs", timer.elapsed())
+    return model, params

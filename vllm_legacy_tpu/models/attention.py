@@ -1,0 +1,88 @@
+"""Device-agnostic attention layer: KV-cache write + paged attention.
+
+The role of the reference's ``vllm/attention/layer.py`` Attention
+nn.Module + backend dispatch: models call :func:`attention` which scatters
+the new K/V into the paged cache and runs the unified Pallas kernel.
+Model code runs inside ``shard_map`` over the device mesh, so all shapes
+here are per-shard (heads already divided by the "model" axis size).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vllm_legacy_tpu.ops import attention as attn_ops
+from vllm_legacy_tpu.ops.kv_cache import write_to_kv_cache
+
+
+LANE = 128
+
+
+def padded_head_size(head_size: int) -> int:
+    """TPU lane width padding for the cache head dim.
+
+    XLA physically tiles the last dim of every array to 128 lanes, so a
+    cache allocated at head_size < 128 wastes the same HBM anyway while
+    making Mosaic DMA slices misaligned. Padding is explicit instead:
+    zero cost for head 128/256 models (Llama-2/3, Mistral, Qwen2);
+    head-64 models spend 2x KV HBM until the packed-layout kernel lands.
+    """
+    return ((head_size + LANE - 1) // LANE) * LANE
+
+
+class AttentionMetadata(NamedTuple):
+    """Per-step device metadata (reference: attention/backends/abstract.py
+    AttentionMetadata :102, built by model_runner._prepare_model_input).
+
+    Shapes (B = padded batch, L = padded tokens per seq; L == 1 for
+    decode-only steps):
+      slot_mapping  [B * L] int32  flat cache slot per new token (<0 pad)
+      block_tables  [B, max_blocks] int32
+      context_lens  [B] int32  total kv length incl. new tokens
+      query_lens    [B] int32  new tokens this step
+    """
+    slot_mapping: jax.Array
+    block_tables: jax.Array
+    context_lens: jax.Array
+    query_lens: jax.Array
+
+
+def attention(
+    q: jax.Array,  # [B, L, num_q_heads(local), head]
+    k: jax.Array,  # [B, L, num_kv_heads(local), head]
+    v: jax.Array,  # [B, L, num_kv_heads(local), head]
+    kv_cache: Tuple[jax.Array, jax.Array],
+    md: AttentionMetadata,
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
+    """Returns (attn output [B, L, Hq, D], updated kv cache)."""
+    b, l, hq, d = q.shape
+    k_cache, v_cache = kv_cache
+    d_pad = k_cache.shape[-1]
+    if d_pad != d:
+        pad = [(0, 0)] * 3 + [(0, d_pad - d)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    k_cache, v_cache = write_to_kv_cache(
+        k.reshape(b * l, -1, d_pad), v.reshape(b * l, -1, d_pad), k_cache,
+        v_cache, md.slot_mapping)
+
+    if l == 1:
+        out = attn_ops.paged_attention_decode(
+            q[:, 0], k_cache, v_cache, md.block_tables, md.context_lens,
+            scale=scale, sliding_window=sliding_window, soft_cap=soft_cap)
+        out = out[:, None]
+    else:
+        out = attn_ops.paged_attention_prefill(
+            q, k_cache, v_cache, md.block_tables, md.query_lens,
+            md.context_lens, scale=scale, sliding_window=sliding_window,
+            soft_cap=soft_cap)
+    if d_pad != d:
+        out = out[..., :d]
+    return out, (k_cache, v_cache)

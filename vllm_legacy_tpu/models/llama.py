@@ -1,0 +1,299 @@
+"""Llama-family causal LM (Llama 1/2/3, TinyLlama, Mistral, Qwen2).
+
+Capability parity with the reference's ``vllm/model_executor/models/
+llama.py`` (:54-493, forward :389/:302, load_weights :409) — redesigned as
+pure functions over a param pytree executed inside ``shard_map`` over the
+("data", "model") mesh: column-parallel projections are plain matmuls on
+head-sharded weights, row-parallel projections psum over the "model" axis
+(replacing NCCL all-reduce), and attention runs the unified Pallas paged
+kernel per shard.
+
+One implementation serves Mistral (sliding_window) and Qwen2
+(attention_bias) — the reference keeps three near-identical files.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from vllm_legacy_tpu.layers import embedding
+from vllm_legacy_tpu.layers.activation import silu_and_mul
+from vllm_legacy_tpu.layers.linear import linear, row_parallel_linear
+from vllm_legacy_tpu.layers.norm import rms_norm
+from vllm_legacy_tpu.layers.rotary import apply_rope, build_cos_sin_cache
+from vllm_legacy_tpu.models.attention import AttentionMetadata, attention
+from vllm_legacy_tpu.utils import round_up
+
+
+class LlamaForCausalLM:
+    """Static model description + pure compute functions.
+
+    Parameters live in a separate pytree (see :meth:`param_shapes`);
+    global shapes — shard_map splits them with :meth:`param_specs`.
+    """
+
+    def __init__(self, hf_config: Any, *, tp_size: int = 1,
+                 dtype: Any = jnp.bfloat16) -> None:
+        c = hf_config
+        self.hf_config = c
+        self.dtype = dtype
+        self.tp_size = tp_size
+        self.hidden_size = c.hidden_size
+        self.num_layers = c.num_hidden_layers
+        self.num_heads = c.num_attention_heads
+        self.num_kv_heads = getattr(c, "num_key_value_heads",
+                                    None) or c.num_attention_heads
+        self.head_dim = getattr(c, "head_dim", None) or (
+            c.hidden_size // c.num_attention_heads)
+        self.intermediate_size = c.intermediate_size
+        self.org_vocab_size = c.vocab_size
+        self.vocab_size = round_up(c.vocab_size,
+                                   embedding.VOCAB_PAD_TO * tp_size)
+        self.rms_eps = getattr(c, "rms_norm_eps", 1e-6)
+        self.rope_theta = getattr(c, "rope_theta", 10000.0)
+        self.rope_scaling = getattr(c, "rope_scaling", None)
+        self.max_position = getattr(c, "max_position_embeddings", 4096)
+        self.sliding_window = getattr(c, "sliding_window", None)
+        self.attention_bias = bool(
+            getattr(c, "attention_bias", False)
+            or getattr(c, "use_qkv_bias", False)
+            or c.architectures[0] == "Qwen2ForCausalLM"
+            if getattr(c, "architectures", None) else
+            getattr(c, "attention_bias", False))
+        self.tie_word_embeddings = bool(
+            getattr(c, "tie_word_embeddings", False))
+        self.scale = self.head_dim**-0.5
+        if self.num_kv_heads % tp_size and tp_size % self.num_kv_heads:
+            raise ValueError(
+                f"num_kv_heads={self.num_kv_heads} incompatible with "
+                f"tensor parallel size {tp_size}")
+
+    # ------------------------------------------------------------------
+    # Param structure
+    # ------------------------------------------------------------------
+    def _layer_shapes(self) -> Dict[str, Any]:
+        h, d = self.hidden_size, self.head_dim
+        nq, nkv, inter = self.num_heads, self.num_kv_heads, \
+            self.intermediate_size
+        shapes = {
+            "input_layernorm": {"weight": ((h, ), self.dtype)},
+            "q_proj": {"weight": ((h, nq * d), self.dtype)},
+            "k_proj": {"weight": ((h, nkv * d), self.dtype)},
+            "v_proj": {"weight": ((h, nkv * d), self.dtype)},
+            "o_proj": {"weight": ((nq * d, h), self.dtype)},
+            "post_attention_layernorm": {"weight": ((h, ), self.dtype)},
+            "gate_proj": {"weight": ((h, inter), self.dtype)},
+            "up_proj": {"weight": ((h, inter), self.dtype)},
+            "down_proj": {"weight": ((inter, h), self.dtype)},
+        }
+        if self.attention_bias:
+            for name, n_out in (("q_proj", nq * d), ("k_proj", nkv * d),
+                                ("v_proj", nkv * d)):
+                shapes[name]["bias"] = ((n_out, ), self.dtype)
+        return shapes
+
+    def param_shapes(self) -> Dict[str, Any]:
+        """Pytree of (shape, dtype) mirroring the param pytree."""
+        return {
+            "embed": {"weight": ((self.vocab_size, self.hidden_size),
+                                 self.dtype)},
+            "layers": [self._layer_shapes() for _ in range(self.num_layers)],
+            "norm": {"weight": ((self.hidden_size, ), self.dtype)},
+            "lm_head": {"weight": ((self.vocab_size, self.hidden_size),
+                                   self.dtype)},
+            "rope_cache": ((0, ), jnp.float32),  # shape set lazily below
+        }
+
+    def make_rope_cache(self) -> np.ndarray:
+        return build_cos_sin_cache(self.head_dim, self.head_dim,
+                                   self.max_position, self.rope_theta,
+                                   self.rope_scaling)
+
+    def param_specs(self) -> Dict[str, Any]:
+        """PartitionSpec pytree (axes: "model" = tensor parallel)."""
+        col = {"weight": P(None, "model"), "bias": P("model")}
+        row = {"weight": P("model", None)}
+        rep = {"weight": P()}
+
+        def layer_spec(shapes):
+            spec = {
+                "input_layernorm": rep,
+                "q_proj": {k: col[k] for k in shapes["q_proj"]},
+                "k_proj": {k: col[k] for k in shapes["k_proj"]},
+                "v_proj": {k: col[k] for k in shapes["v_proj"]},
+                "o_proj": row,
+                "post_attention_layernorm": rep,
+                "gate_proj": {"weight": P(None, "model")},
+                "up_proj": {"weight": P(None, "model")},
+                "down_proj": row,
+            }
+            return spec
+
+        return {
+            "embed": {"weight": P("model", None)},
+            "layers": [layer_spec(s) for s in
+                       [self._layer_shapes()] * self.num_layers],
+            "norm": rep,
+            "lm_head": {"weight": P("model", None)},
+            "rope_cache": P(),
+        }
+
+    # ------------------------------------------------------------------
+    # Forward (runs INSIDE shard_map; all params/caches are local shards)
+    # ------------------------------------------------------------------
+    def _decoder_layer(self, p, hidden, residual, q_pos, rope_cache,
+                       kv_cache, md):
+        b, l, h = hidden.shape
+        if residual is None:
+            residual = hidden
+            x = rms_norm(hidden, p["input_layernorm"]["weight"],
+                         eps=self.rms_eps)
+        else:
+            x, residual = rms_norm(hidden, p["input_layernorm"]["weight"],
+                                   eps=self.rms_eps, residual=residual)
+        xf = x.reshape(b * l, h)
+        q = linear(xf, p["q_proj"]).reshape(b * l, -1, self.head_dim)
+        k = linear(xf, p["k_proj"]).reshape(b * l, -1, self.head_dim)
+        v = linear(xf, p["v_proj"]).reshape(b * l, -1, self.head_dim)
+        q, k = apply_rope(q, k, q_pos, rope_cache,
+                          rotary_dim=self.head_dim)
+        q = q.reshape(b, l, -1, self.head_dim)
+        k = k.reshape(b, l, -1, self.head_dim)
+        v = v.reshape(b, l, -1, self.head_dim)
+        attn_out, kv_cache = attention(
+            q, k, v, kv_cache, md, scale=self.scale,
+            sliding_window=self.sliding_window)
+        o = row_parallel_linear(attn_out.reshape(b * l, -1), p["o_proj"])
+        hidden = o.reshape(b, l, h)
+
+        x, residual = rms_norm(hidden,
+                               p["post_attention_layernorm"]["weight"],
+                               eps=self.rms_eps, residual=residual)
+        xf = x.reshape(b * l, h)
+        gate = linear(xf, p["gate_proj"])
+        up = linear(xf, p["up_proj"])
+        mlp = silu_and_mul(jnp.concatenate([gate, up], axis=-1))
+        down = row_parallel_linear(mlp, p["down_proj"])
+        hidden = down.reshape(b, l, h)
+        return hidden, residual, kv_cache
+
+    def forward(
+        self,
+        params: Dict[str, Any],
+        kv_caches: List[Tuple[jax.Array, jax.Array]],
+        token_ids: jax.Array,  # [B, L] int32
+        positions: jax.Array,  # [B, L] int32
+        md: AttentionMetadata,
+    ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
+        b, l = token_ids.shape
+        hidden = embedding.embed(params["embed"], token_ids.reshape(-1))
+        hidden = hidden.reshape(b, l, self.hidden_size)
+        q_pos = jnp.clip(positions.reshape(-1), 0,
+                         params["rope_cache"].shape[0] - 1)
+        residual = None
+        new_caches = []
+        for i in range(self.num_layers):
+            hidden, residual, kv = self._decoder_layer(
+                params["layers"][i], hidden, residual, q_pos,
+                params["rope_cache"], kv_caches[i], md)
+            new_caches.append(kv)
+        hidden, _ = rms_norm(hidden, params["norm"]["weight"],
+                             eps=self.rms_eps, residual=residual)
+        return hidden, new_caches
+
+    def compute_logits(self, params, hidden: jax.Array) -> jax.Array:
+        """[T, H] -> [T, vocab_padded] f32; padded ids masked to -inf."""
+        logits = embedding.compute_logits(params["lm_head"], hidden)
+        if self.vocab_size != self.org_vocab_size:
+            neg = jnp.finfo(jnp.float32).min
+            mask = jnp.arange(self.vocab_size) >= self.org_vocab_size
+            logits = jnp.where(mask[None, :], neg, logits)
+        return logits
+
+    # ------------------------------------------------------------------
+    # Weight loading (host side, numpy)
+    # ------------------------------------------------------------------
+    def load_weights(
+        self, weights: Iterable[Tuple[str, np.ndarray]]
+    ) -> Dict[str, Any]:
+        """HF checkpoint names -> param pytree (reference:
+        models/llama.py load_weights :409; fused-shard mapping is not
+        needed because projections stay separate — fusion is XLA's job).
+        """
+        import ml_dtypes
+        np_dtype = (ml_dtypes.bfloat16
+                    if self.dtype == jnp.bfloat16 else np.float32)
+        params: Dict[str, Any] = {
+            "embed": {},
+            "layers": [dict() for _ in range(self.num_layers)],
+            "norm": {},
+            "lm_head": {},
+        }
+
+        for name, w in weights:
+            if name.endswith("rotary_emb.inv_freq"):
+                continue
+            w = np.asarray(w)
+            if w.dtype != np_dtype and w.dtype.kind == "f":
+                w = w.astype(np_dtype)
+            if name == "model.embed_tokens.weight":
+                params["embed"]["weight"] = self._pad_vocab(w)
+                continue
+            if name == "lm_head.weight":
+                params["lm_head"]["weight"] = self._pad_vocab(w)
+                continue
+            if name == "model.norm.weight":
+                params["norm"]["weight"] = w
+                continue
+            if not name.startswith("model.layers."):
+                continue
+            parts = name.split(".")
+            idx = int(parts[2])
+            sub = parts[3]  # self_attn | mlp | input_layernorm | post_...
+            lp = params["layers"][idx]
+            if sub in ("input_layernorm", "post_attention_layernorm"):
+                lp.setdefault(sub, {})["weight"] = w
+            elif sub == "self_attn":
+                proj = parts[4]  # q_proj etc.
+                kind = parts[5]  # weight | bias
+                lp.setdefault(proj, {})[kind] = w.T if kind == "weight" \
+                    else w
+            elif sub == "mlp":
+                proj = parts[4]
+                lp.setdefault(proj, {})["weight"] = w.T
+        if self.tie_word_embeddings or "weight" not in params["lm_head"]:
+            params["lm_head"]["weight"] = params["embed"]["weight"]
+        params["rope_cache"] = self.make_rope_cache()
+        return params
+
+    def _pad_vocab(self, w: np.ndarray) -> np.ndarray:
+        if w.shape[0] < self.vocab_size:
+            w = np.pad(w, ((0, self.vocab_size - w.shape[0]), (0, 0)))
+        return w
+
+    def init_dummy_params(self, seed: int = 0) -> Dict[str, Any]:
+        """Random-weight init (reference: DummyModelLoader,
+        model_loader/loader.py:261) — host numpy, cheap and seedable."""
+        import ml_dtypes
+        rng = np.random.RandomState(seed)
+        np_dtype = (ml_dtypes.bfloat16
+                    if self.dtype == jnp.bfloat16 else np.float32)
+
+        def make(tree):
+            if isinstance(tree, dict):
+                return {k: make(v) for k, v in tree.items()}
+            if isinstance(tree, list):
+                return [make(v) for v in tree]
+            shape, _ = tree
+            scale = 1e-2
+            return (rng.standard_normal(shape) * scale).astype(np_dtype)
+
+        shapes = self.param_shapes()
+        shapes.pop("rope_cache")
+        params = make(shapes)
+        params["rope_cache"] = self.make_rope_cache()
+        return params

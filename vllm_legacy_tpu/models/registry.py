@@ -1,0 +1,49 @@
+"""Architecture registry (reference: vllm/model_executor/models/__init__.py
+ModelRegistry with lazy import + out-of-tree registration)."""
+from __future__ import annotations
+
+import importlib
+from typing import Dict, List, Optional, Tuple, Type
+
+# architecture name -> (module, class)
+_MODELS: Dict[str, Tuple[str, str]] = {
+    "LlamaForCausalLM": ("llama", "LlamaForCausalLM"),
+    "LLaMAForCausalLM": ("llama", "LlamaForCausalLM"),
+    "MistralForCausalLM": ("llama", "LlamaForCausalLM"),
+    "Qwen2ForCausalLM": ("llama", "LlamaForCausalLM"),
+    "TinyLlamaForCausalLM": ("llama", "LlamaForCausalLM"),
+}
+
+_OOT_MODELS: Dict[str, Type] = {}
+
+
+class ModelRegistry:
+
+    @staticmethod
+    def load_model_cls(arch: str) -> Optional[Type]:
+        if arch in _OOT_MODELS:
+            return _OOT_MODELS[arch]
+        if arch not in _MODELS:
+            return None
+        module_name, cls_name = _MODELS[arch]
+        module = importlib.import_module(
+            f"vllm_legacy_tpu.models.{module_name}")
+        return getattr(module, cls_name)
+
+    @staticmethod
+    def get_supported_archs() -> List[str]:
+        return list(_MODELS.keys()) + list(_OOT_MODELS.keys())
+
+    @staticmethod
+    def register_model(arch: str, model_cls: Type) -> None:
+        _OOT_MODELS[arch] = model_cls
+
+    @staticmethod
+    def resolve_model_cls(architectures: List[str]) -> Tuple[Type, str]:
+        for arch in architectures:
+            cls = ModelRegistry.load_model_cls(arch)
+            if cls is not None:
+                return cls, arch
+        raise ValueError(
+            f"Model architectures {architectures} are not supported. "
+            f"Supported: {ModelRegistry.get_supported_archs()}")

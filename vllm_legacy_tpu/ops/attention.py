@@ -1,0 +1,69 @@
+"""Attention op dispatch: Pallas TPU kernels vs pure-XLA reference.
+
+The role of the reference's ``vllm/attention/selector.py`` — but there is
+only one hardware target, so selection is just production kernel vs
+debugging fallback, controlled by ``VLT_USE_XLA_OPS`` /
+``VLT_PALLAS_INTERPRET`` (the latter runs the same Pallas kernels in
+interpreter mode so CPU tests cover the real code path).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_legacy_tpu import envs
+from vllm_legacy_tpu.ops import xla_attention
+from vllm_legacy_tpu.ops.pallas import paged_attention as pallas_attn
+
+
+def _use_xla() -> bool:
+    return bool(envs.VLT_USE_XLA_OPS)
+
+
+def _interpret() -> bool:
+    return bool(envs.VLT_PALLAS_INTERPRET)
+
+
+def paged_attention_decode(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    block_tables: jax.Array,
+    context_lens: jax.Array,
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+) -> jax.Array:
+    if _use_xla():
+        return xla_attention.paged_attention_decode(
+            q, k_cache, v_cache, block_tables, context_lens, scale=scale,
+            sliding_window=sliding_window, soft_cap=soft_cap)
+    return pallas_attn.paged_attention_decode(
+        q, k_cache, v_cache, block_tables, context_lens, scale=scale,
+        sliding_window=sliding_window, soft_cap=soft_cap,
+        interpret=_interpret())
+
+
+def paged_attention_prefill(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    block_tables: jax.Array,
+    query_lens: jax.Array,
+    context_lens: jax.Array,
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+) -> jax.Array:
+    if _use_xla():
+        return xla_attention.paged_attention_prefill(
+            q, k_cache, v_cache, block_tables, query_lens, context_lens,
+            scale=scale, sliding_window=sliding_window, soft_cap=soft_cap)
+    return pallas_attn.paged_attention_prefill(
+        q, k_cache, v_cache, block_tables, query_lens, context_lens,
+        scale=scale, sliding_window=sliding_window, soft_cap=soft_cap,
+        interpret=_interpret())

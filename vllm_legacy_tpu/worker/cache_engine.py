@@ -1,0 +1,198 @@
+"""KV-cache allocation and block movement.
+
+Reference: ``vllm/worker/cache_engine/cache_engine.py`` :14 — but TPU
+memory is deterministic, so there is no profiling forward pass
+(reference Worker.determine_num_available_blocks, worker.py:136-183):
+block counts are computed arithmetically from the HBM budget.
+
+Layout per layer: k and v each ``[num_kv_heads, num_blocks, block_size,
+head_size]``, sharded P("model", None, None, None) over the mesh. The
+swap tier lives in host RAM as numpy-backed jax arrays on the CPU device.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from vllm_legacy_tpu.config import CacheConfig, ModelConfig, ParallelConfig
+from vllm_legacy_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
+_GB = 1 << 30
+
+
+def resolve_cache_dtype(cache_config: CacheConfig,
+                        model_config: ModelConfig) -> Any:
+    """'auto' follows the model dtype; fp8 variants map to e4m3/e5m2."""
+    from vllm_legacy_tpu.utils import STR_DTYPE_TO_JAX_DTYPE
+    name = cache_config.cache_dtype
+    if name == "auto":
+        name = model_config.dtype
+    return jnp.dtype(STR_DTYPE_TO_JAX_DTYPE.get(name, name))
+
+
+def get_cache_block_size(cache_config: CacheConfig,
+                         model_config: ModelConfig,
+                         parallel_config: ParallelConfig) -> int:
+    """Bytes per KV block across all layers (reference:
+    cache_engine.py:102-120), for the WHOLE model (all shards)."""
+    from vllm_legacy_tpu.models.attention import padded_head_size
+    head_size = padded_head_size(model_config.get_head_size())
+    num_heads = model_config.get_total_num_kv_heads()
+    num_layers = model_config.get_num_layers(parallel_config)
+    kv_dtype = resolve_cache_dtype(cache_config, model_config)
+    per_token = num_heads * head_size * kv_dtype.itemsize * 2  # k + v
+    return per_token * cache_config.block_size * num_layers
+
+
+def compute_num_blocks(
+    available_hbm_bytes: int,
+    param_bytes: int,
+    cache_config: CacheConfig,
+    model_config: ModelConfig,
+    parallel_config: ParallelConfig,
+    *,
+    activation_headroom: float = 0.05,
+) -> Tuple[int, int]:
+    """Deterministic TPU replacement for the reference's empirical memory
+    profiling: (HBM * utilization - params - headroom) / block_bytes."""
+    budget = int(available_hbm_bytes * cache_config.hbm_utilization)
+    budget -= param_bytes
+    budget -= int(available_hbm_bytes * activation_headroom)
+    block_bytes = get_cache_block_size(cache_config, model_config,
+                                       parallel_config)
+    num_gpu_blocks = max(budget // block_bytes, 0)
+    num_cpu_blocks = int(cache_config.swap_space_bytes // block_bytes)
+    return int(num_gpu_blocks), int(num_cpu_blocks)
+
+
+class CacheEngine:
+    """Owns the device + host KV tensors and block-movement ops."""
+
+    def __init__(
+        self,
+        cache_config: CacheConfig,
+        model_config: ModelConfig,
+        parallel_config: ParallelConfig,
+        mesh: Mesh,
+    ) -> None:
+        self.cache_config = cache_config
+        self.model_config = model_config
+        self.parallel_config = parallel_config
+        self.mesh = mesh
+
+        self.block_size = cache_config.block_size
+        self.num_gpu_blocks = cache_config.num_gpu_blocks
+        self.num_cpu_blocks = cache_config.num_cpu_blocks or 0
+        self.num_layers = model_config.get_num_layers(parallel_config)
+        from vllm_legacy_tpu.models.attention import padded_head_size
+        self.num_kv_heads = model_config.get_total_num_kv_heads()
+        self.head_size = padded_head_size(model_config.get_head_size())
+        self.dtype = resolve_cache_dtype(cache_config, model_config)
+
+        spec = P("model", None, None, None)
+        self.cache_sharding = NamedSharding(mesh, spec)
+        self.cache_spec = spec
+
+        shape = (self.num_kv_heads, self.num_gpu_blocks, self.block_size,
+                 self.head_size)
+        # Distinct buffers per layer and per k/v: the jitted step donates
+        # the caches, and donation rejects aliased arrays (device_put of
+        # one shared host array would alias them all).
+        self.gpu_cache: List[Tuple[jax.Array, jax.Array]] = [
+            (jax.device_put(jnp.zeros(shape, self.dtype),
+                            self.cache_sharding),
+             jax.device_put(jnp.zeros(shape, self.dtype),
+                            self.cache_sharding))
+            for _ in range(self.num_layers)
+        ]
+        # Host swap tier (reference: pinned-CPU swap pool).
+        self.cpu_cache: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
+        if self.num_cpu_blocks > 0:
+            cshape = (self.num_kv_heads, self.num_cpu_blocks,
+                      self.block_size, self.head_size)
+            self.cpu_cache = [
+                (np.zeros(cshape, jnp.dtype(self.dtype).name
+                          if self.dtype != jnp.bfloat16 else "uint16"),
+                 np.zeros(cshape, jnp.dtype(self.dtype).name
+                          if self.dtype != jnp.bfloat16 else "uint16"))
+                for _ in range(self.num_layers)
+            ]
+
+        self._jit_copy = None
+
+    # -- block movement ------------------------------------------------
+    def copy(self, blocks_to_copy: Dict[int, List[int]]) -> None:
+        """Copy-on-write duplication (reference: worker.py:214-226 →
+        cache_kernels.cu copy_blocks)."""
+        if not blocks_to_copy:
+            return
+        src, dst = [], []
+        for s, ds in blocks_to_copy.items():
+            for d in ds:
+                src.append(s)
+                dst.append(d)
+        src_a = jnp.asarray(src, jnp.int32)
+        dst_a = jnp.asarray(dst, jnp.int32)
+        if self._jit_copy is None:
+            from vllm_legacy_tpu.ops.kv_cache import copy_blocks as _cb
+
+            def run(caches, s, d):
+                return _cb(caches, s, d)
+
+            self._jit_copy = jax.jit(run, donate_argnums=(0, ))
+        self.gpu_cache = self._jit_copy(self.gpu_cache, src_a, dst_a)
+
+    def swap_out(self, mapping: Dict[int, int]) -> None:
+        """Device -> host block movement. Host arrays stay numpy; the
+        gather happens on device, one transfer per layer."""
+        if not mapping:
+            return
+        src = jnp.asarray(list(mapping.keys()), jnp.int32)
+        dst = list(mapping.values())
+        for layer, (k_dev, v_dev) in enumerate(self.gpu_cache):
+            k_host, v_host = self.cpu_cache[layer]
+            k_blocks = np.asarray(
+                jax.device_get(self._gather_view(k_dev, src)))
+            v_blocks = np.asarray(
+                jax.device_get(self._gather_view(v_dev, src)))
+            k_host[:, dst] = k_blocks.view(k_host.dtype) \
+                if k_host.dtype == np.uint16 else k_blocks
+            v_host[:, dst] = v_blocks.view(v_host.dtype) \
+                if v_host.dtype == np.uint16 else v_blocks
+
+    def swap_in(self, mapping: Dict[int, int]) -> None:
+        if not mapping:
+            return
+        src = list(mapping.keys())
+        dst = jnp.asarray(list(mapping.values()), jnp.int32)
+        import ml_dtypes
+        for layer, (k_dev, v_dev) in enumerate(self.gpu_cache):
+            k_host, v_host = self.cpu_cache[layer]
+            k_blocks = k_host[:, src]
+            v_blocks = v_host[:, src]
+            if k_host.dtype == np.uint16:
+                k_blocks = k_blocks.view(ml_dtypes.bfloat16)
+                v_blocks = v_blocks.view(ml_dtypes.bfloat16)
+            k_new, v_new = self._scatter_blocks(
+                (k_dev, v_dev), jnp.asarray(k_blocks), jnp.asarray(v_blocks),
+                dst)
+            self.gpu_cache[layer] = (k_new, v_new)
+
+    @staticmethod
+    @jax.jit
+    def _gather_view(cache: jax.Array, blocks: jax.Array) -> jax.Array:
+        return cache[:, blocks]
+
+    @staticmethod
+    def _scatter_blocks(kv, k_blocks, v_blocks, dst):
+        k_dev, v_dev = kv
+        k_new = k_dev.at[:, dst].set(k_blocks.astype(k_dev.dtype))
+        v_new = v_dev.at[:, dst].set(v_blocks.astype(v_dev.dtype))
+        return k_new, v_new

@@ -1,0 +1,354 @@
+"""Batch assembly + jitted model execution.
+
+Reference: ``vllm/worker/model_runner.py`` (ModelRunner :763,
+_prepare_model_input :257-683, CUDA-graph capture :1096) — redesigned for
+XLA: instead of CUDA graphs per batch size, the step function is
+``jax.jit``-compiled once per (phase, bucket) shape; buckets are powers of
+two so a handful of compilations cover all traffic. Input prep stays
+vectorized numpy on host (the reference's approach, and our hot loop too).
+
+Execution model per step (reference builds one flat token list; we keep a
+[B, L] grid which XLA prefers):
+
+* prefill step: [B_pad, L_pad] token grid, one row per prompt (chunked
+  prefill = qlen < context len; prefix-cache hits skip computed blocks)
+* decode step: [B_pad, 1]
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from vllm_legacy_tpu.config import (CacheConfig, ModelConfig,
+                                    ParallelConfig, SchedulerConfig)
+from vllm_legacy_tpu.layers.sampler import SamplingTensors, sample
+from vllm_legacy_tpu.logger import init_logger
+from vllm_legacy_tpu.models.attention import AttentionMetadata
+from vllm_legacy_tpu.sequence import (CompletionSequenceGroupOutput, Logprob,
+                                      SamplerOutput, SequenceGroupMetadata,
+                                      SequenceOutput)
+from vllm_legacy_tpu.utils import cdiv, next_power_of_2
+
+logger = init_logger(__name__)
+
+_MAX_NUM_SEQS_BUCKETS = (8, 16, 32, 64, 128, 256)
+
+
+def pad_to_bucket(n: int, buckets=_MAX_NUM_SEQS_BUCKETS) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class ModelRunner:
+    """Prepares step inputs on host and runs the jitted model step."""
+
+    def __init__(
+        self,
+        model_config: ModelConfig,
+        parallel_config: ParallelConfig,
+        scheduler_config: SchedulerConfig,
+        cache_config: CacheConfig,
+        mesh: Mesh,
+    ) -> None:
+        self.model_config = model_config
+        self.parallel_config = parallel_config
+        self.scheduler_config = scheduler_config
+        self.cache_config = cache_config
+        self.mesh = mesh
+        self.block_size = cache_config.block_size
+        self.max_blocks_per_seq = cdiv(model_config.max_model_len,
+                                       self.block_size)
+
+        self.model: Any = None
+        self.params: Any = None
+        self._step_key = jax.random.PRNGKey(model_config.seed or 0)
+        self._jit_step_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    # Model loading
+    # ------------------------------------------------------------------
+    def load_model(self, load_format) -> None:
+        from vllm_legacy_tpu.model_loader import get_model
+        self.model, host_params = get_model(self.model_config,
+                                            self.parallel_config,
+                                            load_format)
+        specs = self.model.param_specs()
+        # rope cache entry exists in params but not in shapes pytree; its
+        # spec is replicated.
+        self.params = jax.tree.map(
+            lambda arr, spec: jax.device_put(
+                jnp.asarray(arr), NamedSharding(self.mesh, spec)),
+            host_params, specs,
+            is_leaf=lambda x: isinstance(x, (np.ndarray, jnp.ndarray)))
+
+    def param_bytes(self) -> int:
+        return sum(
+            np.prod(a.shape) * a.dtype.itemsize
+            for a in jax.tree.leaves(self.params))
+
+    # ------------------------------------------------------------------
+    # Host-side input preparation
+    # ------------------------------------------------------------------
+    def _prepare_inputs(
+        self, seq_group_metadata_list: List[SequenceGroupMetadata]
+    ) -> Tuple[Dict[str, Any], List[Tuple[str, int]], bool, int]:
+        """Build padded numpy step inputs.
+
+        Returns (arrays dict, rows = [(request_id, seq_id)] per batch row,
+        is_prefill, padded batch size).
+        """
+        is_prefill = seq_group_metadata_list[0].is_prompt
+
+        rows: List[Tuple[str, int]] = []
+        token_rows: List[List[int]] = []
+        pos_rows: List[List[int]] = []
+        query_lens: List[int] = []
+        context_lens: List[int] = []
+        block_tables: List[List[int]] = []
+
+        for meta in seq_group_metadata_list:
+            if is_prefill:
+                assert len(meta.seq_data) == 1
+                seq_id = next(iter(meta.seq_data))
+                data = meta.seq_data[seq_id]
+                token_chunk = meta.token_chunk_size
+                all_tokens = data.get_token_ids()
+                ctx = data.get_num_computed_tokens()
+                # prefix-cache hit: skip already-computed blocks
+                if meta.computed_block_nums:
+                    cached = len(meta.computed_block_nums) * self.block_size
+                    if cached > ctx and cached < len(all_tokens):
+                        ctx = cached
+                        token_chunk = len(all_tokens) - ctx
+                new_tokens = all_tokens[ctx:ctx + token_chunk]
+                rows.append((meta.request_id, seq_id))
+                token_rows.append(new_tokens)
+                pos_rows.append(list(range(ctx, ctx + len(new_tokens))))
+                query_lens.append(len(new_tokens))
+                context_lens.append(ctx + len(new_tokens))
+                block_tables.append(meta.block_tables[seq_id])
+            else:
+                for seq_id, data in meta.seq_data.items():
+                    rows.append((meta.request_id, seq_id))
+                    token_rows.append([data.get_last_token_id()])
+                    pos = data.get_len() - 1
+                    pos_rows.append([pos])
+                    query_lens.append(1)
+                    context_lens.append(data.get_len())
+                    block_tables.append(meta.block_tables[seq_id])
+
+        n = len(rows)
+        b_pad = pad_to_bucket(n)
+        l_pad = next_power_of_2(max(query_lens)) if is_prefill else 1
+
+        tokens = np.zeros((b_pad, l_pad), np.int32)
+        positions = np.zeros((b_pad, l_pad), np.int32)
+        slot_mapping = np.full((b_pad, l_pad), -1, np.int32)
+        ctx_arr = np.zeros((b_pad, ), np.int32)
+        qlen_arr = np.zeros((b_pad, ), np.int32)
+        tables = np.zeros((b_pad, self.max_blocks_per_seq), np.int32)
+
+        for i in range(n):
+            ql = query_lens[i]
+            tokens[i, :ql] = token_rows[i]
+            positions[i, :ql] = pos_rows[i]
+            ctx_arr[i] = context_lens[i]
+            qlen_arr[i] = ql
+            bt = block_tables[i]
+            tables[i, :len(bt)] = bt
+            # slot for token at absolute position p:
+            # tables[p // bs] * bs + p % bs
+            pos_np = np.asarray(pos_rows[i], np.int64)
+            bt_np = np.asarray(bt, np.int64)
+            slot_mapping[i, :ql] = (bt_np[pos_np // self.block_size] *
+                                    self.block_size +
+                                    pos_np % self.block_size)
+
+        # index of the row's sampling token within the flattened [B*L]
+        sel = np.zeros((b_pad, ), np.int32)
+        for i in range(n):
+            sel[i] = i * l_pad + (query_lens[i] - 1)
+
+        arrays = dict(
+            tokens=tokens,
+            positions=positions,
+            slot_mapping=slot_mapping.reshape(-1),
+            context_lens=ctx_arr,
+            query_lens=qlen_arr,
+            block_tables=tables,
+            sel=sel,
+        )
+        return arrays, rows, is_prefill, b_pad
+
+    def _prepare_sampling(
+        self, seq_group_metadata_list: List[SequenceGroupMetadata],
+        rows: List[Tuple[str, int]], b_pad: int
+    ) -> Tuple[SamplingTensors, bool, int]:
+        by_req = {m.request_id: m for m in seq_group_metadata_list}
+        temp, top_p, top_k, min_p = [], [], [], []
+        pres, freq, rep = [], [], []
+        greedy, seeds, seedpos = [], [], []
+        prompt_toks: List[List[int]] = []
+        output_toks: List[List[int]] = []
+        do_penalties = False
+        max_logprobs = 0
+        for req_id, seq_id in rows:
+            meta = by_req[req_id]
+            sp = meta.sampling_params
+            data = meta.seq_data[seq_id]
+            temp.append(sp.temperature)
+            top_p.append(sp.top_p)
+            top_k.append(sp.top_k if sp.top_k > 0 else 0)
+            min_p.append(sp.min_p)
+            pres.append(sp.presence_penalty)
+            freq.append(sp.frequency_penalty)
+            rep.append(sp.repetition_penalty)
+            greedy.append(sp.sampling_type.name == "GREEDY")
+            seeds.append((sp.seed or 0) & 0xFFFFFFFF)
+            seedpos.append(data.get_output_len())
+            if (abs(sp.presence_penalty) >= 1e-5
+                    or abs(sp.frequency_penalty) >= 1e-5
+                    or abs(sp.repetition_penalty - 1.0) >= 1e-5):
+                do_penalties = True
+            if sp.logprobs:
+                max_logprobs = max(max_logprobs, sp.logprobs)
+            prompt_toks.append(list(data.prompt_token_ids))
+            output_toks.append(list(data.output_token_ids))
+        if not do_penalties:
+            prompt_toks, output_toks = [], []
+        st = SamplingTensors.from_lists(
+            temp, top_p, top_k, min_p, pres, freq, rep, greedy, seeds,
+            seed_positions=seedpos,
+            prompt_tokens=prompt_toks,
+            output_tokens=output_toks,
+            pad_to=b_pad,
+        )
+        if max_logprobs:
+            max_logprobs = min(next_power_of_2(max_logprobs + 1),
+                               self.model_config.max_logprobs + 1)
+        return st, do_penalties, max_logprobs
+
+    # ------------------------------------------------------------------
+    # Jitted step
+    # ------------------------------------------------------------------
+    def _build_step_fn(self, do_penalties: bool, max_logprobs: int):
+        model = self.model
+        mesh = self.mesh
+        param_specs = self.model.param_specs()
+        cache_spec = P("model", None, None, None)
+        num_layers = model.num_layers
+        kv_specs = [(cache_spec, cache_spec)] * num_layers
+        rep = P()
+        md_specs = AttentionMetadata(rep, rep, rep, rep)
+
+        def sharded_fwd(params, kv_caches, tokens, positions, md, sel):
+            hidden, kv_caches = model.forward(params, kv_caches, tokens,
+                                              positions, md)
+            b, l, h = hidden.shape
+            flat = hidden.reshape(b * l, h)
+            selected = flat[sel]
+            logits = model.compute_logits(params, selected)
+            return logits, kv_caches
+
+        from jax import shard_map
+        fwd = shard_map(
+            sharded_fwd,
+            mesh=mesh,
+            in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep),
+            out_specs=(rep, kv_specs), check_vma=False,
+            
+        )
+
+        def step(params, kv_caches, tokens, positions, md, sel, st,
+                 step_key):
+            logits, kv_caches = fwd(params, kv_caches, tokens, positions,
+                                    md, sel)
+            sampled, logprob, top = sample(
+                logits, st, step_key, do_penalties=do_penalties,
+                max_logprobs=max_logprobs)
+            return kv_caches, sampled, logprob, top
+
+        return jax.jit(step, donate_argnums=(1, ))
+
+    def _get_step_fn(self, do_penalties: bool, max_logprobs: int):
+        key = (do_penalties, max_logprobs)
+        if key not in self._jit_step_cache:
+            self._jit_step_cache[key] = self._build_step_fn(*key)
+        return self._jit_step_cache[key]
+
+    # ------------------------------------------------------------------
+    # Execution
+    # ------------------------------------------------------------------
+    def execute_model(
+        self,
+        seq_group_metadata_list: List[SequenceGroupMetadata],
+        kv_caches: List[Tuple[jax.Array, jax.Array]],
+    ) -> Tuple[SamplerOutput, List[Tuple[jax.Array, jax.Array]]]:
+        t0 = time.perf_counter()
+        arrays, rows, is_prefill, b_pad = self._prepare_inputs(
+            seq_group_metadata_list)
+        st, do_penalties, max_logprobs = self._prepare_sampling(
+            seq_group_metadata_list, rows, b_pad)
+
+        md = AttentionMetadata(
+            slot_mapping=jnp.asarray(arrays["slot_mapping"]),
+            block_tables=jnp.asarray(arrays["block_tables"]),
+            context_lens=jnp.asarray(arrays["context_lens"]),
+            query_lens=jnp.asarray(arrays["query_lens"]),
+        )
+        self._step_key, key = jax.random.split(self._step_key)
+        step_fn = self._get_step_fn(do_penalties, max_logprobs)
+        t_prep = time.perf_counter()
+
+        kv_caches, sampled, logprob, top = step_fn(
+            self.params, kv_caches, jnp.asarray(arrays["tokens"]),
+            jnp.asarray(arrays["positions"]), md,
+            jnp.asarray(arrays["sel"]), st, key)
+
+        sampled_np = np.asarray(jax.device_get(sampled))
+        logprob_np = np.asarray(jax.device_get(logprob))
+        top_np = None
+        if top is not None:
+            top_np = (np.asarray(jax.device_get(top[0])),
+                      np.asarray(jax.device_get(top[1])))
+        t_done = time.perf_counter()
+
+        # Map device rows back to sequence groups (order preserved).
+        by_req = {m.request_id: m for m in seq_group_metadata_list}
+        outputs: List[CompletionSequenceGroupOutput] = []
+        row_idx = 0
+        for meta in seq_group_metadata_list:
+            samples = []
+            n_seqs = 1 if meta.is_prompt else len(meta.seq_data)
+            for _ in range(n_seqs):
+                req_id, seq_id = rows[row_idx]
+                token = int(sampled_np[row_idx])
+                lp = float(logprob_np[row_idx])
+                logprobs = {token: Logprob(logprob=lp)}
+                sp = meta.sampling_params
+                if sp.logprobs and top_np is not None:
+                    for v, tid in zip(top_np[0][row_idx][:sp.logprobs],
+                                      top_np[1][row_idx][:sp.logprobs]):
+                        logprobs.setdefault(int(tid),
+                                            Logprob(logprob=float(v)))
+                if meta.do_sample:
+                    samples.append(
+                        SequenceOutput(parent_seq_id=seq_id,
+                                       output_token=token,
+                                       logprobs=logprobs))
+                row_idx += 1
+            outputs.append(
+                CompletionSequenceGroupOutput(samples=samples,
+                                              prompt_logprobs=None))
+
+        out = SamplerOutput(outputs=outputs)
+        return out, kv_caches

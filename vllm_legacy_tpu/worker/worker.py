@@ -1,0 +1,91 @@
+"""TPU worker: owns the mesh, model runner and cache engine.
+
+Reference: ``vllm/worker/worker.py`` :25. The reference's driver/non-driver
+split with ``broadcast_tensor_dict`` control plane (:228-316) has no TPU
+analogue: a single controller process drives the whole mesh, so
+execute_model is a plain function call (SURVEY.md §5.8).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+
+from vllm_legacy_tpu.config import EngineConfig
+from vllm_legacy_tpu.logger import init_logger
+from vllm_legacy_tpu.parallel.mesh import build_mesh, get_device_hbm_bytes
+from vllm_legacy_tpu.sequence import ExecuteModelRequest, SamplerOutput
+from vllm_legacy_tpu.worker.cache_engine import (CacheEngine,
+                                                 compute_num_blocks)
+from vllm_legacy_tpu.worker.model_runner import ModelRunner
+
+logger = init_logger(__name__)
+
+
+class Worker:
+
+    def __init__(self, engine_config: EngineConfig) -> None:
+        cfg = engine_config
+        self.model_config = cfg.model_config
+        self.cache_config = cfg.cache_config
+        self.parallel_config = cfg.parallel_config
+        self.scheduler_config = cfg.scheduler_config
+        self.load_config = cfg.load_config
+
+        self.mesh = build_mesh(
+            tensor_parallel_size=self.parallel_config.tensor_parallel_size,
+            data_parallel_size=self.parallel_config.data_parallel_size)
+        self.model_runner = ModelRunner(self.model_config,
+                                        self.parallel_config,
+                                        self.scheduler_config,
+                                        self.cache_config, self.mesh)
+        self.cache_engine: Optional[CacheEngine] = None
+
+    # -- bring-up -------------------------------------------------------
+    def load_model(self) -> None:
+        self.model_runner.load_model(self.load_config.load_format)
+
+    def determine_num_available_blocks(self) -> Tuple[int, int]:
+        """Deterministic HBM budgeting (replaces the reference's
+        profiling forward, worker.py:136-183)."""
+        hbm = get_device_hbm_bytes()
+        # Per-device param bytes: total / world size (sharded weights).
+        world = max(len(self.mesh.devices.flatten()), 1)
+        param_bytes = self.model_runner.param_bytes() // world
+        num_tpu, num_cpu = compute_num_blocks(hbm, param_bytes,
+                                              self.cache_config,
+                                              self.model_config,
+                                              self.parallel_config)
+        if self.cache_config.num_tpu_blocks_override is not None:
+            num_tpu = self.cache_config.num_tpu_blocks_override
+        return num_tpu, num_cpu
+
+    def initialize_cache(self, num_tpu_blocks: int,
+                         num_cpu_blocks: int) -> None:
+        self.cache_config.num_tpu_blocks = num_tpu_blocks
+        self.cache_config.num_cpu_blocks = num_cpu_blocks
+        self.cache_engine = CacheEngine(self.cache_config,
+                                        self.model_config,
+                                        self.parallel_config, self.mesh)
+
+    # -- steady state ----------------------------------------------------
+    def execute_model(
+            self,
+            request: ExecuteModelRequest) -> List[SamplerOutput]:
+        assert self.cache_engine is not None
+        if request.blocks_to_swap_out:
+            self.cache_engine.swap_out(request.blocks_to_swap_out)
+        if request.blocks_to_swap_in:
+            self.cache_engine.swap_in(request.blocks_to_swap_in)
+        if request.blocks_to_copy:
+            self.cache_engine.copy(request.blocks_to_copy)
+        if not request.seq_group_metadata_list:
+            return []
+        output, new_caches = self.model_runner.execute_model(
+            request.seq_group_metadata_list, self.cache_engine.gpu_cache)
+        self.cache_engine.gpu_cache = new_caches
+        return [output]
+
+    def check_health(self) -> None:
+        # Single-process SPMD: liveness == this process being alive.
+        return
