@@ -26,6 +26,7 @@ def main() -> None:
     input_len = int(os.getenv("BENCH_INPUT_LEN", "256"))
     output_len = int(os.getenv("BENCH_OUTPUT_LEN", "256"))
     num_seqs = int(os.getenv("BENCH_NUM_SEQS", "64"))
+    num_steps = int(os.getenv("BENCH_SCHEDULER_STEPS", "8"))
 
     cfg = make_dummy_engine_config(
         tinyllama_1_1b_hf_config(),
@@ -33,6 +34,7 @@ def main() -> None:
         max_model_len=input_len + output_len + 16,
         max_num_seqs=num_seqs,
         hbm_utilization=0.85,
+        num_scheduler_steps=num_steps,
     )
     engine = LLMEngine(cfg, log_stats=False)
 
@@ -42,23 +44,28 @@ def main() -> None:
     for i in range(num_seqs):
         engine.add_request(str(i), {"prompt_token_ids": prompt}, params)
 
-    # Warmup: run prefill + a few decode steps so jit caches are hot,
-    # then measure steady-state decode.
-    engine.step()  # prefill (may be several steps if budget-bound)
+    # Warmup/compile: run all prefill steps plus the first decode call
+    # (jit compile happens there), then measure steady-state decode.
+    def max_generated(outs):
+        return max((len(o.outputs[0].token_ids) if o.outputs else 0
+                    for o in outs), default=0)
+
     while engine.has_unfinished_requests():
-        out = engine.step()
-        done_prefill = all(
-            not g.seq_group.is_prefill() for g in [])  # placeholder
-        break
+        if max_generated(engine.step()) >= 2:
+            break
 
     t0 = time.perf_counter()
     decoded = 0
+    last_len = {}
     while engine.has_unfinished_requests():
         outs = engine.step()
-        decoded += sum(1 for o in outs if o.outputs)
+        for o in outs:
+            n = len(o.outputs[0].token_ids) if o.outputs else 0
+            decoded += n - last_len.get(o.request_id, 0)
+            last_len[o.request_id] = n
     elapsed = time.perf_counter() - t0
 
-    total_new_tokens = num_seqs * output_len
+    total_new_tokens = decoded  # tokens generated in the timed window
     tput = total_new_tokens / elapsed
     print(json.dumps({
         "metric": "output_tokens_per_sec_per_chip_tinyllama1.1b_bf16",

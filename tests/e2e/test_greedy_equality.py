@@ -100,6 +100,32 @@ def test_greedy_equality_vs_hf(tiny_llama_path):
             f"prompt {i}: ours={g} hf={w}")
 
 
+def test_multistep_decode_matches_single_step(tiny_llama_path):
+    """num_scheduler_steps>1 (on-device decode loop) must reproduce the
+    single-step engine's greedy outputs exactly. (Compared against our
+    own K=1 — which the test above anchors to HF — rather than HF
+    directly: the fused decode loop changes XLA op fusion by a ulp,
+    which flips argmax on the random-weight model's near-tie logits.)"""
+    from vllm_legacy_tpu import LLM, SamplingParams
+    params = SamplingParams(temperature=0.0, max_tokens=MAX_TOKENS,
+                            ignore_eos=False, detokenize=False)
+
+    def run(k):
+        llm = LLM(model=tiny_llama_path,
+                  dtype="float32",
+                  max_model_len=128,
+                  num_tpu_blocks_override=128,
+                  num_scheduler_steps=k,
+                  disable_log_stats=True)
+        outs = llm.generate(PROMPTS, params, use_tqdm=False)
+        return [list(o.outputs[0].token_ids) for o in outs]
+
+    base = run(1)
+    got = run(4)
+    for i, (w, g) in enumerate(zip(base, got)):
+        assert g == w, f"prompt {i}: k4={g} k1={w}"
+
+
 def test_batched_decode_matches_single(tiny_llama_path):
     """Continuous batching must not change greedy outputs."""
     from vllm_legacy_tpu import LLM, SamplingParams

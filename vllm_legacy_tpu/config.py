@@ -325,12 +325,18 @@ class SchedulerConfig:
     max_model_len: int = 2048
     use_v2_block_manager: bool = False
     num_lookahead_slots: int = 0
+    # Decode steps executed on-device per host round-trip (multi-step
+    # decode; lookahead slots = num_scheduler_steps - 1).
+    num_scheduler_steps: int = 1
     delay_factor: float = 0.0
     enable_chunked_prefill: bool = False
     embedding_mode: bool = False
     preemption_mode: Optional[str] = None  # "recompute" | "swap" | None
 
     def __post_init__(self) -> None:
+        if self.num_scheduler_steps > 1:
+            self.num_lookahead_slots = max(self.num_lookahead_slots,
+                                           self.num_scheduler_steps - 1)
         if self.max_num_batched_tokens is None:
             if self.enable_chunked_prefill:
                 self.max_num_batched_tokens = 512

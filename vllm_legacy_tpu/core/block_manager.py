@@ -25,7 +25,7 @@ from vllm_legacy_tpu.core.evictor import (EvictionPolicy, Evictor,
 from vllm_legacy_tpu.core.interfaces import AllocStatus, BlockSpaceManager
 from vllm_legacy_tpu.logger import init_logger
 from vllm_legacy_tpu.sequence import Sequence, SequenceGroup, SequenceStatus
-from vllm_legacy_tpu.utils import Device
+from vllm_legacy_tpu.utils import Device, cdiv
 
 logger = init_logger(__name__)
 
@@ -283,12 +283,14 @@ class BlockSpaceManagerV1(BlockSpaceManager):
 
     def can_append_slots(self, seq_group: SequenceGroup,
                          num_lookahead_slots: int = 0) -> bool:
-        assert num_lookahead_slots == 0, (
-            "lookahead slots are handled by the spec-decode KV split")
-        # Worst case: every running seq needs one new block.
+        # Worst case: every running seq needs one new block plus blocks
+        # covering the lookahead window (multi-step decode / spec decode
+        # — capability the reference only has in block manager v2,
+        # block_manager_v2.py:178-223).
+        blocks_per_seq = 1 + cdiv(num_lookahead_slots, self.block_size)
         num_free = self.gpu_allocator.get_num_free_blocks()
         num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
-        return num_seqs <= num_free
+        return num_seqs * blocks_per_seq <= num_free
 
     def _promote_last_block(self, seq: Sequence,
                             last_block: PhysicalTokenBlock
@@ -331,35 +333,49 @@ class BlockSpaceManagerV1(BlockSpaceManager):
     def append_slots(self,
                      seq: Sequence,
                      num_lookahead_slots: int = 0) -> Dict[int, List[int]]:
-        """Ensure physical capacity for the token just appended. Returns
-        {src_block: [dst_block]} copy-on-write instructions (reference:
-        block_manager_v1.py:426-470)."""
+        """Ensure physical capacity for the token just appended plus
+        ``num_lookahead_slots`` future tokens (multi-step decode / spec
+        decode). Returns {src_block: [dst_block]} copy-on-write
+        instructions (reference: block_manager_v1.py:426-470; lookahead
+        parity with block_manager_v2.py:178-223)."""
         logical_blocks = seq.logical_token_blocks
         block_table = self.block_tables[seq.seq_id]
-        if len(block_table) < len(logical_blocks):
-            assert len(block_table) == len(logical_blocks) - 1
+        # Blocks needed to cover current tokens + the lookahead window.
+        needed = len(logical_blocks) + cdiv(
+            num_lookahead_slots -
+            (len(logical_blocks) * self.block_size - seq.data.get_len()),
+            self.block_size) if num_lookahead_slots else len(
+                logical_blocks)
+        needed = max(needed, len(logical_blocks))
+
+        if len(block_table) < needed:
             if (self.block_sliding_window
                     and len(block_table) >= self.block_sliding_window):
+                assert num_lookahead_slots == 0, (
+                    "multi-step decode is not supported with sliding "
+                    "window yet")
                 # Ring reuse: oldest block cycles back in.
                 block_table.append(
                     block_table[len(block_table) %
                                 self.block_sliding_window])
-            else:
+                return {}
+            while len(block_table) < needed:
                 new_block = self._allocate_last_physical_block(seq)
                 block_table.append(new_block)
             return {}
 
-        # Appending into the existing last block.
-        last_block = block_table[-1]
+        # Appending into the existing last REAL block (lookahead blocks
+        # past the logical tail are never shared).
+        last_block = block_table[len(logical_blocks) - 1]
         assert last_block.device == Device.TPU
         if last_block.ref_count == 1:
             if self.enable_caching:
                 maybe_new = self._maybe_promote_last_block(seq, last_block)
-                block_table[-1] = maybe_new
+                block_table[len(logical_blocks) - 1] = maybe_new
             return {}
         # Shared last block → copy-on-write.
         new_block = self._allocate_last_physical_block(seq)
-        block_table[-1] = new_block
+        block_table[len(logical_blocks) - 1] = new_block
         self.gpu_allocator.free(last_block)
         return {last_block.block_number: [new_block.block_number]}
 

@@ -729,8 +729,10 @@ class Scheduler:
                 and self.artificial_preempt_cnt > 0):
             self.artificial_preempt_cnt -= 1
             return False
-        return self.block_manager.can_append_slots(seq_group=seq_group,
-                                                   num_lookahead_slots=0)
+        return self.block_manager.can_append_slots(
+            seq_group=seq_group,
+            num_lookahead_slots=self._get_num_lookahead_slots(
+                is_prefill=False))
 
     def schedule(
             self
@@ -812,8 +814,9 @@ class Scheduler:
 
     def _append_slots(self, seq_group: SequenceGroup,
                       blocks_to_copy: Dict[int, List[int]]) -> None:
+        num_lookahead = self._get_num_lookahead_slots(is_prefill=False)
         for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            cows = self.block_manager.append_slots(seq, 0)
+            cows = self.block_manager.append_slots(seq, num_lookahead)
             merge_dicts(blocks_to_copy, cows)
 
     def _preempt(self, seq_group: SequenceGroup,

@@ -54,6 +54,7 @@ class EngineArgs:
     max_num_batched_tokens: Optional[int] = None
     max_num_seqs: int = 256
     enable_chunked_prefill: bool = False
+    num_scheduler_steps: int = 1
     preemption_mode: Optional[str] = None
     delay_factor: float = 0.0
 
@@ -138,6 +139,7 @@ class EngineArgs:
             max_num_seqs=self.max_num_seqs,
             max_model_len=model_config.max_model_len,
             enable_chunked_prefill=self.enable_chunked_prefill,
+            num_scheduler_steps=self.num_scheduler_steps,
             preemption_mode=self.preemption_mode,
             delay_factor=self.delay_factor,
         )

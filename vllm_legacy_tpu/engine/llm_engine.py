@@ -219,19 +219,28 @@ class LLMEngine:
         request_outputs: List[RequestOutput] = []
 
         if outputs:
-            sampler_output = outputs[0]
-            for scheduled, group_output in zip(
-                    scheduler_outputs.scheduled_seq_groups,
-                    sampler_output.outputs):
-                seq_group = scheduled.seq_group
-                seq_group.update_num_computed_tokens(
-                    scheduled.token_chunk_size)
-                self.output_processor.process_prompt_logprob(
-                    seq_group, [group_output])
-                if seq_group.is_prefill() and not group_output.samples:
-                    # chunked prefill: nothing sampled yet
-                    pass
-                else:
+            # Multi-step decode returns one SamplerOutput per on-device
+            # step; apply them in order with stop checks between steps
+            # (reference: MultiStepOutputProcessor, engine/
+            # output_processor/multi_step.py:20).
+            for k, sampler_output in enumerate(outputs):
+                for scheduled, group_output in zip(
+                        scheduler_outputs.scheduled_seq_groups,
+                        sampler_output.outputs):
+                    seq_group = scheduled.seq_group
+                    if k == 0:
+                        seq_group.update_num_computed_tokens(
+                            scheduled.token_chunk_size)
+                        self.output_processor.process_prompt_logprob(
+                            seq_group, [group_output])
+                    elif not seq_group.is_finished():
+                        # later sub-steps each computed one more token
+                        seq_group.update_num_computed_tokens(1)
+                    if seq_group.is_finished():
+                        continue
+                    if seq_group.is_prefill() and not group_output.samples:
+                        # chunked prefill: nothing sampled yet
+                        continue
                     self.output_processor.process_outputs(
                         seq_group, [group_output])
 

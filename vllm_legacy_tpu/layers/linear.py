@@ -57,8 +57,23 @@ def linear(x: jax.Array,
            params: Params,
            method: Optional[LinearMethod] = None) -> jax.Array:
     if method is None:
-        method = _DEFAULT
+        method = _dispatch(params)
     return method.apply(params, x)
+
+
+def _dispatch(params: Params) -> "LinearMethod":
+    """Pick the method from the param structure (static under jit):
+    packed quant params carry qweight/scales/szeros, fp8 carries
+    weight_scale; bits and group size are inferred from shapes so model
+    code needs no quantization plumbing at all."""
+    if "qweight" in params:
+        from vllm_legacy_tpu.layers.quantization.common import (
+            infer_quant_method)
+        return infer_quant_method(params)
+    if "weight_scale" in params:
+        from vllm_legacy_tpu.layers.quantization.fp8 import Fp8LinearMethod
+        return Fp8LinearMethod()
+    return _DEFAULT
 
 
 def row_parallel_linear(x: jax.Array,
@@ -69,7 +84,7 @@ def row_parallel_linear(x: jax.Array,
     sharded contraction dim, psum over the mesh axis, THEN bias (the
     reference's RowParallelLinear all-reduce, linear.py:755-780)."""
     if method is None:
-        method = _DEFAULT
+        method = _dispatch(params)
     bias = params.get("bias")
     out = method.apply({k: v for k, v in params.items() if k != "bias"}, x)
     out = jax.lax.psum(out, axis)

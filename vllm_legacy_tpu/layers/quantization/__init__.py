@@ -1,0 +1,36 @@
+"""Quantization registry (reference: vllm/model_executor/layers/
+quantization/__init__.py :20-33).
+
+All groupwise weight-only methods (GPTQ, AWQ, SqueezeLLM, marlin
+variants) repack at load into ONE common TPU layout consumed by the
+Pallas fused dequant-matmul (ops/pallas/quant_matmul.py) — the marlin/
+exllama layout zoo is a CUDA artifact with no TPU analogue.
+"""
+from __future__ import annotations
+
+from typing import Dict, Type
+
+from vllm_legacy_tpu.layers.quantization.base_config import (
+    QuantizationConfig)
+from vllm_legacy_tpu.layers.quantization.awq import AWQConfig
+from vllm_legacy_tpu.layers.quantization.fp8 import Fp8Config
+from vllm_legacy_tpu.layers.quantization.gptq import GPTQConfig
+from vllm_legacy_tpu.layers.quantization.squeezellm import SqueezeLLMConfig
+
+QUANTIZATION_METHODS: Dict[str, Type[QuantizationConfig]] = {
+    "gptq": GPTQConfig,
+    "awq": AWQConfig,
+    "squeezellm": SqueezeLLMConfig,
+    "fp8": Fp8Config,
+    # CUDA-layout aliases: same checkpoints, repacked to the TPU layout.
+    "marlin": GPTQConfig,
+    "gptq_marlin": GPTQConfig,
+    "gptq_marlin_24": GPTQConfig,
+}
+
+
+def get_quantization_config(name: str) -> Type[QuantizationConfig]:
+    if name not in QUANTIZATION_METHODS:
+        raise ValueError(f"Invalid quantization method: {name}. "
+                         f"Supported: {list(QUANTIZATION_METHODS)}")
+    return QUANTIZATION_METHODS[name]

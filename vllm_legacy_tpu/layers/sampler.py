@@ -154,43 +154,57 @@ def sample(
     step_key: jax.Array,  # base PRNG key for this step
     *,
     do_penalties: bool = False,
+    do_top_k_p: bool = False,
+    do_min_p: bool = False,
+    all_greedy: bool = False,
     max_logprobs: int = 0,
 ) -> Tuple[jax.Array, jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Returns (sampled_ids [B], logprob of sampled [B],
-    (top_logprob_vals, top_logprob_ids) [B, max_logprobs] or None)."""
+    (top_logprob_vals, top_logprob_ids) [B, max_logprobs] or None).
+
+    The boolean flags are STATIC jit specializations: the full-vocab
+    sort behind top-k/p costs tens of ms on TPU, so the all-greedy /
+    plain-temperature fast paths must never trace it (the reference's
+    analogous skip: sampler.py _apply_top_k_top_p gating)."""
     if do_penalties:
         logits = apply_penalties(logits, st)
 
     raw_logprobs = jax.nn.log_softmax(logits, axis=-1)
-
-    temp = jnp.where(st.temperature < _SAMPLING_EPS, 1.0, st.temperature)
-    scaled = logits / temp[:, None]
-    scaled = _apply_top_k_top_p(scaled, st.top_k, st.top_p)
-    scaled = _apply_min_p(scaled, st.min_p)
-
     greedy_ids = jnp.argmax(logits, axis=-1)
 
-    # Per-row keys derived from the step key by folding the row index in;
-    # seeded rows instead fold their seed into a fixed root so generation
-    # is reproducible per request regardless of batch composition
-    # (reference: seeded generators, sampling_metadata.py :561).
-    b = logits.shape[0]
-    row_ids = jnp.arange(b, dtype=jnp.uint32)
-    unseeded = jax.vmap(lambda i: jax.random.fold_in(step_key, i))(row_ids)
-    fixed_root = jax.random.PRNGKey(0)
-    seeded = jax.vmap(lambda s, p: jax.random.fold_in(
-        jax.random.fold_in(fixed_root, s), p))(st.seeds,
-                                               st.seed_positions)
-    keys = jnp.where((st.seeds != 0)[:, None],
-                     jax.vmap(jax.random.key_data)(seeded),
-                     jax.vmap(jax.random.key_data)(unseeded))
+    if all_greedy:
+        sampled = greedy_ids
+    else:
+        temp = jnp.where(st.temperature < _SAMPLING_EPS, 1.0,
+                         st.temperature)
+        scaled = logits / temp[:, None]
+        if do_top_k_p:
+            scaled = _apply_top_k_top_p(scaled, st.top_k, st.top_p)
+        if do_min_p:
+            scaled = _apply_min_p(scaled, st.min_p)
 
-    def sample_row(key_data, row_logits):
-        return jax.random.categorical(jax.random.wrap_key_data(key_data),
-                                      row_logits)
+        # Per-row keys derived from the step key by folding the row
+        # index in; seeded rows instead fold their seed into a fixed
+        # root so generation is reproducible per request regardless of
+        # batch composition (reference: sampling_metadata.py :561).
+        b = logits.shape[0]
+        row_ids = jnp.arange(b, dtype=jnp.uint32)
+        unseeded = jax.vmap(lambda i: jax.random.fold_in(step_key, i))(
+            row_ids)
+        fixed_root = jax.random.PRNGKey(0)
+        seeded = jax.vmap(lambda s, p: jax.random.fold_in(
+            jax.random.fold_in(fixed_root, s), p))(st.seeds,
+                                                   st.seed_positions)
+        keys = jnp.where((st.seeds != 0)[:, None],
+                         jax.vmap(jax.random.key_data)(seeded),
+                         jax.vmap(jax.random.key_data)(unseeded))
 
-    random_ids = jax.vmap(sample_row)(keys, scaled)
-    sampled = jnp.where(st.is_greedy, greedy_ids, random_ids)
+        def sample_row(key_data, row_logits):
+            return jax.random.categorical(
+                jax.random.wrap_key_data(key_data), row_logits)
+
+        random_ids = jax.vmap(sample_row)(keys, scaled)
+        sampled = jnp.where(st.is_greedy, greedy_ids, random_ids)
 
     sampled_logprob = jnp.take_along_axis(raw_logprobs, sampled[:, None],
                                           axis=-1)[:, 0]

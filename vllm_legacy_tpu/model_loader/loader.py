@@ -23,15 +23,44 @@ from vllm_legacy_tpu.utils import MonotonicTimer
 logger = init_logger(__name__)
 
 
+def resolve_quant_config(model_config: ModelConfig):
+    """Build the QuantizationConfig from --quantization and/or the HF
+    checkpoint's quantization_config (reference: config.py:162-220
+    sniffing + weight_utils.get_quant_config)."""
+    import os
+
+    from vllm_legacy_tpu.layers.quantization import (
+        get_quantization_config)
+    hf_quant = getattr(model_config.hf_config, "quantization_config",
+                       None)
+    if hf_quant is None and os.path.isdir(model_config.model):
+        from vllm_legacy_tpu.model_loader.weight_utils import (
+            get_quant_config_from_checkpoint)
+        hf_quant = get_quant_config_from_checkpoint(model_config.model)
+    name = model_config.quantization
+    if name is None and hf_quant is not None:
+        name = str(hf_quant.get("quant_method", "")).lower()
+    if not name:
+        return None
+    cfg_cls = get_quantization_config(name)
+    if hf_quant is not None:
+        return cfg_cls.from_config(dict(hf_quant))
+    raise ValueError(
+        f"--quantization={name} given but the checkpoint has no "
+        "quantization_config to read bits/group_size from.")
+
+
 def initialize_model(model_config: ModelConfig,
                      parallel_config: ParallelConfig):
     archs = getattr(model_config.hf_config, "architectures", [])
     model_cls, arch = ModelRegistry.resolve_model_cls(archs)
     dtype = jnp.bfloat16 if model_config.dtype == "bfloat16" \
         else jnp.float32
+    quant_config = resolve_quant_config(model_config)
     return model_cls(model_config.hf_config,
                      tp_size=parallel_config.tensor_parallel_size,
-                     dtype=dtype)
+                     dtype=dtype,
+                     quant_config=quant_config)
 
 
 def get_model(model_config: ModelConfig, parallel_config: ParallelConfig,

@@ -37,8 +37,9 @@ class LlamaForCausalLM:
     """
 
     def __init__(self, hf_config: Any, *, tp_size: int = 1,
-                 dtype: Any = jnp.bfloat16) -> None:
+                 dtype: Any = jnp.bfloat16, quant_config: Any = None) -> None:
         c = hf_config
+        self.quant_config = quant_config
         self.hf_config = c
         self.dtype = dtype
         self.tp_size = tp_size
@@ -113,31 +114,62 @@ class LlamaForCausalLM:
                                    self.max_position, self.rope_theta,
                                    self.rope_scaling)
 
-    def param_specs(self) -> Dict[str, Any]:
-        """PartitionSpec pytree (axes: "model" = tensor parallel)."""
-        col = {"weight": P(None, "model"), "bias": P("model")}
-        row = {"weight": P("model", None)}
-        rep = {"weight": P()}
+    # Projections sharded on their OUTPUT axis ("column" parallel) vs
+    # their INPUT axis ("row" parallel, psum after matmul).
+    _COL_PROJS = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+    _ROW_PROJS = ("o_proj", "down_proj")
 
-        def layer_spec(shapes):
-            spec = {
-                "input_layernorm": rep,
-                "q_proj": {k: col[k] for k in shapes["q_proj"]},
-                "k_proj": {k: col[k] for k in shapes["k_proj"]},
-                "v_proj": {k: col[k] for k in shapes["v_proj"]},
-                "o_proj": row,
-                "post_attention_layernorm": rep,
-                "gate_proj": {"weight": P(None, "model")},
-                "up_proj": {"weight": P(None, "model")},
-                "down_proj": row,
+    @staticmethod
+    def _proj_entry_spec(mode: str, key: str) -> P:
+        """Spec for one tensor of a linear, dense or quantized
+        (qweight/scales/szeros share the weight's sharding axis)."""
+        if key in ("weight", "qweight", "scales", "szeros"):
+            return P(None, "model") if mode == "column" else P("model",
+                                                               None)
+        if key == "bias":
+            return P("model") if mode == "column" else P()
+        return P()  # in_perm, weight_scale: replicated
+
+    def param_specs(self,
+                    params: Optional[Dict[str, Any]] = None
+                    ) -> Dict[str, Any]:
+        """PartitionSpec pytree mirroring the (loaded) param structure.
+
+        When ``params`` is given the spec tree matches it exactly —
+        required because quantized layers carry different keys than
+        dense ones (shard_map in_specs must be structure-identical).
+        """
+        if params is None:
+            params = {
+                "embed": {"weight": None},
+                "layers": [{
+                    "input_layernorm": {"weight": None},
+                    **{p: {"weight": None}
+                       for p in self._COL_PROJS + self._ROW_PROJS},
+                    "post_attention_layernorm": {"weight": None},
+                } for _ in range(self.num_layers)],
+                "norm": {"weight": None},
+                "lm_head": {"weight": None},
+                "rope_cache": None,
             }
+
+        def layer_spec(lp):
+            spec = {}
+            for proj, tensors in lp.items():
+                if proj in ("input_layernorm", "post_attention_layernorm"):
+                    spec[proj] = {"weight": P()}
+                    continue
+                mode = "column" if proj in self._COL_PROJS else "row"
+                spec[proj] = {
+                    k: self._proj_entry_spec(mode, k)
+                    for k in tensors
+                }
             return spec
 
         return {
             "embed": {"weight": P("model", None)},
-            "layers": [layer_spec(s) for s in
-                       [self._layer_shapes()] * self.num_layers],
-            "norm": rep,
+            "layers": [layer_spec(lp) for lp in params["layers"]],
+            "norm": {"weight": P()},
             "lm_head": {"weight": P("model", None)},
             "rope_cache": P(),
         }
@@ -234,11 +266,18 @@ class LlamaForCausalLM:
             "lm_head": {},
         }
 
+        # Quantized checkpoints carry qweight/qzeros/scales/g_idx per
+        # projection; collect raw tensors first, convert per-layer after.
+        quant_kinds = ("qweight", "qzeros", "scales", "g_idx",
+                       "lookup_table")
+
         for name, w in weights:
             if name.endswith("rotary_emb.inv_freq"):
                 continue
             w = np.asarray(w)
-            if w.dtype != np_dtype and w.dtype.kind == "f":
+            kind = name.split(".")[-1]
+            if (w.dtype != np_dtype and w.dtype.kind == "f"
+                    and kind not in quant_kinds):
                 w = w.astype(np_dtype)
             if name == "model.embed_tokens.weight":
                 params["embed"]["weight"] = self._pad_vocab(w)
@@ -257,18 +296,42 @@ class LlamaForCausalLM:
             lp = params["layers"][idx]
             if sub in ("input_layernorm", "post_attention_layernorm"):
                 lp.setdefault(sub, {})["weight"] = w
-            elif sub == "self_attn":
+            elif sub in ("self_attn", "mlp"):
                 proj = parts[4]  # q_proj etc.
-                kind = parts[5]  # weight | bias
-                lp.setdefault(proj, {})[kind] = w.T if kind == "weight" \
-                    else w
-            elif sub == "mlp":
-                proj = parts[4]
-                lp.setdefault(proj, {})["weight"] = w.T
+                kind = parts[5]  # weight | bias | qweight | ...
+                if kind == "weight":
+                    lp.setdefault(proj, {})["weight"] = w.T
+                else:
+                    lp.setdefault(proj, {})[kind] = w
+
+        if self.quant_config is not None:
+            self._convert_quant_layers(params, np_dtype)
         if self.tie_word_embeddings or "weight" not in params["lm_head"]:
             params["lm_head"]["weight"] = params["embed"]["weight"]
         params["rope_cache"] = self.make_rope_cache()
         return params
+
+    def _convert_quant_layers(self, params: Dict[str, Any],
+                              np_dtype) -> None:
+        """Repack checkpoint quant tensors into the common TPU layout
+        (layers/quantization/common.py)."""
+        from vllm_legacy_tpu.layers.quantization.squeezellm import (
+            SqueezeLLMConfig)
+        for lp in params["layers"]:
+            for proj, tensors in lp.items():
+                if "qweight" not in tensors:
+                    continue
+                bias = tensors.pop("bias", None)
+                if isinstance(self.quant_config, SqueezeLLMConfig):
+                    new = self.quant_config.convert_layer(
+                        tensors, dtype=np_dtype)
+                else:
+                    new = self.quant_config.convert_layer(
+                        tensors).as_params()
+                tensors.clear()
+                tensors.update(new)
+                if bias is not None:
+                    tensors["bias"] = bias
 
     def _pad_vocab(self, w: np.ndarray) -> np.ndarray:
         if w.shape[0] < self.vocab_size:

@@ -76,6 +76,7 @@ def make_dummy_engine_config(
     enable_chunked_prefill: bool = False,
     enable_prefix_caching: bool = False,
     kv_cache_dtype: str = "auto",
+    num_scheduler_steps: int = 1,
 ) -> EngineConfig:
     if hf_config is None:
         hf_config = tiny_llama_hf_config()
@@ -101,6 +102,7 @@ def make_dummy_engine_config(
         max_num_seqs=max_num_seqs,
         max_model_len=model_config.max_model_len,
         enable_chunked_prefill=enable_chunked_prefill,
+        num_scheduler_steps=num_scheduler_steps,
     )
     return EngineConfig(
         model_config=model_config,

@@ -26,6 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
+from vllm_legacy_tpu import envs
 from vllm_legacy_tpu.config import (CacheConfig, ModelConfig,
                                     ParallelConfig, SchedulerConfig)
 from vllm_legacy_tpu.layers.sampler import SamplingTensors, sample
@@ -81,7 +82,7 @@ class ModelRunner:
         self.model, host_params = get_model(self.model_config,
                                             self.parallel_config,
                                             load_format)
-        specs = self.model.param_specs()
+        specs = self.model.param_specs(host_params)
         # rope cache entry exists in params but not in shapes pytree; its
         # spec is replicated.
         self.params = jax.tree.map(
@@ -192,7 +193,7 @@ class ModelRunner:
     def _prepare_sampling(
         self, seq_group_metadata_list: List[SequenceGroupMetadata],
         rows: List[Tuple[str, int]], b_pad: int
-    ) -> Tuple[SamplingTensors, bool, int]:
+    ) -> Tuple[SamplingTensors, Tuple[bool, bool, bool, bool], int]:
         by_req = {m.request_id: m for m in seq_group_metadata_list}
         temp, top_p, top_k, min_p = [], [], [], []
         pres, freq, rep = [], [], []
@@ -235,15 +236,27 @@ class ModelRunner:
         if max_logprobs:
             max_logprobs = min(next_power_of_2(max_logprobs + 1),
                                self.model_config.max_logprobs + 1)
-        return st, do_penalties, max_logprobs
+        # Static jit specializations — the top-k/p vocab sort is tens of
+        # ms on TPU and must not be traced for greedy/plain batches.
+        all_greedy = all(greedy)
+        do_top_k_p = any(
+            (not g) and (k > 0 or p < 1.0 - 1e-6)
+            for g, k, p in zip(greedy, top_k, top_p))
+        do_min_p = any((not g) and m > 0.0
+                       for g, m in zip(greedy, min_p))
+        flags = (do_penalties, do_top_k_p, do_min_p, all_greedy)
+        return st, flags, max_logprobs
 
     # ------------------------------------------------------------------
     # Jitted step
     # ------------------------------------------------------------------
-    def _build_step_fn(self, do_penalties: bool, max_logprobs: int):
+    def _build_step_fn(self, flags: Tuple[bool, bool, bool, bool],
+                       max_logprobs: int):
+        do_penalties, do_top_k_p, do_min_p, all_greedy = flags
         model = self.model
         mesh = self.mesh
-        param_specs = self.model.param_specs()
+        param_specs = self.model.param_specs(
+            jax.tree.map(lambda x: None, self.params))
         cache_spec = P("model", None, None, None)
         num_layers = model.num_layers
         kv_specs = [(cache_spec, cache_spec)] * num_layers
@@ -274,30 +287,149 @@ class ModelRunner:
                                     md, sel)
             sampled, logprob, top = sample(
                 logits, st, step_key, do_penalties=do_penalties,
-                max_logprobs=max_logprobs)
+                do_top_k_p=do_top_k_p, do_min_p=do_min_p,
+                all_greedy=all_greedy, max_logprobs=max_logprobs)
             return kv_caches, sampled, logprob, top
 
         return jax.jit(step, donate_argnums=(1, ))
 
-    def _get_step_fn(self, do_penalties: bool, max_logprobs: int):
-        key = (do_penalties, max_logprobs)
+    def _build_multistep_fn(self, flags: Tuple[bool, bool, bool, bool],
+                            max_logprobs: int, num_steps: int):
+        """K decode iterations fully on device per host round-trip.
+
+        The per-step host<->device round-trip (~1ms on local PCIe, ~100ms
+        through a tunnel) would otherwise bound decode throughput; the
+        reference amortizes launch overhead with CUDA graphs
+        (model_runner.py:1096) — on TPU the equivalent is keeping the
+        token feedback loop on device. Slot mapping for step i is
+        computed on device from the (lookahead-extended) block tables.
+        """
+        do_penalties, do_top_k_p, do_min_p, all_greedy = flags
+        assert not do_penalties, "multi-step requires no penalties"
+        model = self.model
+        mesh = self.mesh
+        block_size = self.block_size
+        param_specs = self.model.param_specs(
+            jax.tree.map(lambda x: None, self.params))
+        cache_spec = P("model", None, None, None)
+        kv_specs = [(cache_spec, cache_spec)] * model.num_layers
+        rep = P()
+        md_specs = AttentionMetadata(rep, rep, rep, rep)
+
+        def sharded_fwd(params, kv_caches, tokens, positions, md, sel):
+            hidden, kv_caches = model.forward(params, kv_caches, tokens,
+                                              positions, md)
+            b, l, h = hidden.shape
+            logits = model.compute_logits(params,
+                                          hidden.reshape(b * l, h)[sel])
+            return logits, kv_caches
+
+        from jax import shard_map
+        fwd = shard_map(
+            sharded_fwd,
+            mesh=mesh,
+            in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep),
+            out_specs=(rep, kv_specs), check_vma=False,
+        )
+
+        def multistep(params, kv_caches, tokens, positions, md, sel, st,
+                      step_key):
+            b = tokens.shape[0]
+            out_tokens = jnp.zeros((num_steps, b), jnp.int32)
+            out_logprobs = jnp.zeros((num_steps, b), jnp.float32)
+            if max_logprobs > 0:
+                out_top_v = jnp.zeros((num_steps, b, max_logprobs),
+                                      jnp.float32)
+                out_top_i = jnp.zeros((num_steps, b, max_logprobs),
+                                      jnp.int32)
+            else:
+                out_top_v = out_top_i = None
+
+            def body(i, carry):
+                (kv_caches, tok, pos, ctx, out_tokens, out_logprobs,
+                 out_top_v, out_top_i) = carry
+                p0 = pos[:, 0]
+                valid = ctx > 0
+                slot = (md.block_tables[jnp.arange(b), p0 // block_size] *
+                        block_size + p0 % block_size)
+                slot = jnp.where(valid, slot, -1).astype(jnp.int32)
+                md_i = AttentionMetadata(slot, md.block_tables, ctx,
+                                         md.query_lens)
+                logits, kv_caches = fwd(params, kv_caches, tok, pos, md_i,
+                                        sel)
+                import dataclasses as _dc
+                st_i = _dc.replace(st,
+                                   seed_positions=st.seed_positions + i)
+                sampled, logprob, top = sample(
+                    logits, st_i, jax.random.fold_in(step_key, i),
+                    do_penalties=False, do_top_k_p=do_top_k_p,
+                    do_min_p=do_min_p, all_greedy=all_greedy,
+                    max_logprobs=max_logprobs)
+                out_tokens = out_tokens.at[i].set(sampled.astype(jnp.int32))
+                out_logprobs = out_logprobs.at[i].set(logprob)
+                if top is not None:
+                    out_top_v = out_top_v.at[i].set(top[0])
+                    out_top_i = out_top_i.at[i].set(top[1])
+                tok = sampled.astype(jnp.int32)[:, None]
+                pos = jnp.where(valid[:, None], pos + 1, pos)
+                ctx = jnp.where(valid, ctx + 1, ctx)
+                return (kv_caches, tok, pos, ctx, out_tokens,
+                        out_logprobs, out_top_v, out_top_i)
+
+            carry = (kv_caches, tokens, positions, md.context_lens,
+                     out_tokens, out_logprobs, out_top_v, out_top_i)
+            carry = jax.lax.fori_loop(0, num_steps, body, carry)
+            (kv_caches, _, _, _, out_tokens, out_logprobs, out_top_v,
+             out_top_i) = carry
+            top = (out_top_v, out_top_i) if max_logprobs > 0 else None
+            return kv_caches, out_tokens, out_logprobs, top
+
+        return jax.jit(multistep, donate_argnums=(1, ))
+
+    def _get_step_fn(self, flags: Tuple[bool, bool, bool, bool],
+                     max_logprobs: int, num_steps: int = 1):
+        key = (flags, max_logprobs, num_steps)
         if key not in self._jit_step_cache:
-            self._jit_step_cache[key] = self._build_step_fn(*key)
+            if num_steps > 1:
+                self._jit_step_cache[key] = self._build_multistep_fn(
+                    flags, max_logprobs, num_steps)
+            else:
+                self._jit_step_cache[key] = self._build_step_fn(
+                    flags, max_logprobs)
         return self._jit_step_cache[key]
 
     # ------------------------------------------------------------------
     # Execution
     # ------------------------------------------------------------------
+    def _num_multistep(self, seq_group_metadata_list, is_prefill: bool,
+                       flags) -> int:
+        """How many decode steps to fuse on device this call."""
+        k = self.scheduler_config.num_scheduler_steps
+        if k <= 1 or is_prefill:
+            return 1
+        do_penalties = flags[0]
+        if do_penalties:
+            return 1  # penalties need per-step token histories
+        for meta in seq_group_metadata_list:
+            sp = meta.sampling_params
+            if sp is not None and (sp.use_beam_search or sp.best_of > 1):
+                return 1
+        return k
+
     def execute_model(
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],
         kv_caches: List[Tuple[jax.Array, jax.Array]],
-    ) -> Tuple[SamplerOutput, List[Tuple[jax.Array, jax.Array]]]:
+    ) -> Tuple[List[SamplerOutput], List[Tuple[jax.Array, jax.Array]]]:
+        """Run one (possibly multi-)step; returns one SamplerOutput per
+        executed decode step (len 1 for prefill / single-step)."""
         t0 = time.perf_counter()
         arrays, rows, is_prefill, b_pad = self._prepare_inputs(
             seq_group_metadata_list)
-        st, do_penalties, max_logprobs = self._prepare_sampling(
+        st, flags, max_logprobs = self._prepare_sampling(
             seq_group_metadata_list, rows, b_pad)
+        num_steps = self._num_multistep(seq_group_metadata_list,
+                                        is_prefill, flags)
 
         md = AttentionMetadata(
             slot_mapping=jnp.asarray(arrays["slot_mapping"]),
@@ -306,49 +438,61 @@ class ModelRunner:
             query_lens=jnp.asarray(arrays["query_lens"]),
         )
         self._step_key, key = jax.random.split(self._step_key)
-        step_fn = self._get_step_fn(do_penalties, max_logprobs)
+        step_fn = self._get_step_fn(flags, max_logprobs, num_steps)
         t_prep = time.perf_counter()
 
         kv_caches, sampled, logprob, top = step_fn(
             self.params, kv_caches, jnp.asarray(arrays["tokens"]),
             jnp.asarray(arrays["positions"]), md,
             jnp.asarray(arrays["sel"]), st, key)
+        t_dispatch = time.perf_counter()
 
-        sampled_np = np.asarray(jax.device_get(sampled))
-        logprob_np = np.asarray(jax.device_get(logprob))
+        # [B] single-step -> [1, B] so both paths share the fan-out.
+        sampled_np = np.atleast_2d(np.asarray(jax.device_get(sampled)))
+        logprob_np = np.atleast_2d(np.asarray(jax.device_get(logprob)))
         top_np = None
         if top is not None:
-            top_np = (np.asarray(jax.device_get(top[0])),
-                      np.asarray(jax.device_get(top[1])))
+            tv = np.asarray(jax.device_get(top[0]))
+            ti = np.asarray(jax.device_get(top[1]))
+            if tv.ndim == 2:
+                tv, ti = tv[None], ti[None]
+            top_np = (tv, ti)
         t_done = time.perf_counter()
+        if envs.VLT_BENCHMARK_RUNNER:
+            # Fork-parity per-step instrumentation (reference:
+            # model_runner.py:992-998 BENCHMARK_RUNNER).
+            logger.info(
+                "step timing (k=%d): prep %.1fms dispatch %.1fms "
+                "fetch %.1fms", num_steps, (t_prep - t0) * 1e3,
+                (t_dispatch - t_prep) * 1e3, (t_done - t_dispatch) * 1e3)
 
-        # Map device rows back to sequence groups (order preserved).
-        by_req = {m.request_id: m for m in seq_group_metadata_list}
-        outputs: List[CompletionSequenceGroupOutput] = []
-        row_idx = 0
-        for meta in seq_group_metadata_list:
-            samples = []
-            n_seqs = 1 if meta.is_prompt else len(meta.seq_data)
-            for _ in range(n_seqs):
-                req_id, seq_id = rows[row_idx]
-                token = int(sampled_np[row_idx])
-                lp = float(logprob_np[row_idx])
-                logprobs = {token: Logprob(logprob=lp)}
-                sp = meta.sampling_params
-                if sp.logprobs and top_np is not None:
-                    for v, tid in zip(top_np[0][row_idx][:sp.logprobs],
-                                      top_np[1][row_idx][:sp.logprobs]):
-                        logprobs.setdefault(int(tid),
-                                            Logprob(logprob=float(v)))
-                if meta.do_sample:
-                    samples.append(
-                        SequenceOutput(parent_seq_id=seq_id,
-                                       output_token=token,
-                                       logprobs=logprobs))
-                row_idx += 1
-            outputs.append(
-                CompletionSequenceGroupOutput(samples=samples,
-                                              prompt_logprobs=None))
-
-        out = SamplerOutput(outputs=outputs)
-        return out, kv_caches
+        outs: List[SamplerOutput] = []
+        for k in range(sampled_np.shape[0]):
+            outputs: List[CompletionSequenceGroupOutput] = []
+            row_idx = 0
+            for meta in seq_group_metadata_list:
+                samples = []
+                n_seqs = 1 if meta.is_prompt else len(meta.seq_data)
+                for _ in range(n_seqs):
+                    req_id, seq_id = rows[row_idx]
+                    token = int(sampled_np[k, row_idx])
+                    lp = float(logprob_np[k, row_idx])
+                    logprobs = {token: Logprob(logprob=lp)}
+                    sp = meta.sampling_params
+                    if sp.logprobs and top_np is not None:
+                        for v, tid in zip(
+                                top_np[0][k, row_idx][:sp.logprobs],
+                                top_np[1][k, row_idx][:sp.logprobs]):
+                            logprobs.setdefault(int(tid),
+                                                Logprob(logprob=float(v)))
+                    if meta.do_sample:
+                        samples.append(
+                            SequenceOutput(parent_seq_id=seq_id,
+                                           output_token=token,
+                                           logprobs=logprobs))
+                    row_idx += 1
+                outputs.append(
+                    CompletionSequenceGroupOutput(samples=samples,
+                                                  prompt_logprobs=None))
+            outs.append(SamplerOutput(outputs=outputs))
+        return outs, kv_caches

@@ -81,10 +81,10 @@ class Worker:
             self.cache_engine.copy(request.blocks_to_copy)
         if not request.seq_group_metadata_list:
             return []
-        output, new_caches = self.model_runner.execute_model(
+        outputs, new_caches = self.model_runner.execute_model(
             request.seq_group_metadata_list, self.cache_engine.gpu_cache)
         self.cache_engine.gpu_cache = new_caches
-        return [output]
+        return outputs
 
     def check_health(self) -> None:
         # Single-process SPMD: liveness == this process being alive.
