@@ -240,12 +240,14 @@ def test_chunked_prefill_mixes_decode_and_prefill():
     metas, out = schedule_and_update_computed_tokens(scheduler)
     assert len(metas) == 2
     assert out.num_prefill_groups == 1
-    # Prefill-first layout in the metadata list.
+    # Prefill-first layout in the metadata list. Chunk sizes are rounded
+    # down to block multiples (fused whole-block cache writes): the
+    # 15-token leftover budget becomes a 12-token chunk at block_size 4.
     assert metas[0].request_id == "2"
-    assert metas[0].token_chunk_size == 15
+    assert metas[0].token_chunk_size == 12
     assert metas[1].request_id == "1"
     assert metas[1].token_chunk_size == 1
-    assert out.num_batched_tokens == 16
+    assert out.num_batched_tokens == 13
 
 
 def test_scheduling_budget():

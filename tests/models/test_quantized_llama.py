@@ -114,12 +114,12 @@ def test_quantized_llama_matches_dequantized_dense():
                 np.float32)
 
     mesh = build_mesh(1, 1)
-    b, l = 2, 8
+    b, l = 2, 16  # L must be a whole number of KV blocks (fused writes)
     tokens = jnp.asarray(rng.randint(0, 255, (b, l)), jnp.int32)
     positions = jnp.tile(jnp.arange(l, dtype=jnp.int32)[None], (b, 1))
     d_pad = padded_head_size(32)
-    kv = [(jnp.zeros((2, 8, 16, d_pad), jnp.float32),
-           jnp.zeros((2, 8, 16, d_pad), jnp.float32)) for _ in range(2)]
+    kv = (jnp.zeros((2, 2, 8, 16, d_pad), jnp.float32),
+          jnp.zeros((2, 2, 8, 16, d_pad), jnp.float32))
     md = AttentionMetadata(
         slot_mapping=jnp.arange(b * l, dtype=jnp.int32),
         block_tables=jnp.tile(jnp.arange(4, dtype=jnp.int32)[None],
@@ -130,8 +130,8 @@ def test_quantized_llama_matches_dequantized_dense():
 
     def run(model, params):
         specs = model.param_specs(params)
-        cache_spec = P("model", None, None, None)
-        kv_specs = [(cache_spec, cache_spec)] * 2
+        cache_spec = P(None, "model", None, None, None)
+        kv_specs = (cache_spec, cache_spec)
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
 

@@ -917,8 +917,13 @@ class Scheduler:
         seqs = seq_group.get_seqs(status=status)
         for seq in seqs:
             num_new_tokens += seq.get_num_new_tokens()
-        # Chunk only single-seq prefill groups.
+        # Chunk only single-seq prefill groups. Chunk boundaries are
+        # block-aligned so every prefill call starts on a block boundary
+        # (the fused Pallas cache write emits whole-block DMAs —
+        # ops/pallas/paged_attention.py alignment invariants).
         if enable_chunking and len(seqs) == 1:
-            num_new_tokens = min(num_new_tokens,
-                                 budget.remaining_token_budget())
+            remaining = budget.remaining_token_budget()
+            if remaining < num_new_tokens:
+                block_size = self.cache_config.block_size
+                num_new_tokens = (remaining // block_size) * block_size
         return num_new_tokens

@@ -74,22 +74,22 @@ class EngineArgs:
 
     disable_log_stats: bool = False
 
-    @staticmethod
-    def add_cli_args(parser: argparse.ArgumentParser
+    @classmethod
+    def add_cli_args(cls, parser: argparse.ArgumentParser
                      ) -> argparse.ArgumentParser:
-        for f in dataclasses.fields(EngineArgs):
+        for f in dataclasses.fields(cls):
             name = "--" + f.name.replace("_", "-")
             default = f.default
-            if f.type in ("bool", bool) or isinstance(default, bool):
+            type_str = str(f.type)
+            if "bool" in type_str or isinstance(default, bool):
                 parser.add_argument(name, action="store_true",
                                     default=default)
+            elif "float" in type_str or isinstance(default, float):
+                parser.add_argument(name, type=float, default=default)
+            elif "int" in type_str or isinstance(default, int):
+                parser.add_argument(name, type=int, default=default)
             else:
-                typ = str
-                if isinstance(default, int):
-                    typ = int
-                elif isinstance(default, float):
-                    typ = float
-                parser.add_argument(name, type=typ, default=default)
+                parser.add_argument(name, type=str, default=default)
         return parser
 
     @classmethod

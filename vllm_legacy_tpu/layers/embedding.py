@@ -22,9 +22,12 @@ VOCAB_PAD_TO = 128
 MODEL_AXIS = "model"
 
 
-def embed(params, token_ids: jax.Array) -> jax.Array:
-    """Sharded-vocab lookup: ids [T] -> [T, hidden] (psum over shards)."""
+def embed(params, token_ids: jax.Array, tp_size: int = 1) -> jax.Array:
+    """Sharded-vocab lookup: ids [T] -> [T, hidden] (psum over shards).
+    tp_size == 1 statically elides the masked-lookup + collective."""
     weight = params["weight"]  # [V_local, H]
+    if tp_size == 1:
+        return jnp.take(weight, token_ids, axis=0)
     v_local = weight.shape[0]
     rank = jax.lax.axis_index(MODEL_AXIS)
     local = token_ids - rank * v_local
@@ -38,13 +41,17 @@ def compute_logits(params,
                    hidden: jax.Array,
                    *,
                    logit_scale: float = 1.0,
-                   soft_cap: Optional[float] = None) -> jax.Array:
+                   soft_cap: Optional[float] = None,
+                   tp_size: int = 1) -> jax.Array:
     """[T, hidden] -> [T, vocab_padded] f32 via all-gather over vocab
     shards (the reference gathers to the driver rank instead)."""
     logits_local = jnp.dot(hidden, params["weight"].T,
                            preferred_element_type=jnp.float32)
-    logits = jax.lax.all_gather(logits_local, MODEL_AXIS, axis=1,
-                                tiled=True)
+    if tp_size > 1:
+        logits = jax.lax.all_gather(logits_local, MODEL_AXIS, axis=1,
+                                    tiled=True)
+    else:
+        logits = logits_local
     if logit_scale != 1.0:
         logits = logits * logit_scale
     if soft_cap is not None:

@@ -79,15 +79,21 @@ def _dispatch(params: Params) -> "LinearMethod":
 def row_parallel_linear(x: jax.Array,
                         params: Params,
                         method: Optional[LinearMethod] = None,
-                        axis: str = "model") -> jax.Array:
+                        axis: str = "model",
+                        tp_size: int = 1) -> jax.Array:
     """Row-parallel matmul under shard_map: partial matmul on the locally
     sharded contraction dim, psum over the mesh axis, THEN bias (the
-    reference's RowParallelLinear all-reduce, linear.py:755-780)."""
+    reference's RowParallelLinear all-reduce, linear.py:755-780).
+
+    tp_size == 1 statically elides the collective so the model runs
+    OUTSIDE shard_map on one chip — shard_map currently defeats donated
+    in-place KV updates (full cache copies per step)."""
     if method is None:
         method = _dispatch(params)
     bias = params.get("bias")
     out = method.apply({k: v for k, v in params.items() if k != "bias"}, x)
-    out = jax.lax.psum(out, axis)
+    if tp_size > 1:
+        out = jax.lax.psum(out, axis)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

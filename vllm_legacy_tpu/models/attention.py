@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from vllm_legacy_tpu.ops import attention as attn_ops
-from vllm_legacy_tpu.ops.kv_cache import write_to_kv_cache
+
 
 
 LANE = 128
@@ -53,14 +53,20 @@ def attention(
     q: jax.Array,  # [B, L, num_q_heads(local), head]
     k: jax.Array,  # [B, L, num_kv_heads(local), head]
     v: jax.Array,  # [B, L, num_kv_heads(local), head]
-    kv_cache: Tuple[jax.Array, jax.Array],
+    kv_cache: Tuple[jax.Array, jax.Array],  # stacked [L, H, N, bs, D]
     md: AttentionMetadata,
     *,
     scale: float,
+    layer_idx: int = 0,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
-    """Returns (attn output [B, L, Hq, D], updated kv cache)."""
+    """Returns (attn output [B, L, Hq, D], updated kv cache).
+
+    The kernel writes the new K/V into the cache itself (fused,
+    input/output-aliased) — see ops/pallas/paged_attention.py for why
+    this is load-bearing for in-place cache donation.
+    """
     b, l, hq, d = q.shape
     k_cache, v_cache = kv_cache
     d_pad = k_cache.shape[-1]
@@ -69,20 +75,19 @@ def attention(
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-    k_cache, v_cache = write_to_kv_cache(
-        k.reshape(b * l, -1, d_pad), v.reshape(b * l, -1, d_pad), k_cache,
-        v_cache, md.slot_mapping)
+    lidx = jnp.asarray([layer_idx], jnp.int32)
 
     if l == 1:
-        out = attn_ops.paged_attention_decode(
-            q[:, 0], k_cache, v_cache, md.block_tables, md.context_lens,
-            scale=scale, sliding_window=sliding_window, soft_cap=soft_cap)
+        out, k_cache, v_cache = attn_ops.paged_attention_decode(
+            q[:, 0], k[:, 0], v[:, 0], k_cache, v_cache, lidx,
+            md.block_tables, md.context_lens, scale=scale,
+            sliding_window=sliding_window, soft_cap=soft_cap)
         out = out[:, None]
     else:
-        out = attn_ops.paged_attention_prefill(
-            q, k_cache, v_cache, md.block_tables, md.query_lens,
-            md.context_lens, scale=scale, sliding_window=sliding_window,
-            soft_cap=soft_cap)
+        out, k_cache, v_cache = attn_ops.paged_attention_prefill(
+            q, k, v, k_cache, v_cache, lidx, md.block_tables,
+            md.query_lens, md.context_lens, scale=scale,
+            sliding_window=sliding_window, soft_cap=soft_cap)
     if d_pad != d:
         out = out[..., :d]
     return out, (k_cache, v_cache)

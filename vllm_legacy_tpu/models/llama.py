@@ -178,7 +178,7 @@ class LlamaForCausalLM:
     # Forward (runs INSIDE shard_map; all params/caches are local shards)
     # ------------------------------------------------------------------
     def _decoder_layer(self, p, hidden, residual, q_pos, rope_cache,
-                       kv_cache, md):
+                       kv_caches, md, layer_idx):
         b, l, h = hidden.shape
         if residual is None:
             residual = hidden
@@ -196,10 +196,11 @@ class LlamaForCausalLM:
         q = q.reshape(b, l, -1, self.head_dim)
         k = k.reshape(b, l, -1, self.head_dim)
         v = v.reshape(b, l, -1, self.head_dim)
-        attn_out, kv_cache = attention(
-            q, k, v, kv_cache, md, scale=self.scale,
-            sliding_window=self.sliding_window)
-        o = row_parallel_linear(attn_out.reshape(b * l, -1), p["o_proj"])
+        attn_out, kv_caches = attention(
+            q, k, v, kv_caches, md, scale=self.scale,
+            layer_idx=layer_idx, sliding_window=self.sliding_window)
+        o = row_parallel_linear(attn_out.reshape(b * l, -1), p["o_proj"],
+                                tp_size=self.tp_size)
         hidden = o.reshape(b, l, h)
 
         x, residual = rms_norm(hidden,
@@ -209,37 +210,38 @@ class LlamaForCausalLM:
         gate = linear(xf, p["gate_proj"])
         up = linear(xf, p["up_proj"])
         mlp = silu_and_mul(jnp.concatenate([gate, up], axis=-1))
-        down = row_parallel_linear(mlp, p["down_proj"])
+        down = row_parallel_linear(mlp, p["down_proj"],
+                                   tp_size=self.tp_size)
         hidden = down.reshape(b, l, h)
-        return hidden, residual, kv_cache
+        return hidden, residual, kv_caches
 
     def forward(
         self,
         params: Dict[str, Any],
-        kv_caches: List[Tuple[jax.Array, jax.Array]],
+        kv_caches: Tuple[jax.Array, jax.Array],  # stacked [L,H,N,bs,D]
         token_ids: jax.Array,  # [B, L] int32
         positions: jax.Array,  # [B, L] int32
         md: AttentionMetadata,
-    ) -> Tuple[jax.Array, List[Tuple[jax.Array, jax.Array]]]:
+    ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
         b, l = token_ids.shape
-        hidden = embedding.embed(params["embed"], token_ids.reshape(-1))
+        hidden = embedding.embed(params["embed"], token_ids.reshape(-1),
+                                 tp_size=self.tp_size)
         hidden = hidden.reshape(b, l, self.hidden_size)
         q_pos = jnp.clip(positions.reshape(-1), 0,
                          params["rope_cache"].shape[0] - 1)
         residual = None
-        new_caches = []
         for i in range(self.num_layers):
-            hidden, residual, kv = self._decoder_layer(
+            hidden, residual, kv_caches = self._decoder_layer(
                 params["layers"][i], hidden, residual, q_pos,
-                params["rope_cache"], kv_caches[i], md)
-            new_caches.append(kv)
+                params["rope_cache"], kv_caches, md, i)
         hidden, _ = rms_norm(hidden, params["norm"]["weight"],
                              eps=self.rms_eps, residual=residual)
-        return hidden, new_caches
+        return hidden, kv_caches
 
     def compute_logits(self, params, hidden: jax.Array) -> jax.Array:
         """[T, H] -> [T, vocab_padded] f32; padded ids masked to -inf."""
-        logits = embedding.compute_logits(params["lm_head"], hidden)
+        logits = embedding.compute_logits(params["lm_head"], hidden,
+                                          tp_size=self.tp_size)
         if self.vocab_size != self.org_vocab_size:
             neg = jnp.finfo(jnp.float32).min
             mask = jnp.arange(self.vocab_size) >= self.org_vocab_size

@@ -12,7 +12,8 @@ Dispatch between them lives in ``attention.py``.
 """
 from vllm_legacy_tpu.ops.attention import (paged_attention_decode,
                                            paged_attention_prefill)
-from vllm_legacy_tpu.ops.kv_cache import (copy_blocks, swap_blocks,
+from vllm_legacy_tpu.ops.kv_cache import (copy_blocks, gather_blocks,
+                                          scatter_blocks,
                                           write_to_kv_cache)
 
 __all__ = [
@@ -20,5 +21,6 @@ __all__ = [
     "paged_attention_prefill",
     "write_to_kv_cache",
     "copy_blocks",
-    "swap_blocks",
+    "gather_blocks",
+    "scatter_blocks",
 ]

@@ -5,13 +5,16 @@ only one hardware target, so selection is just production kernel vs
 debugging fallback, controlled by ``VLT_USE_XLA_OPS`` /
 ``VLT_PALLAS_INTERPRET`` (the latter runs the same Pallas kernels in
 interpreter mode so CPU tests cover the real code path).
+
+Both implementations share one fused API: cache write + paged attention
+over the stacked ``[num_layers, H, N, bs, D]`` cache, returning
+``(out, k_cache, v_cache)``.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from vllm_legacy_tpu import envs
 from vllm_legacy_tpu.ops import xla_attention
@@ -26,44 +29,33 @@ def _interpret() -> bool:
     return bool(envs.VLT_PALLAS_INTERPRET)
 
 
-def paged_attention_decode(
-    q: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
-    block_tables: jax.Array,
-    context_lens: jax.Array,
-    *,
-    scale: float,
-    sliding_window: Optional[int] = None,
-    soft_cap: Optional[float] = None,
-) -> jax.Array:
+def paged_attention_decode(q, k_new, v_new, k_cache, v_cache, layer_idx,
+                           block_tables, context_lens, *, scale: float,
+                           sliding_window: Optional[int] = None,
+                           soft_cap: Optional[float] = None):
     if _use_xla():
         return xla_attention.paged_attention_decode(
-            q, k_cache, v_cache, block_tables, context_lens, scale=scale,
-            sliding_window=sliding_window, soft_cap=soft_cap)
+            q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
+            context_lens, scale=scale, sliding_window=sliding_window,
+            soft_cap=soft_cap)
     return pallas_attn.paged_attention_decode(
-        q, k_cache, v_cache, block_tables, context_lens, scale=scale,
-        sliding_window=sliding_window, soft_cap=soft_cap,
-        interpret=_interpret())
+        q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
+        context_lens, scale=scale, sliding_window=sliding_window,
+        soft_cap=soft_cap, interpret=_interpret())
 
 
-def paged_attention_prefill(
-    q: jax.Array,
-    k_cache: jax.Array,
-    v_cache: jax.Array,
-    block_tables: jax.Array,
-    query_lens: jax.Array,
-    context_lens: jax.Array,
-    *,
-    scale: float,
-    sliding_window: Optional[int] = None,
-    soft_cap: Optional[float] = None,
-) -> jax.Array:
+def paged_attention_prefill(q, k_new, v_new, k_cache, v_cache, layer_idx,
+                            block_tables, query_lens, context_lens, *,
+                            scale: float,
+                            sliding_window: Optional[int] = None,
+                            soft_cap: Optional[float] = None):
     if _use_xla():
-        return xla_attention.paged_attention_prefill(
-            q, k_cache, v_cache, block_tables, query_lens, context_lens,
-            scale=scale, sliding_window=sliding_window, soft_cap=soft_cap)
-    return pallas_attn.paged_attention_prefill(
-        q, k_cache, v_cache, block_tables, query_lens, context_lens,
-        scale=scale, sliding_window=sliding_window, soft_cap=soft_cap,
+        return xla_attention.paged_attention(
+            q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
+            query_lens, context_lens, scale=scale,
+            sliding_window=sliding_window, soft_cap=soft_cap)
+    return pallas_attn.paged_attention(
+        q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
+        query_lens, context_lens, scale=scale,
+        sliding_window=sliding_window, soft_cap=soft_cap,
         interpret=_interpret())

@@ -1,27 +1,40 @@
-"""Pallas TPU paged-attention kernel (prefill + decode unified).
+"""Pallas TPU paged-attention kernel (prefill + decode unified,
+KV-cache write fused).
 
-One flash-style kernel replaces the reference's four CUDA/Triton paths
-(paged_attention_v1/v2 decode kernels, flash_attn_varlen prefill, Triton
-context_attention_fwd chunked/prefix prefill — SURVEY.md §2.6, §2.11):
+One flash-style kernel replaces the reference's CUDA/Triton attention
+paths AND ``reshape_and_cache`` (paged_attention_v1/v2, flash_attn_varlen,
+Triton context_attention_fwd, csrc/cache_kernels.cu — SURVEY.md §2.6,
+§2.11):
 
+* The kernel WRITES the new tokens' K/V into the paged cache itself
+  (grid cell (b, h, 0) DMAs them in before any read) and the cache
+  arrays are input/output-aliased. This keeps the cache buffer chain
+  pallas→pallas across layers with no XLA scatter or slice in between —
+  load-bearing for in-place donation: XLA cannot alias a buffer that is
+  scattered outside and read inside a custom call, and the resulting
+  per-layer copies of a multi-GB cache destroy decode throughput.
 * Queries are the *new* tokens of each sequence, padded to ``L_pad``;
-  their K/V have already been scattered into the paged cache, so the
-  kernel reads **only** the cache — full prefill, chunked prefill,
-  prefix-cache hits and single-token decode are all the same access
-  pattern with different ``query_lens``/``context_lens``.
+  full prefill, chunked prefill, prefix-cache hits and single-token
+  decode are all the same access pattern with different
+  ``query_lens``/``context_lens``.
 * Grid ``(batch, num_kv_heads, num_q_blocks)``; each cell computes all
-  GQA query heads of one kv head for one q tile, so KV is streamed from
-  HBM exactly once per q tile (MXU operands ``(G*BQ, D) x (D, SB)``).
-* KV blocks are DMAd from HBM through a two-slot double buffer with
-  per-sequence exact trip counts (no padded-block traffic), using the
-  scalar-prefetched block table.
+  GQA query heads of one kv head for one q tile (MXU operands
+  ``(G*BQ, D) x (D, SB)``), with KV streamed from HBM through a two-slot
+  double buffer with exact per-sequence trip counts.
 
-Cache layout: ``[num_kv_heads, num_blocks, block_size, head_size]``.
+Layout: stacked cache ``[num_layers, num_kv_heads, num_blocks,
+block_size, head_size]``; the layer index is a scalar-prefetch operand.
+
+Alignment invariants (validated by the caller):
+* prefill start positions (ctx - qlen) are multiples of block_size, so
+  new-token chunks map to whole physical blocks (static-size DMAs);
+  trailing in-block rows past qlen hold garbage but sit beyond ctx and
+  are overwritten before ever becoming readable.
+* decode writes exactly one row at ctx-1.
 """
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax
@@ -34,24 +47,31 @@ _NEG_INF = float(-2.0**30)  # finite sentinel: avoids -inf - -inf = nan
 
 def _attention_kernel(
     # scalar prefetch
+    layer_ref,  # [1] SMEM: layer index into the stacked cache
     block_tables_ref,  # [B, max_blocks] SMEM
     context_lens_ref,  # [B] SMEM
     query_lens_ref,  # [B] SMEM
     # inputs
     q_ref,  # [G, BQ, D] VMEM tile
-    k_hbm,  # [H, N, bs, D] HBM
-    v_hbm,  # [H, N, bs, D] HBM
+    k_new_ref,  # [1, 1, L_pad, D] VMEM tile (new K rows for (b, h))
+    v_new_ref,  # [1, 1, L_pad, D] VMEM tile
+    k_in,  # [Lnum, H, N, bs, D] HBM (aliased to k_hbm output)
+    v_in,  # [Lnum, H, N, bs, D] HBM (aliased to v_hbm output)
     # outputs
     o_ref,  # [G, BQ, D] VMEM tile
+    k_hbm,  # aliased HBM ref — ALL reads+writes go through this
+    v_hbm,  # aliased HBM ref
     # scratch
     k_buf,  # [2, KBLK, bs, D]
     v_buf,  # [2, KBLK, bs, D]
     sem,  # DMA sems [2, 2, KBLK]
+    wsem,  # write sems [2, WCH]
     *,
     scale: float,
     block_size: int,
     kblk: int,
     bq: int,
+    l_pad: int,
     sliding_window: Optional[int],
     soft_cap: Optional[float],
 ):
@@ -61,22 +81,60 @@ def _attention_kernel(
 
     g, _, d = q_ref.shape
     sb = kblk * block_size  # kv positions per super-block
+    lyr = layer_ref[0]
     ctx = context_lens_ref[b]
     qlen = query_lens_ref[b]
+    q_start = ctx - qlen
+
+    # ---------------- fused KV write (first q-tile only) ----------------
+    # Decode (l_pad == 1) writes its single new row differently: the
+    # last block is streamed into VMEM by the attention loop anyway, so
+    # the new row is merged into the streamed tile (correct attention
+    # without any HBM read-after-write) and the updated block is DMA'd
+    # back once from the scratch slot — see `body` below.
+    if l_pad > 1:
+        @pl.when(jnp.logical_and(qb == 0, qlen > 0))
+        def _write():
+            # prefill: q_start is block-aligned; write whole blocks
+            first_entry = q_start // block_size
+            for c in range(l_pad // block_size):
+                @pl.when(c * block_size < qlen)
+                def _(c=c):
+                    blk = block_tables_ref[b, first_entry + c]
+                    pltpu.make_async_copy(
+                        k_new_ref.at[0, 0,
+                                     pl.ds(c * block_size, block_size)],
+                        k_hbm.at[lyr, h, blk], wsem.at[0, c]).start()
+                    pltpu.make_async_copy(
+                        v_new_ref.at[0, 0,
+                                     pl.ds(c * block_size, block_size)],
+                        v_hbm.at[lyr, h, blk], wsem.at[1, c]).start()
+            for c in range(l_pad // block_size):
+                @pl.when(c * block_size < qlen)
+                def _(c=c):
+                    blk = block_tables_ref[b, first_entry + c]
+                    pltpu.make_async_copy(
+                        k_new_ref.at[0, 0,
+                                     pl.ds(c * block_size, block_size)],
+                        k_hbm.at[lyr, h, blk], wsem.at[0, c]).wait()
+                    pltpu.make_async_copy(
+                        v_new_ref.at[0, 0,
+                                     pl.ds(c * block_size, block_size)],
+                        v_hbm.at[lyr, h, blk], wsem.at[1, c]).wait()
+
+    # ---------------- attention over the paged cache --------------------
     q_base = ctx - qlen + qb * bq  # absolute position of q row i=0
 
-    # kv range this q tile can see: [lo, hi)
     hi = jnp.minimum(ctx, q_base + bq)
     lo = jnp.int32(0)
     if sliding_window is not None:
         lo = jnp.maximum(0, q_base - sliding_window + 1)
     first_sb = lo // sb
-    nsb = pl.cdiv(hi, sb) - first_sb  # super-block trip count (may be <=0)
+    nsb = pl.cdiv(hi, sb) - first_sb
 
     nb = pl.cdiv(ctx, block_size)  # valid block-table entries
 
     def start_fetch(sb_idx, slot):
-        """DMA super-block `sb_idx` (kblk table entries) into buffer."""
         for j in range(kblk):
             entry = sb_idx * kblk + j
 
@@ -84,15 +142,11 @@ def _attention_kernel(
             def _():
                 blk = block_tables_ref[b, entry]
                 pltpu.make_async_copy(
-                    k_hbm.at[h, blk],
-                    k_buf.at[slot, j],
-                    sem.at[0, slot, j],
-                ).start()
+                    k_hbm.at[lyr, h, blk], k_buf.at[slot, j],
+                    sem.at[0, slot, j]).start()
                 pltpu.make_async_copy(
-                    v_hbm.at[h, blk],
-                    v_buf.at[slot, j],
-                    sem.at[1, slot, j],
-                ).start()
+                    v_hbm.at[lyr, h, blk], v_buf.at[slot, j],
+                    sem.at[1, slot, j]).start()
 
     def wait_fetch(sb_idx, slot):
         for j in range(kblk):
@@ -102,10 +156,10 @@ def _attention_kernel(
             def _():
                 blk = block_tables_ref[b, entry]
                 pltpu.make_async_copy(
-                    k_hbm.at[h, blk], k_buf.at[slot, j],
+                    k_hbm.at[lyr, h, blk], k_buf.at[slot, j],
                     sem.at[0, slot, j]).wait()
                 pltpu.make_async_copy(
-                    v_hbm.at[h, blk], v_buf.at[slot, j],
+                    v_hbm.at[lyr, h, blk], v_buf.at[slot, j],
                     sem.at[1, slot, j]).wait()
 
     is_live = jnp.logical_and(qb * bq < qlen, nsb > 0)
@@ -117,8 +171,6 @@ def _attention_kernel(
     @pl.when(is_live)
     def _():
         q = q_ref[...].reshape(g * bq, d).astype(jnp.float32) * scale
-        # row r of the folded q tile is (head g = r // bq, position
-        # q_base + r % bq); precompute per-row absolute positions.
         row = jax.lax.broadcasted_iota(jnp.int32, (g * bq, 1), 0)
         q_pos = q_base + row % bq  # [G*BQ, 1]
 
@@ -134,13 +186,41 @@ def _attention_kernel(
                 start_fetch(sb_idx + 1, (i + 1) % 2)
 
             wait_fetch(sb_idx, slot)
-            k = k_buf[slot].reshape(sb, d).astype(jnp.float32)
-            v = v_buf[slot].reshape(sb, d).astype(jnp.float32)
-            # Rows past the last fetched block hold garbage (NaN under
-            # interpret mode); zero them so 0-weight columns can't poison
-            # the p @ v matmul.
             kv_pos_col = sb_idx * sb + jax.lax.broadcasted_iota(
                 jnp.int32, (sb, 1), 0)
+            if l_pad == 1:
+                # Fused decode write: merge the new row into the
+                # streamed tile, store it back to scratch and DMA the
+                # containing block out (replaces reshape_and_cache with
+                # zero extra HBM reads).
+                pos = ctx - 1
+                is_new = kv_pos_col == pos
+                k_m = jnp.where(is_new, k_new_ref[0, 0, 0][None, :],
+                                k_buf[slot].reshape(sb, d))
+                v_m = jnp.where(is_new, v_new_ref[0, 0, 0][None, :],
+                                v_buf[slot].reshape(sb, d))
+                k_buf[slot] = k_m.reshape(kblk, block_size, d)
+                v_buf[slot] = v_m.reshape(kblk, block_size, d)
+
+                @pl.when(jnp.logical_and(pos // sb == sb_idx, qlen > 0))
+                def _writeback():
+                    j = (pos // block_size) % kblk
+                    blk = block_tables_ref[b, pos // block_size]
+                    kw = pltpu.make_async_copy(
+                        k_buf.at[slot, j], k_hbm.at[lyr, h, blk],
+                        wsem.at[0, 0])
+                    vw = pltpu.make_async_copy(
+                        v_buf.at[slot, j], v_hbm.at[lyr, h, blk],
+                        wsem.at[1, 0])
+                    kw.start()
+                    vw.start()
+                    kw.wait()
+                    vw.wait()
+
+            k = k_buf[slot].reshape(sb, d).astype(jnp.float32)
+            v = v_buf[slot].reshape(sb, d).astype(jnp.float32)
+            # Rows past the last fetched block hold garbage; zero them
+            # so 0-weight columns can't poison the p @ v matmul.
             valid = kv_pos_col < ctx
             k = jnp.where(valid, k, 0.0)
             v = jnp.where(valid, v, 0.0)
@@ -161,7 +241,7 @@ def _attention_kernel(
             m_cur = jnp.max(s, axis=1, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
             p = jnp.exp(s - m_new)
-            p = jnp.where(mask, p, 0.0)  # kill exp(masked - masked) = 1
+            p = jnp.where(mask, p, 0.0)
             alpha = jnp.exp(m_prev - m_new)
             l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
@@ -185,8 +265,11 @@ def _attention_kernel(
 )
 def paged_attention(
     q: jax.Array,  # [B, L_pad, num_q_heads, head_size]
-    k_cache: jax.Array,  # [H, N, bs, D]
-    v_cache: jax.Array,  # [H, N, bs, D]
+    k_new: jax.Array,  # [B, L_pad, num_kv_heads, head_size]
+    v_new: jax.Array,  # [B, L_pad, num_kv_heads, head_size]
+    k_cache: jax.Array,  # [Lnum, H, N, bs, D] stacked
+    v_cache: jax.Array,
+    layer_idx: jax.Array,  # [1] int32
     block_tables: jax.Array,  # [B, max_blocks] int32
     query_lens: jax.Array,  # [B] int32
     context_lens: jax.Array,  # [B] int32
@@ -197,20 +280,31 @@ def paged_attention(
     bq: int = 128,
     kblk: int = 8,
     interpret: bool = False,
-) -> jax.Array:
-    """Unified paged attention; returns ``[B, L_pad, num_q_heads, D]``."""
+):
+    """Fused cache-write + attention.
+
+    Returns (out [B, L_pad, num_q_heads, D], k_cache, v_cache) with the
+    caches updated in place (input/output aliased).
+    """
     batch, l_pad, num_q_heads, head = q.shape
-    num_kv_heads, _, block_size, _ = k_cache.shape
+    _, num_kv_heads, _, block_size, _ = k_cache.shape
     assert num_q_heads % num_kv_heads == 0
+    assert l_pad == 1 or l_pad % block_size == 0, (
+        f"prefill L_pad ({l_pad}) must be a multiple of block_size "
+        f"({block_size}) for whole-block cache writes")
     group = num_q_heads // num_kv_heads
     bq = min(bq, l_pad)
 
     # [B, L, Hq, D] -> [B, Hkv, G, L, D]
     qr = q.reshape(batch, l_pad, num_kv_heads, group, head)
     qr = qr.transpose(0, 2, 3, 1, 4)
+    # [B, L, Hkv, D] -> [B, Hkv, L, D]
+    kn = k_new.transpose(0, 2, 1, 3).astype(k_cache.dtype)
+    vn = v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype)
 
     num_q_blocks = pl.cdiv(l_pad, bq)
     grid = (batch, num_kv_heads, num_q_blocks)
+    wch = max(l_pad // block_size, 1)
 
     kernel = functools.partial(
         _attention_kernel,
@@ -218,50 +312,79 @@ def paged_attention(
         block_size=block_size,
         kblk=kblk,
         bq=bq,
+        l_pad=l_pad,
         sliding_window=sliding_window,
         soft_cap=soft_cap,
     )
 
+    def kernel_5d(lr, bt, cl, ql, q5, kn4, vn4, kc, vc, o5, ko, vo, kb,
+                  vb, sm, wsm):
+        kernel(lr, bt, cl, ql, q5.at[0, 0], kn4, vn4, kc, vc,
+               o5.at[0, 0], ko, vo, kb, vb, sm, wsm)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((1, 1, group, bq, head),
+                         lambda b, h, qb, *refs: (b, h, 0, qb, 0)),
+            pl.BlockSpec((1, 1, l_pad, head),
+                         lambda b, h, qb, *refs: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, l_pad, head),
+                         lambda b, h, qb, *refs: (b, h, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
             pl.BlockSpec((1, 1, group, bq, head),
                          lambda b, h, qb, *refs: (b, h, 0, qb, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, group, bq, head),
-                               lambda b, h, qb, *refs: (b, h, 0, qb, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, kblk, block_size, head), k_cache.dtype),
             pltpu.VMEM((2, kblk, block_size, head), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2, kblk)),
+            pltpu.SemaphoreType.DMA((2, wch)),
         ],
     )
 
-    def kernel_5d(bt, cl, ql, q5, kc, vc, o5, kb, vb, sm):
-        # squeeze the leading (1, 1) block dims for the kernel body
-        _attn = functools.partial(kernel, bt, cl, ql)
-        _attn(q5.at[0, 0], kc, vc, o5.at[0, 0], kb, vb, sm)
-
-    out = pl.pallas_call(
+    out, k_cache, v_cache = pl.pallas_call(
         kernel_5d,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(qr.shape, q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct(qr.shape, q.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        # scalar-prefetch args count toward input positions: inputs are
+        # (layer, tables, ctx, qlens, q, k_new, v_new, k_cache, v_cache)
+        input_output_aliases={7: 1, 8: 2},
+        # NOTE: all-"arbitrary" serializes the grid on one core. With
+        # ("parallel", ...) megacore splitting, the fused cache write
+        # races ITSELF nondeterministically (TPU aborts observed on
+        # small models); revisit once the write/read ordering is
+        # explicit cross-core.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(block_tables, context_lens.astype(jnp.int32),
-      query_lens.astype(jnp.int32), qr, k_cache, v_cache)
+    )(layer_idx.astype(jnp.int32), block_tables,
+      context_lens.astype(jnp.int32), query_lens.astype(jnp.int32), qr,
+      kn, vn, k_cache, v_cache)
 
     # [B, Hkv, G, L, D] -> [B, L, Hq, D]
     out = out.transpose(0, 3, 1, 2, 4)
-    return out.reshape(batch, l_pad, num_q_heads, head)
+    return (out.reshape(batch, l_pad, num_q_heads, head), k_cache,
+            v_cache)
 
 
 def paged_attention_decode(
     q: jax.Array,  # [B, num_q_heads, head_size]
+    k_new: jax.Array,  # [B, num_kv_heads, head_size]
+    v_new: jax.Array,
     k_cache: jax.Array,
     v_cache: jax.Array,
+    layer_idx: jax.Array,
     block_tables: jax.Array,
     context_lens: jax.Array,
     *,
@@ -269,13 +392,16 @@ def paged_attention_decode(
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
     interpret: bool = False,
-) -> jax.Array:
+):
     """Decode = the unified kernel with one new token per sequence."""
     batch = q.shape[0]
-    out = paged_attention(
+    out, k_cache, v_cache = paged_attention(
         q[:, None],
+        k_new[:, None],
+        v_new[:, None],
         k_cache,
         v_cache,
+        layer_idx,
         block_tables,
         jnp.ones((batch, ), jnp.int32),
         context_lens,
@@ -285,31 +411,7 @@ def paged_attention_decode(
         bq=1,
         interpret=interpret,
     )
-    return out[:, 0]
+    return out[:, 0], k_cache, v_cache
 
 
-def paged_attention_prefill(
-    q: jax.Array,  # [B, L_pad, num_q_heads, head_size]
-    k_cache: jax.Array,
-    v_cache: jax.Array,
-    block_tables: jax.Array,
-    query_lens: jax.Array,
-    context_lens: jax.Array,
-    *,
-    scale: float,
-    sliding_window: Optional[int] = None,
-    soft_cap: Optional[float] = None,
-    interpret: bool = False,
-) -> jax.Array:
-    return paged_attention(
-        q,
-        k_cache,
-        v_cache,
-        block_tables,
-        query_lens,
-        context_lens,
-        scale=scale,
-        sliding_window=sliding_window,
-        soft_cap=soft_cap,
-        interpret=interpret,
-    )
+paged_attention_prefill = paged_attention

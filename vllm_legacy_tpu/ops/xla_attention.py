@@ -1,22 +1,22 @@
 """Pure-XLA paged attention — reference implementation & CPU fallback.
 
-Numerically-transparent equivalents of the Pallas kernels in
-``ops/pallas/``; the kernel tests assert the Pallas outputs match these
-(mirroring how the reference tests CUDA kernels against naive torch,
-e.g. tests/kernels/test_attention.py ref_single_query_cached_kv_attention).
+Numerically-transparent equivalent of the fused Pallas kernel in
+``ops/pallas/paged_attention.py`` (same API: cache write + attention in
+one call over the stacked cache); kernel tests assert the Pallas outputs
+match these (mirroring the reference's CUDA-vs-naive-torch pattern,
+tests/kernels/test_attention.py).
 
-Shared conventions:
+Conventions shared with the kernel:
 
-* q/k/v head layout ``[..., num_heads, head_size]``; GQA ratio
-  ``num_q_heads // num_kv_heads`` handled inside.
-* KV cache per layer: ``[num_kv_heads, num_blocks, block_size, head_size]``.
-* ``context_lens[b]`` = total KV length of sequence b INCLUDING any new
-  tokens already written this step.
-* padded block-table entries may hold any valid block id (masked out).
+* q/k/v head layout ``[..., num_heads, head_size]``.
+* Stacked cache ``[num_layers, num_kv_heads, num_blocks, block_size,
+  head_size]``; ``layer_idx`` selects the layer.
+* ``context_lens[b]`` = total KV length of sequence b INCLUDING the new
+  tokens written this call.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,99 +30,104 @@ def _apply_soft_cap(s: jax.Array, soft_cap: Optional[float]) -> jax.Array:
     return soft_cap * jnp.tanh(s / soft_cap)
 
 
-def _gather_kv(cache: jax.Array, block_table: jax.Array) -> jax.Array:
+def _write_new_kv(k_new, v_new, k_cache, v_cache, layer_idx,
+                  block_tables, query_lens, context_lens):
+    """Scatter [B, L, Hkv, D] new rows into the stacked cache."""
+    batch, l_pad = k_new.shape[:2]
+    layers, num_heads, num_blocks, block_size, head = k_cache.shape
+    pos = (context_lens - query_lens)[:, None] + jnp.arange(l_pad)[None]
+    valid = jnp.arange(l_pad)[None] < query_lens[:, None]
+    entry = jnp.clip(pos // block_size, 0, block_tables.shape[1] - 1)
+    blk = jnp.take_along_axis(block_tables, entry, axis=1)
+    slots = blk * block_size + pos % block_size
+    slots = jnp.where(valid, slots, num_blocks * block_size)  # drop
+
+    k_flat = k_cache.reshape(layers, num_heads, num_blocks * block_size,
+                             head)
+    v_flat = v_cache.reshape(layers, num_heads, num_blocks * block_size,
+                             head)
+    # updates [T, H, D] with T = B * L
+    kt = k_new.reshape(batch * l_pad, num_heads, head).astype(
+        k_cache.dtype)
+    vt = v_new.reshape(batch * l_pad, num_heads, head).astype(
+        v_cache.dtype)
+    s = slots.reshape(-1)
+    lyr = layer_idx[0]
+    k_flat = k_flat.at[lyr, :, s, :].set(kt, mode="drop")
+    v_flat = v_flat.at[lyr, :, s, :].set(vt, mode="drop")
+    return (k_flat.reshape(k_cache.shape), v_flat.reshape(v_cache.shape))
+
+
+def _gather_kv(cache4: jax.Array, block_table: jax.Array) -> jax.Array:
     """[H, N, bs, D] + [max_blocks] -> [H, max_blocks*bs, D]."""
-    num_heads, _, block_size, head_size = cache.shape
-    g = cache[:, block_table]  # [H, max_blocks, bs, D]
+    num_heads, _, block_size, head_size = cache4.shape
+    g = cache4[:, block_table]
     return g.reshape(num_heads, -1, head_size)
 
 
-def paged_attention_decode(
-    q: jax.Array,  # [B, num_q_heads, head_size]
-    k_cache: jax.Array,  # [H, N, bs, D]
-    v_cache: jax.Array,  # [H, N, bs, D]
+def paged_attention(
+    q: jax.Array,  # [B, L_pad, num_q_heads, head_size]
+    k_new: jax.Array,  # [B, L_pad, num_kv_heads, head_size]
+    v_new: jax.Array,
+    k_cache: jax.Array,  # [Lnum, H, N, bs, D]
+    v_cache: jax.Array,
+    layer_idx: jax.Array,  # [1]
     block_tables: jax.Array,  # [B, max_blocks] int32
+    query_lens: jax.Array,  # [B] int32
     context_lens: jax.Array,  # [B] int32
     *,
     scale: float,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
-) -> jax.Array:
-    """Single-token-per-sequence attention over the paged KV cache
-    (capability of the reference's paged_attention_v1/v2,
-    csrc/attention/attention_kernels.cu)."""
-    num_q_heads = q.shape[1]
-    num_kv_heads = k_cache.shape[0]
-    group = num_q_heads // num_kv_heads
-    max_len = block_tables.shape[1] * k_cache.shape[2]
-
-    def one_seq(q_b, table_b, ctx_b):
-        k = _gather_kv(k_cache, table_b).astype(jnp.float32)
-        v = _gather_kv(v_cache, table_b).astype(jnp.float32)
-        # [Hq, D] x [Hkv, L, D]: fold GQA by reshaping q to [Hkv, G, D].
-        qg = q_b.reshape(num_kv_heads, group, -1).astype(jnp.float32)
-        s = jnp.einsum("hgd,hld->hgl", qg * scale, k)
-        s = _apply_soft_cap(s, soft_cap)
-        pos = jnp.arange(max_len)
-        mask = pos < ctx_b
-        if sliding_window is not None:
-            mask &= pos >= (ctx_b - sliding_window)
-        s = jnp.where(mask[None, None, :], s, _NEG_INF)
-        p = jax.nn.softmax(s, axis=-1)
-        o = jnp.einsum("hgl,hld->hgd", p, v)
-        return o.reshape(num_q_heads, -1)
-
-    out = jax.vmap(one_seq)(q, block_tables, context_lens)
-    return out.astype(q.dtype)
-
-
-def paged_attention_prefill(
-    q: jax.Array,  # [B, L_pad, num_q_heads, head_size]
-    k_cache: jax.Array,  # [H, N, bs, D]
-    v_cache: jax.Array,  # [H, N, bs, D]
-    block_tables: jax.Array,  # [B, max_blocks] int32
-    query_lens: jax.Array,  # [B] int32 — new tokens this step
-    context_lens: jax.Array,  # [B] int32 — total KV len incl. new tokens
-    *,
-    scale: float,
-    sliding_window: Optional[int] = None,
-    soft_cap: Optional[float] = None,
-) -> jax.Array:
-    """Causal prefill attention reading KV from the paged cache.
-
-    Because new K/V are written to the cache *before* attention, one op
-    covers full prefill, chunked prefill and prefix-cache hits — the
-    capability of the reference's flash_attn_varlen + Triton
-    context_attention_fwd (vllm/attention/ops/prefix_prefill.py) in a
-    single code path. Query i of sequence b sits at absolute position
-    ``context_lens[b] - query_lens[b] + i`` and attends to all positions
-    <= its own.
-    """
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Causal prefill/decode attention reading KV from the paged cache
+    after writing the new rows (capability of paged_attention_v1/v2 +
+    flash prefill + reshape_and_cache in the reference)."""
+    k_cache, v_cache = _write_new_kv(k_new, v_new, k_cache, v_cache,
+                                     layer_idx, block_tables, query_lens,
+                                     context_lens)
     _, l_pad, num_q_heads, _ = q.shape
-    num_kv_heads = k_cache.shape[0]
+    num_kv_heads = k_cache.shape[1]
     group = num_q_heads // num_kv_heads
-    max_len = block_tables.shape[1] * k_cache.shape[2]
+    max_len = block_tables.shape[1] * k_cache.shape[3]
+    k4 = k_cache[layer_idx[0]]
+    v4 = v_cache[layer_idx[0]]
 
     def one_seq(q_b, table_b, qlen_b, ctx_b):
-        k = _gather_kv(k_cache, table_b).astype(jnp.float32)
-        v = _gather_kv(v_cache, table_b).astype(jnp.float32)
-        qg = q_b.reshape(l_pad, num_kv_heads, group, -1).astype(jnp.float32)
+        k = _gather_kv(k4, table_b).astype(jnp.float32)
+        v = _gather_kv(v4, table_b).astype(jnp.float32)
+        qg = q_b.reshape(l_pad, num_kv_heads, group, -1).astype(
+            jnp.float32)
         s = jnp.einsum("ihgd,hld->hgil", qg * scale, k)
         s = _apply_soft_cap(s, soft_cap)
-        q_pos = ctx_b - qlen_b + jnp.arange(l_pad)  # absolute positions
+        q_pos = ctx_b - qlen_b + jnp.arange(l_pad)
         kv_pos = jnp.arange(max_len)
         mask = kv_pos[None, :] <= q_pos[:, None]
         mask &= kv_pos[None, :] < ctx_b
         if sliding_window is not None:
-            mask &= kv_pos[None, :] >= (q_pos[:, None] - sliding_window + 1)
+            mask &= kv_pos[None, :] >= (q_pos[:, None] - sliding_window +
+                                        1)
         s = jnp.where(mask[None, None, :, :], s, _NEG_INF)
         p = jax.nn.softmax(s, axis=-1)
-        # Padded query rows (i >= qlen_b) have all-(-inf) rows only when
-        # ctx_b < their position — softmax of all -inf is nan; zero them.
         o = jnp.einsum("hgil,hld->ihgd", p, v)
         valid_q = (jnp.arange(l_pad) < qlen_b)[:, None, None, None]
         o = jnp.where(valid_q, o, 0.0)
         return o.reshape(l_pad, num_q_heads, -1)
 
     out = jax.vmap(one_seq)(q, block_tables, query_lens, context_lens)
-    return jnp.nan_to_num(out).astype(q.dtype)
+    return jnp.nan_to_num(out).astype(q.dtype), k_cache, v_cache
+
+
+def paged_attention_decode(q, k_new, v_new, k_cache, v_cache, layer_idx,
+                           block_tables, context_lens, *, scale,
+                           sliding_window=None, soft_cap=None):
+    batch = q.shape[0]
+    out, k_cache, v_cache = paged_attention(
+        q[:, None], k_new[:, None], v_new[:, None], k_cache, v_cache,
+        layer_idx, block_tables, jnp.ones((batch, ), jnp.int32),
+        context_lens, scale=scale, sliding_window=sliding_window,
+        soft_cap=soft_cap)
+    return out[:, 0], k_cache, v_cache
+
+
+paged_attention_prefill = paged_attention

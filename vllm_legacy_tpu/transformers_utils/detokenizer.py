@@ -10,6 +10,19 @@ from vllm_legacy_tpu.sequence import (Logprob, Sequence, SequenceGroup,
 INITIAL_INCREMENTAL_DETOKENIZATION_OFFSET = 5
 
 
+def _ids_to_tokens(tokenizer, ids, skip_special_tokens=False):
+    """convert_ids_to_tokens with None (out-of-vocab id) sanitized to
+    the replacement character — ids beyond the tokenizer vocab can be
+    sampled when the model vocab is larger than the tokenizer's."""
+    tokens = tokenizer.convert_ids_to_tokens(
+        ids, skip_special_tokens=skip_special_tokens)
+    if isinstance(tokens, str):
+        return tokens
+    if tokens is None:
+        return ["�"] * (len(ids) if isinstance(ids, list) else 1)
+    return [t if t is not None else "�" for t in tokens]
+
+
 def _convert_tokens_to_string_with_added_encoders(
     tokenizer,
     output_tokens: List[str],
@@ -45,7 +58,8 @@ def convert_prompt_ids_to_tokens(
 ) -> Tuple[List[str], int, int]:
     """Last few prompt tokens as strings + read offsets (reference:
     detokenizer.py convert_prompt_ids_to_tokens)."""
-    new_tokens = tokenizer.convert_ids_to_tokens(
+    new_tokens = _ids_to_tokens(
+        tokenizer,
         prompt_ids[-INITIAL_INCREMENTAL_DETOKENIZATION_OFFSET - 2:],
         skip_special_tokens=skip_special_tokens)
     read_offset = len(new_tokens)
@@ -66,8 +80,9 @@ def detokenize_incrementally(
     """Streaming-safe detokenization of the newest token(s)."""
     new_token_id = all_input_ids[-1]
     if prev_tokens is None:
-        new_tokens = tokenizer.convert_ids_to_tokens(
-            all_input_ids, skip_special_tokens=skip_special_tokens)
+        new_tokens = _ids_to_tokens(
+            tokenizer, all_input_ids,
+            skip_special_tokens=skip_special_tokens)
         output_tokens = new_tokens
         prefix_offset = max(
             len(output_tokens) -
@@ -77,8 +92,9 @@ def detokenize_incrementally(
         if skip_special_tokens and new_token_id in (
                 tokenizer.all_special_ids or []):
             return [], "", prefix_offset, read_offset
-        new_tokens = tokenizer.convert_ids_to_tokens(
-            [new_token_id], skip_special_tokens=skip_special_tokens)
+        new_tokens = _ids_to_tokens(
+            tokenizer, [new_token_id],
+            skip_special_tokens=skip_special_tokens)
         if isinstance(new_tokens, str):
             new_tokens = [new_tokens]
         output_tokens = prev_tokens + new_tokens

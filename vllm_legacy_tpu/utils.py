@@ -129,6 +129,37 @@ def in_wsl() -> bool:
     return False
 
 
+async def merge_async_iterators(*iterators):
+    """Multiplex async iterators into (index, item) pairs (reference:
+    vllm/utils.py merge_async_iterators)."""
+    import asyncio
+
+    queue: "asyncio.Queue" = asyncio.Queue()
+    finished = [False] * len(iterators)
+
+    async def producer(i, iterator):
+        try:
+            async for item in iterator:
+                await queue.put((i, item))
+        except Exception as e:
+            await queue.put(e)
+        finished[i] = True
+
+    tasks = [
+        asyncio.create_task(producer(i, it))
+        for i, it in enumerate(iterators)
+    ]
+    try:
+        while not all(finished) or not queue.empty():
+            item = await queue.get()
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        for task in tasks:
+            task.cancel()
+
+
 class MonotonicTimer:
     def __init__(self) -> None:
         self.start = time.monotonic()

@@ -5,9 +5,11 @@ memory is deterministic, so there is no profiling forward pass
 (reference Worker.determine_num_available_blocks, worker.py:136-183):
 block counts are computed arithmetically from the HBM budget.
 
-Layout per layer: k and v each ``[num_kv_heads, num_blocks, block_size,
-head_size]``, sharded P("model", None, None, None) over the mesh. The
-swap tier lives in host RAM as numpy-backed jax arrays on the CPU device.
+Layout: ONE stacked pair k/v, each ``[num_layers, num_kv_heads,
+num_blocks, block_size, head_size]``, sharded
+P(None, "model", None, None, None) over the mesh (see ops/kv_cache.py for
+why stacking is load-bearing). The swap tier lives in host RAM as numpy
+arrays.
 """
 from __future__ import annotations
 
@@ -96,34 +98,31 @@ class CacheEngine:
         self.head_size = padded_head_size(model_config.get_head_size())
         self.dtype = resolve_cache_dtype(cache_config, model_config)
 
-        spec = P("model", None, None, None)
+        spec = P(None, "model", None, None, None)
         self.cache_sharding = NamedSharding(mesh, spec)
         self.cache_spec = spec
 
-        shape = (self.num_kv_heads, self.num_gpu_blocks, self.block_size,
-                 self.head_size)
-        # Distinct buffers per layer and per k/v: the jitted step donates
-        # the caches, and donation rejects aliased arrays (device_put of
-        # one shared host array would alias them all).
-        self.gpu_cache: List[Tuple[jax.Array, jax.Array]] = [
-            (jax.device_put(jnp.zeros(shape, self.dtype),
-                            self.cache_sharding),
-             jax.device_put(jnp.zeros(shape, self.dtype),
-                            self.cache_sharding))
-            for _ in range(self.num_layers)
-        ]
+        # ONE stacked buffer per k/v for the whole model: many distinct
+        # donated HBM buffers feeding Pallas reads degrade XLA/runtime
+        # aliasing catastrophically (ops/kv_cache.py docstring).
+        shape = (self.num_layers, self.num_kv_heads, self.num_gpu_blocks,
+                 self.block_size, self.head_size)
+        self.gpu_cache: Tuple[jax.Array, jax.Array] = (
+            jax.device_put(jnp.zeros(shape, self.dtype),
+                           self.cache_sharding),
+            jax.device_put(jnp.zeros(shape, self.dtype),
+                           self.cache_sharding),
+        )
         # Host swap tier (reference: pinned-CPU swap pool).
-        self.cpu_cache: Optional[List[Tuple[np.ndarray, np.ndarray]]] = None
+        self.cpu_cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
         if self.num_cpu_blocks > 0:
-            cshape = (self.num_kv_heads, self.num_cpu_blocks,
-                      self.block_size, self.head_size)
-            self.cpu_cache = [
-                (np.zeros(cshape, jnp.dtype(self.dtype).name
-                          if self.dtype != jnp.bfloat16 else "uint16"),
-                 np.zeros(cshape, jnp.dtype(self.dtype).name
-                          if self.dtype != jnp.bfloat16 else "uint16"))
-                for _ in range(self.num_layers)
-            ]
+            host_dtype = (jnp.dtype(self.dtype).name
+                          if self.dtype != jnp.bfloat16 else "uint16")
+            cshape = (self.num_layers, self.num_kv_heads,
+                      self.num_cpu_blocks, self.block_size,
+                      self.head_size)
+            self.cpu_cache = (np.zeros(cshape, host_dtype),
+                              np.zeros(cshape, host_dtype))
 
         self._jit_copy = None
 
@@ -143,56 +142,48 @@ class CacheEngine:
         if self._jit_copy is None:
             from vllm_legacy_tpu.ops.kv_cache import copy_blocks as _cb
 
-            def run(caches, s, d):
-                return _cb(caches, s, d)
+            def run(k, v, s, d):
+                return _cb(k, v, s, d)
 
-            self._jit_copy = jax.jit(run, donate_argnums=(0, ))
-        self.gpu_cache = self._jit_copy(self.gpu_cache, src_a, dst_a)
+            self._jit_copy = jax.jit(run, donate_argnums=(0, 1))
+        self.gpu_cache = tuple(
+            self._jit_copy(self.gpu_cache[0], self.gpu_cache[1], src_a,
+                           dst_a))
 
     def swap_out(self, mapping: Dict[int, int]) -> None:
-        """Device -> host block movement. Host arrays stay numpy; the
-        gather happens on device, one transfer per layer."""
+        """Device -> host block movement (gather on device, one
+        transfer per cache tensor)."""
         if not mapping:
             return
+        from vllm_legacy_tpu.ops.kv_cache import gather_blocks
         src = jnp.asarray(list(mapping.keys()), jnp.int32)
         dst = list(mapping.values())
-        for layer, (k_dev, v_dev) in enumerate(self.gpu_cache):
-            k_host, v_host = self.cpu_cache[layer]
-            k_blocks = np.asarray(
-                jax.device_get(self._gather_view(k_dev, src)))
-            v_blocks = np.asarray(
-                jax.device_get(self._gather_view(v_dev, src)))
-            k_host[:, dst] = k_blocks.view(k_host.dtype) \
-                if k_host.dtype == np.uint16 else k_blocks
-            v_host[:, dst] = v_blocks.view(v_host.dtype) \
-                if v_host.dtype == np.uint16 else v_blocks
+        k_host, v_host = self.cpu_cache
+        k_dev, v_dev = self.gpu_cache
+        k_blocks = np.asarray(jax.device_get(gather_blocks(k_dev, src)))
+        v_blocks = np.asarray(jax.device_get(gather_blocks(v_dev, src)))
+        if k_host.dtype == np.uint16:
+            k_blocks = k_blocks.view(np.uint16)
+            v_blocks = v_blocks.view(np.uint16)
+        k_host[:, :, dst] = k_blocks
+        v_host[:, :, dst] = v_blocks
 
     def swap_in(self, mapping: Dict[int, int]) -> None:
         if not mapping:
             return
+        import ml_dtypes
+
+        from vllm_legacy_tpu.ops.kv_cache import scatter_blocks
         src = list(mapping.keys())
         dst = jnp.asarray(list(mapping.values()), jnp.int32)
-        import ml_dtypes
-        for layer, (k_dev, v_dev) in enumerate(self.gpu_cache):
-            k_host, v_host = self.cpu_cache[layer]
-            k_blocks = k_host[:, src]
-            v_blocks = v_host[:, src]
-            if k_host.dtype == np.uint16:
-                k_blocks = k_blocks.view(ml_dtypes.bfloat16)
-                v_blocks = v_blocks.view(ml_dtypes.bfloat16)
-            k_new, v_new = self._scatter_blocks(
-                (k_dev, v_dev), jnp.asarray(k_blocks), jnp.asarray(v_blocks),
-                dst)
-            self.gpu_cache[layer] = (k_new, v_new)
-
-    @staticmethod
-    @jax.jit
-    def _gather_view(cache: jax.Array, blocks: jax.Array) -> jax.Array:
-        return cache[:, blocks]
-
-    @staticmethod
-    def _scatter_blocks(kv, k_blocks, v_blocks, dst):
-        k_dev, v_dev = kv
-        k_new = k_dev.at[:, dst].set(k_blocks.astype(k_dev.dtype))
-        v_new = v_dev.at[:, dst].set(v_blocks.astype(v_dev.dtype))
-        return k_new, v_new
+        k_host, v_host = self.cpu_cache
+        k_blocks = k_host[:, :, src]
+        v_blocks = v_host[:, :, src]
+        if k_host.dtype == np.uint16:
+            k_blocks = k_blocks.view(ml_dtypes.bfloat16)
+            v_blocks = v_blocks.view(ml_dtypes.bfloat16)
+        k_dev, v_dev = self.gpu_cache
+        self.gpu_cache = (scatter_blocks(k_dev, jnp.asarray(k_blocks),
+                                         dst),
+                          scatter_blocks(v_dev, jnp.asarray(v_blocks),
+                                         dst))

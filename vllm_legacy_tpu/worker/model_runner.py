@@ -131,6 +131,9 @@ class ModelRunner:
                         ctx = cached
                         token_chunk = len(all_tokens) - ctx
                 new_tokens = all_tokens[ctx:ctx + token_chunk]
+                assert ctx % self.block_size == 0, (
+                    "prefill must start block-aligned (chunked-prefill "
+                    f"chunks are block-multiples): ctx={ctx}")
                 rows.append((meta.request_id, seq_id))
                 token_rows.append(new_tokens)
                 pos_rows.append(list(range(ctx, ctx + len(new_tokens))))
@@ -149,7 +152,11 @@ class ModelRunner:
 
         n = len(rows)
         b_pad = pad_to_bucket(n)
-        l_pad = next_power_of_2(max(query_lens)) if is_prefill else 1
+        # Prefill L_pad must be a whole number of KV blocks: the fused
+        # Pallas cache write emits whole-block DMAs (alignment
+        # invariants, ops/pallas/paged_attention.py).
+        l_pad = max(next_power_of_2(max(query_lens)),
+                    self.block_size) if is_prefill else 1
 
         tokens = np.zeros((b_pad, l_pad), np.int32)
         positions = np.zeros((b_pad, l_pad), np.int32)
@@ -257,9 +264,8 @@ class ModelRunner:
         mesh = self.mesh
         param_specs = self.model.param_specs(
             jax.tree.map(lambda x: None, self.params))
-        cache_spec = P("model", None, None, None)
-        num_layers = model.num_layers
-        kv_specs = [(cache_spec, cache_spec)] * num_layers
+        cache_spec = P(None, "model", None, None, None)
+        kv_specs = (cache_spec, cache_spec)
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
 
@@ -272,14 +278,19 @@ class ModelRunner:
             logits = model.compute_logits(params, selected)
             return logits, kv_caches
 
-        from jax import shard_map
-        fwd = shard_map(
-            sharded_fwd,
-            mesh=mesh,
-            in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep),
-            out_specs=(rep, kv_specs), check_vma=False,
-            
-        )
+        if np.prod(mesh.devices.shape) > 1:
+            from jax import shard_map
+            fwd = shard_map(
+                sharded_fwd,
+                mesh=mesh,
+                in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep),
+                out_specs=(rep, kv_specs), check_vma=False,
+            )
+        else:
+            # Single-chip fast path: shard_map currently defeats donated
+            # in-place KV aliasing (full cache copies per step); the
+            # model's collectives are statically elided at tp_size == 1.
+            fwd = sharded_fwd
 
         def step(params, kv_caches, tokens, positions, md, sel, st,
                  step_key):
@@ -311,8 +322,8 @@ class ModelRunner:
         block_size = self.block_size
         param_specs = self.model.param_specs(
             jax.tree.map(lambda x: None, self.params))
-        cache_spec = P("model", None, None, None)
-        kv_specs = [(cache_spec, cache_spec)] * model.num_layers
+        cache_spec = P(None, "model", None, None, None)
+        kv_specs = (cache_spec, cache_spec)
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
 
@@ -324,13 +335,16 @@ class ModelRunner:
                                           hidden.reshape(b * l, h)[sel])
             return logits, kv_caches
 
-        from jax import shard_map
-        fwd = shard_map(
-            sharded_fwd,
-            mesh=mesh,
-            in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep),
-            out_specs=(rep, kv_specs), check_vma=False,
-        )
+        if np.prod(mesh.devices.shape) > 1:
+            from jax import shard_map
+            fwd = shard_map(
+                sharded_fwd,
+                mesh=mesh,
+                in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep),
+                out_specs=(rep, kv_specs), check_vma=False,
+            )
+        else:
+            fwd = sharded_fwd  # see _build_step_fn
 
         def multistep(params, kv_caches, tokens, positions, md, sel, st,
                       step_key):
@@ -348,12 +362,9 @@ class ModelRunner:
             def body(i, carry):
                 (kv_caches, tok, pos, ctx, out_tokens, out_logprobs,
                  out_top_v, out_top_i) = carry
-                p0 = pos[:, 0]
                 valid = ctx > 0
-                slot = (md.block_tables[jnp.arange(b), p0 // block_size] *
-                        block_size + p0 % block_size)
-                slot = jnp.where(valid, slot, -1).astype(jnp.int32)
-                md_i = AttentionMetadata(slot, md.block_tables, ctx,
+                md_i = AttentionMetadata(md.slot_mapping,
+                                         md.block_tables, ctx,
                                          md.query_lens)
                 logits, kv_caches = fwd(params, kv_caches, tok, pos, md_i,
                                         sel)
@@ -419,8 +430,8 @@ class ModelRunner:
     def execute_model(
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],
-        kv_caches: List[Tuple[jax.Array, jax.Array]],
-    ) -> Tuple[List[SamplerOutput], List[Tuple[jax.Array, jax.Array]]]:
+        kv_caches: Tuple[jax.Array, jax.Array],
+    ) -> Tuple[List[SamplerOutput], Tuple[jax.Array, jax.Array]]:
         """Run one (possibly multi-)step; returns one SamplerOutput per
         executed decode step (len 1 for prefill / single-step)."""
         t0 = time.perf_counter()
