@@ -26,7 +26,7 @@ def main() -> None:
     input_len = int(os.getenv("BENCH_INPUT_LEN", "256"))
     output_len = int(os.getenv("BENCH_OUTPUT_LEN", "256"))
     num_seqs = int(os.getenv("BENCH_NUM_SEQS", "64"))
-    num_steps = int(os.getenv("BENCH_SCHEDULER_STEPS", "8"))
+    num_steps = int(os.getenv("BENCH_SCHEDULER_STEPS", "16"))
 
     cfg = make_dummy_engine_config(
         tinyllama_1_1b_hf_config(),

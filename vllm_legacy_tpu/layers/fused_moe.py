@@ -1,0 +1,70 @@
+"""Mixture-of-experts MLP (reference: vllm/model_executor/layers/
+fused_moe/fused_moe.py — Triton grouped GEMM :18, fused_topk :311).
+
+TPU-first design: experts are EXPERT-PARALLEL over the "model" mesh axis
+(a capability the reference lacks — it TP-shards each expert instead,
+SURVEY.md §2.10). Each shard computes its local experts densely for all
+tokens and the routed combine is a masked weighted sum + psum:
+
+* at tp_size == num_experts this does exactly one expert's FLOPs per
+  token position on each shard (optimal);
+* at tp_size == 1 it computes all experts densely — top_k/E of that is
+  useful work. A Pallas grouped-GEMM kernel that sorts tokens by expert
+  is the planned replacement for the single-chip path; the dense form
+  is exact (no capacity-factor token dropping) and MXU-friendly.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+MODEL_AXIS = "model"
+
+
+def fused_moe(
+    x: jax.Array,  # [T, hidden]
+    w_router: jax.Array,  # [hidden, num_experts] (replicated)
+    w1: jax.Array,  # [E_local, hidden, 2*inter] gate||up, expert-sharded
+    w2: jax.Array,  # [E_local, inter, hidden]
+    *,
+    top_k: int,
+    num_experts: int,
+    tp_size: int = 1,
+    renormalize: bool = True,
+) -> jax.Array:
+    """Routed expert MLP; returns [T, hidden] (psum'd over shards)."""
+    t, hidden = x.shape
+    e_local = w1.shape[0]
+
+    router_logits = jnp.dot(x, w_router,
+                            preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(router_logits, axis=-1)  # [T, E]
+    top_w, top_ids = jax.lax.top_k(weights, top_k)  # [T, k]
+    if renormalize:
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+
+    # per-token weight for each LOCAL expert: [T, E_local]
+    if tp_size > 1:
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        e_offset = shard * e_local
+    else:
+        e_offset = 0
+    local_ids = jnp.arange(e_local) + e_offset  # [E_local]
+    match = top_ids[:, :, None] == local_ids[None, None, :]  # [T,k,El]
+    expert_w = jnp.sum(jnp.where(match, top_w[:, :, None], 0.0),
+                       axis=1)  # [T, E_local]
+
+    # dense expert compute: [E_local, T, 2I] -> act -> [E_local, T, H]
+    h1 = jnp.einsum("th,ehi->eti", x, w1,
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    gate, up = jnp.split(h1, 2, axis=-1)
+    act = jax.nn.silu(gate) * up
+    h2 = jnp.einsum("eti,eih->eth", act, w2,
+                    preferred_element_type=jnp.float32)
+    out = jnp.einsum("eth,te->th", h2,
+                     expert_w.astype(jnp.float32))
+    if tp_size > 1:
+        out = jax.lax.psum(out, MODEL_AXIS)
+    return out.astype(x.dtype)

@@ -68,9 +68,11 @@ class LlamaForCausalLM:
         self.tie_word_embeddings = bool(
             getattr(c, "tie_word_embeddings", False))
         self.scale = self.head_dim**-0.5
-        if self.num_kv_heads % tp_size and tp_size % self.num_kv_heads:
+        if self.num_kv_heads % tp_size != 0:
+            # kv-head replication for tp > num_kv_heads is not wired
+            # into the cache sharding yet; require clean division.
             raise ValueError(
-                f"num_kv_heads={self.num_kv_heads} incompatible with "
+                f"num_kv_heads={self.num_kv_heads} must be divisible by "
                 f"tensor parallel size {tp_size}")
 
     # ------------------------------------------------------------------
@@ -206,14 +208,17 @@ class LlamaForCausalLM:
         x, residual = rms_norm(hidden,
                                p["post_attention_layernorm"]["weight"],
                                eps=self.rms_eps, residual=residual)
-        xf = x.reshape(b * l, h)
+        down = self._mlp(p, x.reshape(b * l, h))
+        hidden = down.reshape(b, l, h)
+        return hidden, residual, kv_caches
+
+    def _mlp(self, p, xf):
+        """SwiGLU MLP; MoE models override (mixtral.py)."""
         gate = linear(xf, p["gate_proj"])
         up = linear(xf, p["up_proj"])
         mlp = silu_and_mul(jnp.concatenate([gate, up], axis=-1))
-        down = row_parallel_linear(mlp, p["down_proj"],
+        return row_parallel_linear(mlp, p["down_proj"],
                                    tp_size=self.tp_size)
-        hidden = down.reshape(b, l, h)
-        return hidden, residual, kv_caches
 
     def forward(
         self,

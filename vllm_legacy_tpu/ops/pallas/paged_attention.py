@@ -360,13 +360,10 @@ def paged_attention(
         # scalar-prefetch args count toward input positions: inputs are
         # (layer, tables, ctx, qlens, q, k_new, v_new, k_cache, v_cache)
         input_output_aliases={7: 1, 8: 2},
-        # NOTE: all-"arbitrary" serializes the grid on one core. With
-        # ("parallel", ...) megacore splitting, the fused cache write
-        # races ITSELF nondeterministically (TPU aborts observed on
-        # small models); revisit once the write/read ordering is
-        # explicit cross-core.
+        # batch/head cells touch disjoint cache regions, so megacore
+        # may split them; the q-tile dim accumulates and stays ordered.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(layer_idx.astype(jnp.int32), block_tables,
       context_lens.astype(jnp.int32), query_lens.astype(jnp.int32), qr,
