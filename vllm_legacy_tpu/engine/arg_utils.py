@@ -140,6 +140,7 @@ class EngineArgs:
             max_model_len=model_config.max_model_len,
             enable_chunked_prefill=self.enable_chunked_prefill,
             num_scheduler_steps=self.num_scheduler_steps,
+            num_lookahead_slots=self.num_speculative_tokens or 0,
             preemption_mode=self.preemption_mode,
             delay_factor=self.delay_factor,
         )

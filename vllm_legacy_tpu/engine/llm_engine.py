@@ -233,8 +233,10 @@ class LLMEngine:
                             scheduled.token_chunk_size)
                         self.output_processor.process_prompt_logprob(
                             seq_group, [group_output])
-                    elif not seq_group.is_finished():
+                    elif (not seq_group.is_finished()
+                          and group_output.samples):
                         # later sub-steps each computed one more token
+                        # (speculative outputs are ragged per sequence)
                         seq_group.update_num_computed_tokens(1)
                     if seq_group.is_finished():
                         continue

@@ -44,6 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float(-2.0**30)  # finite sentinel: avoids -inf - -inf = nan
 
+# Chunks up to this many new tokens use the merge-into-stream write path
+# (works at any alignment — needed by decode and spec-decode scoring);
+# larger prefill chunks use block-aligned whole-block DMAs.
+_MERGE_WRITE_MAX = 32
+
 
 def _attention_kernel(
     # scalar prefetch
@@ -92,7 +97,7 @@ def _attention_kernel(
     # the new row is merged into the streamed tile (correct attention
     # without any HBM read-after-write) and the updated block is DMA'd
     # back once from the scratch slot — see `body` below.
-    if l_pad > 1:
+    if l_pad > _MERGE_WRITE_MAX:
         @pl.when(jnp.logical_and(qb == 0, qlen > 0))
         def _write():
             # prefill: q_start is block-aligned; write whole blocks
@@ -188,34 +193,49 @@ def _attention_kernel(
             wait_fetch(sb_idx, slot)
             kv_pos_col = sb_idx * sb + jax.lax.broadcasted_iota(
                 jnp.int32, (sb, 1), 0)
-            if l_pad == 1:
-                # Fused decode write: merge the new row into the
-                # streamed tile, store it back to scratch and DMA the
-                # containing block out (replaces reshape_and_cache with
-                # zero extra HBM reads).
-                pos = ctx - 1
-                is_new = kv_pos_col == pos
-                k_m = jnp.where(is_new, k_new_ref[0, 0, 0][None, :],
-                                k_buf[slot].reshape(sb, d))
-                v_m = jnp.where(is_new, v_new_ref[0, 0, 0][None, :],
-                                v_buf[slot].reshape(sb, d))
+            if l_pad <= _MERGE_WRITE_MAX:
+                # Fused decode / small-chunk write (spec-decode scoring):
+                # merge the new row(s) into the streamed tile, store it
+                # back to scratch and DMA the spanned block(s) out
+                # (replaces reshape_and_cache with zero extra HBM
+                # reads). Works at ANY q_start alignment because the
+                # pre-existing rows of partially-filled blocks come from
+                # the stream itself.
+                k_m = k_buf[slot].reshape(sb, d)
+                v_m = v_buf[slot].reshape(sb, d)
+                for r in range(l_pad):
+                    is_r = kv_pos_col == (q_start + r)
+                    sel_r = jnp.logical_and(is_r, r < qlen)
+                    k_m = jnp.where(sel_r, k_new_ref[0, 0, r][None, :],
+                                    k_m)
+                    v_m = jnp.where(sel_r, v_new_ref[0, 0, r][None, :],
+                                    v_m)
                 k_buf[slot] = k_m.reshape(kblk, block_size, d)
                 v_buf[slot] = v_m.reshape(kblk, block_size, d)
 
-                @pl.when(jnp.logical_and(pos // sb == sb_idx, qlen > 0))
-                def _writeback():
-                    j = (pos // block_size) % kblk
-                    blk = block_tables_ref[b, pos // block_size]
-                    kw = pltpu.make_async_copy(
-                        k_buf.at[slot, j], k_hbm.at[lyr, h, blk],
-                        wsem.at[0, 0])
-                    vw = pltpu.make_async_copy(
-                        v_buf.at[slot, j], v_hbm.at[lyr, h, blk],
-                        wsem.at[1, 0])
-                    kw.start()
-                    vw.start()
-                    kw.wait()
-                    vw.wait()
+                # Write back every block this superblock spans that
+                # contains at least one new row.
+                first_new_blk = q_start // block_size
+                last_new_blk = (ctx - 1) // block_size
+                for j in range(kblk):
+                    entry = sb_idx * kblk + j
+
+                    @pl.when(jnp.logical_and(
+                            jnp.logical_and(entry >= first_new_blk,
+                                            entry <= last_new_blk),
+                            jnp.logical_and(entry < nb, qlen > 0)))
+                    def _writeback(j=j):
+                        blk = block_tables_ref[b, entry]
+                        kw = pltpu.make_async_copy(
+                            k_buf.at[slot, j], k_hbm.at[lyr, h, blk],
+                            wsem.at[0, 0])
+                        vw = pltpu.make_async_copy(
+                            v_buf.at[slot, j], v_hbm.at[lyr, h, blk],
+                            wsem.at[1, 0])
+                        kw.start()
+                        vw.start()
+                        kw.wait()
+                        vw.wait()
 
             k = k_buf[slot].reshape(sb, d).astype(jnp.float32)
             v = v_buf[slot].reshape(sb, d).astype(jnp.float32)
@@ -289,9 +309,10 @@ def paged_attention(
     batch, l_pad, num_q_heads, head = q.shape
     _, num_kv_heads, _, block_size, _ = k_cache.shape
     assert num_q_heads % num_kv_heads == 0
-    assert l_pad == 1 or l_pad % block_size == 0, (
+    assert l_pad <= 32 or l_pad % block_size == 0, (
         f"prefill L_pad ({l_pad}) must be a multiple of block_size "
-        f"({block_size}) for whole-block cache writes")
+        f"({block_size}) for whole-block cache writes (chunks <= 32 "
+        "use the any-alignment merge path)")
     group = num_q_heads // num_kv_heads
     bq = min(bq, l_pad)
 

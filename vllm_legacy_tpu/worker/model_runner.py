@@ -412,6 +412,157 @@ class ModelRunner:
     # ------------------------------------------------------------------
     # Execution
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # Speculative decoding: ragged-qlen scoring + rejection verification
+    # (reference: spec_decode_worker.py _run_speculative_decoding_step
+    # :372 + batch_expansion.py — here one jitted call with per-sequence
+    # query lengths instead of batch expansion)
+    # ------------------------------------------------------------------
+    def _build_spec_fn(self, num_spec: int, greedy: bool):
+        from vllm_legacy_tpu.spec_decode.rejection_sampler import (
+            verify_greedy, verify_stochastic)
+        model = self.model
+        mesh = self.mesh
+        l_pad = next_power_of_2(num_spec + 1)
+        param_specs = self.model.param_specs(
+            jax.tree.map(lambda x: None, self.params))
+        cache_spec = P(None, "model", None, None, None)
+        kv_specs = (cache_spec, cache_spec)
+        rep = P()
+        md_specs = AttentionMetadata(rep, rep, rep, rep)
+
+        def sharded_fwd(params, kv_caches, tokens, positions, md, sel):
+            hidden, kv_caches = model.forward(params, kv_caches, tokens,
+                                              positions, md)
+            bsz, ln, hd = hidden.shape
+            logits = model.compute_logits(params,
+                                          hidden.reshape(bsz * ln,
+                                                         hd)[sel])
+            return logits, kv_caches
+
+        if np.prod(mesh.devices.shape) > 1:
+            from jax import shard_map
+            fwd = shard_map(
+                sharded_fwd, mesh=mesh,
+                in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep),
+                out_specs=(rep, kv_specs), check_vma=False)
+        else:
+            fwd = sharded_fwd
+
+        def spec_step(params, kv_caches, tokens, positions, md, sel,
+                      proposals, key):
+            logits, kv_caches = fwd(params, kv_caches, tokens, positions,
+                                    md, sel)
+            bsz = tokens.shape[0]
+            logits = logits.reshape(bsz, num_spec + 1, -1)
+            if greedy:
+                out_tokens, num_emitted = verify_greedy(logits, proposals)
+            else:
+                out_tokens, num_emitted = verify_stochastic(
+                    logits, proposals, key)
+            lps = jax.nn.log_softmax(logits, axis=-1)
+            tok_lp = jnp.take_along_axis(
+                lps, out_tokens[:, :, None], axis=-1)[..., 0]
+            return kv_caches, out_tokens, num_emitted, tok_lp
+
+        return jax.jit(spec_step, donate_argnums=(1, ))
+
+    def execute_spec(
+        self,
+        seq_group_metadata_list: List[SequenceGroupMetadata],
+        kv_caches,
+        proposals_by_row: List[Optional[List[int]]],
+        num_spec: int,
+    ):
+        """Score + verify one speculative step (decode-only batch)."""
+        rows: List[Tuple[str, int]] = []
+        tok_rows, pos_rows, qlens, ctxs, tables_l = [], [], [], [], []
+        row_idx = 0
+        for meta in seq_group_metadata_list:
+            for seq_id, data in meta.seq_data.items():
+                props = proposals_by_row[row_idx] or []
+                rows.append((meta.request_id, seq_id))
+                toks = [data.get_last_token_id()] + list(props)
+                tok_rows.append(toks)
+                start = data.get_len() - 1
+                pos_rows.append(list(range(start, start + len(toks))))
+                qlens.append(len(toks))
+                ctxs.append(data.get_len() + len(props))
+                tables_l.append(meta.block_tables[seq_id])
+                row_idx += 1
+
+        n = len(rows)
+        b_pad = pad_to_bucket(n)
+        l_pad = next_power_of_2(num_spec + 1)
+        tokens = np.zeros((b_pad, l_pad), np.int32)
+        positions = np.zeros((b_pad, l_pad), np.int32)
+        ctx_arr = np.zeros((b_pad, ), np.int32)
+        qlen_arr = np.zeros((b_pad, ), np.int32)
+        tables = np.zeros((b_pad, self.max_blocks_per_seq), np.int32)
+        props_arr = np.full((b_pad, num_spec), -1, np.int32)
+        for i in range(n):
+            ql = qlens[i]
+            tokens[i, :ql] = tok_rows[i]
+            positions[i, :ql] = pos_rows[i]
+            ctx_arr[i] = ctxs[i]
+            qlen_arr[i] = ql
+            bt = tables_l[i]
+            tables[i, :len(bt)] = bt
+            if ql > 1:
+                props_arr[i, :ql - 1] = tok_rows[i][1:]
+        sel = (np.arange(b_pad)[:, None] * l_pad +
+               np.arange(num_spec + 1)[None, :]).reshape(-1)
+        # clamp selections to valid flat range
+        sel = np.minimum(sel, b_pad * l_pad - 1).astype(np.int32)
+
+        md = AttentionMetadata(
+            slot_mapping=jnp.zeros((b_pad * l_pad, ), jnp.int32),
+            block_tables=jnp.asarray(tables),
+            context_lens=jnp.asarray(ctx_arr),
+            query_lens=jnp.asarray(qlen_arr),
+        )
+        greedy = all(
+            m.sampling_params.sampling_type.name == "GREEDY"
+            for m in seq_group_metadata_list)
+        key_fn = (num_spec, greedy, b_pad)
+        cache_key = ("spec", key_fn)
+        if cache_key not in self._jit_step_cache:
+            self._jit_step_cache[cache_key] = self._build_spec_fn(
+                num_spec, greedy)
+        fn = self._jit_step_cache[cache_key]
+        self._step_key, key = jax.random.split(self._step_key)
+        kv_caches, out_tokens, num_emitted, tok_lp = fn(
+            self.params, kv_caches, jnp.asarray(tokens),
+            jnp.asarray(positions), md, jnp.asarray(sel),
+            jnp.asarray(props_arr), key)
+
+        out_np = np.asarray(jax.device_get(out_tokens))
+        num_np = np.asarray(jax.device_get(num_emitted))
+        lp_np = np.asarray(jax.device_get(tok_lp))
+
+        outs: List[SamplerOutput] = []
+        for j in range(num_spec + 1):
+            outputs = []
+            row_idx = 0
+            for meta in seq_group_metadata_list:
+                samples = []
+                for seq_id in meta.seq_data:
+                    if j < num_np[row_idx]:
+                        token = int(out_np[row_idx, j])
+                        samples.append(
+                            SequenceOutput(
+                                parent_seq_id=seq_id,
+                                output_token=token,
+                                logprobs={token: Logprob(
+                                    logprob=float(lp_np[row_idx, j]))}))
+                    row_idx += 1
+                outputs.append(
+                    CompletionSequenceGroupOutput(samples=samples,
+                                                  prompt_logprobs=None))
+            if any(o.samples for o in outputs):
+                outs.append(SamplerOutput(outputs=outputs))
+        return outs, kv_caches
+
     def _num_multistep(self, seq_group_metadata_list, is_prefill: bool,
                        flags) -> int:
         """How many decode steps to fuse on device this call."""

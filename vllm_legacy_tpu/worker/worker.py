@@ -41,6 +41,20 @@ class Worker:
                                         self.cache_config, self.mesh)
         self.cache_engine: Optional[CacheEngine] = None
 
+        # Speculative decoding (reference: spec_decode_worker.py
+        # create_spec_worker :27 — here the proposer plugs into the
+        # same worker; scoring runs as a ragged-qlen model call).
+        self.spec_proposer = None
+        self.num_spec_tokens = 0
+        spec = cfg.speculative_config
+        if spec is not None and spec.method == "ngram":
+            from vllm_legacy_tpu.spec_decode import NGramProposer
+            self.spec_proposer = NGramProposer(
+                spec.ngram_prompt_lookup_min or 1,
+                spec.ngram_prompt_lookup_max,
+                spec.num_speculative_tokens)
+            self.num_spec_tokens = spec.num_speculative_tokens
+
     # -- bring-up -------------------------------------------------------
     def load_model(self) -> None:
         self.model_runner.load_model(self.load_config.load_format)
@@ -81,8 +95,26 @@ class Worker:
             self.cache_engine.copy(request.blocks_to_copy)
         if not request.seq_group_metadata_list:
             return []
+        metas = request.seq_group_metadata_list
+        if self.spec_proposer is not None and not metas[0].is_prompt:
+            proposals = []
+            speculatable = True
+            for meta in metas:
+                sp = meta.sampling_params
+                if sp is not None and (sp.use_beam_search
+                                       or sp.best_of > 1):
+                    speculatable = False
+                for seq_id, data in meta.seq_data.items():
+                    proposals.append(
+                        self.spec_proposer.propose(data.get_token_ids()))
+            if speculatable and any(p for p in proposals):
+                outputs, new_caches = self.model_runner.execute_spec(
+                    metas, self.cache_engine.gpu_cache, proposals,
+                    self.num_spec_tokens)
+                self.cache_engine.gpu_cache = new_caches
+                return outputs
         outputs, new_caches = self.model_runner.execute_model(
-            request.seq_group_metadata_list, self.cache_engine.gpu_cache)
+            metas, self.cache_engine.gpu_cache)
         self.cache_engine.gpu_cache = new_caches
         return outputs
 
