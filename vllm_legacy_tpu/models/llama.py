@@ -184,11 +184,11 @@ class LlamaForCausalLM:
         b, l, h = hidden.shape
         if residual is None:
             residual = hidden
-            x = rms_norm(hidden, p["input_layernorm"]["weight"],
-                         eps=self.rms_eps)
+            x = self._norm(hidden, p["input_layernorm"]["weight"])
         else:
-            x, residual = rms_norm(hidden, p["input_layernorm"]["weight"],
-                                   eps=self.rms_eps, residual=residual)
+            x, residual = self._norm(hidden,
+                                     p["input_layernorm"]["weight"],
+                                     residual=residual)
         xf = x.reshape(b * l, h)
         q = linear(xf, p["q_proj"]).reshape(b * l, -1, self.head_dim)
         k = linear(xf, p["k_proj"]).reshape(b * l, -1, self.head_dim)
@@ -205,12 +205,16 @@ class LlamaForCausalLM:
                                 tp_size=self.tp_size)
         hidden = o.reshape(b, l, h)
 
-        x, residual = rms_norm(hidden,
-                               p["post_attention_layernorm"]["weight"],
-                               eps=self.rms_eps, residual=residual)
+        x, residual = self._norm(hidden,
+                                 p["post_attention_layernorm"]["weight"],
+                                 residual=residual)
         down = self._mlp(p, x.reshape(b * l, h))
         hidden = down.reshape(b, l, h)
         return hidden, residual, kv_caches
+
+    def _norm(self, x, weight, residual=None):
+        """RMSNorm hook; Gemma overrides with its (1+w) variant."""
+        return rms_norm(x, weight, eps=self.rms_eps, residual=residual)
 
     def _mlp(self, p, xf):
         """SwiGLU MLP; MoE models override (mixtral.py)."""
@@ -239,8 +243,8 @@ class LlamaForCausalLM:
             hidden, residual, kv_caches = self._decoder_layer(
                 params["layers"][i], hidden, residual, q_pos,
                 params["rope_cache"], kv_caches, md, i)
-        hidden, _ = rms_norm(hidden, params["norm"]["weight"],
-                             eps=self.rms_eps, residual=residual)
+        hidden, _ = self._norm(hidden, params["norm"]["weight"],
+                               residual=residual)
         return hidden, kv_caches
 
     def compute_logits(self, params, hidden: jax.Array) -> jax.Array:
