@@ -83,6 +83,7 @@ class LLM:
         prompt_token_ids: Optional[Union[List[int],
                                          List[List[int]]]] = None,
         use_tqdm: bool = True,
+        lora_request=None,
     ) -> List[RequestOutput]:
         if prompts is None and prompt_token_ids is None:
             raise ValueError("Either prompts or prompt_token_ids must be "
@@ -103,13 +104,15 @@ class LLM:
             params_list = [sampling_params] * len(inputs)
 
         for item, params in zip(inputs, params_list):
-            self._add_request(item, params)
+            self._add_request(item, params, lora_request)
         return self._run_engine(use_tqdm=use_tqdm)
 
     def _add_request(self, inputs: PromptInputs,
-                     params: SamplingParams) -> None:
+                     params: SamplingParams,
+                     lora_request=None) -> None:
         request_id = str(next(self.request_counter))
-        self.llm_engine.add_request(request_id, inputs, params)
+        self.llm_engine.add_request(request_id, inputs, params,
+                                    lora_request=lora_request)
 
     def _run_engine(self, *, use_tqdm: bool) -> List[RequestOutput]:
         pbar = None

@@ -55,10 +55,18 @@ class LinearMethod:
 
 def linear(x: jax.Array,
            params: Params,
-           method: Optional[LinearMethod] = None) -> jax.Array:
+           method: Optional[LinearMethod] = None,
+           lora_indices: Optional[jax.Array] = None) -> jax.Array:
     if method is None:
         method = _dispatch(params)
-    return method.apply(params, x)
+    out = method.apply(
+        {k: v for k, v in params.items()
+         if not k.startswith("lora_")}, x)
+    if lora_indices is not None and "lora_a" in params:
+        from vllm_legacy_tpu.lora.layers import apply_lora
+        out = apply_lora(x, out, params["lora_a"], params["lora_b"],
+                         params["lora_scale"], lora_indices)
+    return out
 
 
 def _dispatch(params: Params) -> "LinearMethod":
@@ -80,7 +88,9 @@ def row_parallel_linear(x: jax.Array,
                         params: Params,
                         method: Optional[LinearMethod] = None,
                         axis: str = "model",
-                        tp_size: int = 1) -> jax.Array:
+                        tp_size: int = 1,
+                        lora_indices: Optional[jax.Array] = None
+                        ) -> jax.Array:
     """Row-parallel matmul under shard_map: partial matmul on the locally
     sharded contraction dim, psum over the mesh axis, THEN bias (the
     reference's RowParallelLinear all-reduce, linear.py:755-780).
@@ -91,9 +101,17 @@ def row_parallel_linear(x: jax.Array,
     if method is None:
         method = _dispatch(params)
     bias = params.get("bias")
-    out = method.apply({k: v for k, v in params.items() if k != "bias"}, x)
+    out = method.apply(
+        {k: v for k, v in params.items()
+         if k != "bias" and not k.startswith("lora_")}, x)
     if tp_size > 1:
         out = jax.lax.psum(out, axis)
+    if lora_indices is not None and "lora_a" in params:
+        # LoRA on row-parallel layers needs the full activation; only
+        # the tp=1 path is wired (multi-shard LoRA in a later round).
+        from vllm_legacy_tpu.lora.layers import apply_lora
+        out = apply_lora(x, out, params["lora_a"], params["lora_b"],
+                         params["lora_scale"], lora_indices)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

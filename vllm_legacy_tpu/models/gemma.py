@@ -44,9 +44,9 @@ class GemmaForCausalLM(LlamaForCausalLM):
         return _gemma_rms_norm(x, weight, eps=self.rms_eps,
                                residual=residual)
 
-    def _mlp(self, p, xf):
-        gate = linear(xf, p["gate_proj"])
-        up = linear(xf, p["up_proj"])
+    def _mlp(self, p, xf, lora_indices=None):
+        gate = linear(xf, p["gate_proj"], lora_indices=lora_indices)
+        up = linear(xf, p["up_proj"], lora_indices=lora_indices)
         act = gelu_and_mul(jnp.concatenate([gate, up], axis=-1),
                            approximate="tanh")
         return row_parallel_linear(act, p["down_proj"],

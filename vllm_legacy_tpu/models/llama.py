@@ -180,7 +180,7 @@ class LlamaForCausalLM:
     # Forward (runs INSIDE shard_map; all params/caches are local shards)
     # ------------------------------------------------------------------
     def _decoder_layer(self, p, hidden, residual, q_pos, rope_cache,
-                       kv_caches, md, layer_idx):
+                       kv_caches, md, layer_idx, lora_indices=None):
         b, l, h = hidden.shape
         if residual is None:
             residual = hidden
@@ -190,9 +190,13 @@ class LlamaForCausalLM:
                                      p["input_layernorm"]["weight"],
                                      residual=residual)
         xf = x.reshape(b * l, h)
-        q = linear(xf, p["q_proj"]).reshape(b * l, -1, self.head_dim)
-        k = linear(xf, p["k_proj"]).reshape(b * l, -1, self.head_dim)
-        v = linear(xf, p["v_proj"]).reshape(b * l, -1, self.head_dim)
+        li = lora_indices
+        q = linear(xf, p["q_proj"], lora_indices=li).reshape(
+            b * l, -1, self.head_dim)
+        k = linear(xf, p["k_proj"], lora_indices=li).reshape(
+            b * l, -1, self.head_dim)
+        v = linear(xf, p["v_proj"], lora_indices=li).reshape(
+            b * l, -1, self.head_dim)
         q, k = apply_rope(q, k, q_pos, rope_cache,
                           rotary_dim=self.head_dim)
         q = q.reshape(b, l, -1, self.head_dim)
@@ -202,13 +206,15 @@ class LlamaForCausalLM:
             q, k, v, kv_caches, md, scale=self.scale,
             layer_idx=layer_idx, sliding_window=self.sliding_window)
         o = row_parallel_linear(attn_out.reshape(b * l, -1), p["o_proj"],
-                                tp_size=self.tp_size)
+                                tp_size=self.tp_size,
+                                lora_indices=lora_indices)
         hidden = o.reshape(b, l, h)
 
         x, residual = self._norm(hidden,
                                  p["post_attention_layernorm"]["weight"],
                                  residual=residual)
-        down = self._mlp(p, x.reshape(b * l, h))
+        down = self._mlp(p, x.reshape(b * l, h),
+                         lora_indices=lora_indices)
         hidden = down.reshape(b, l, h)
         return hidden, residual, kv_caches
 
@@ -216,13 +222,14 @@ class LlamaForCausalLM:
         """RMSNorm hook; Gemma overrides with its (1+w) variant."""
         return rms_norm(x, weight, eps=self.rms_eps, residual=residual)
 
-    def _mlp(self, p, xf):
+    def _mlp(self, p, xf, lora_indices=None):
         """SwiGLU MLP; MoE models override (mixtral.py)."""
-        gate = linear(xf, p["gate_proj"])
-        up = linear(xf, p["up_proj"])
+        gate = linear(xf, p["gate_proj"], lora_indices=lora_indices)
+        up = linear(xf, p["up_proj"], lora_indices=lora_indices)
         mlp = silu_and_mul(jnp.concatenate([gate, up], axis=-1))
         return row_parallel_linear(mlp, p["down_proj"],
-                                   tp_size=self.tp_size)
+                                   tp_size=self.tp_size,
+                                   lora_indices=lora_indices)
 
     def forward(
         self,
@@ -231,6 +238,7 @@ class LlamaForCausalLM:
         token_ids: jax.Array,  # [B, L] int32
         positions: jax.Array,  # [B, L] int32
         md: AttentionMetadata,
+        lora_indices=None,
     ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
         b, l = token_ids.shape
         hidden = embedding.embed(params["embed"], token_ids.reshape(-1),
@@ -242,7 +250,8 @@ class LlamaForCausalLM:
         for i in range(self.num_layers):
             hidden, residual, kv_caches = self._decoder_layer(
                 params["layers"][i], hidden, residual, q_pos,
-                params["rope_cache"], kv_caches, md, i)
+                params["rope_cache"], kv_caches, md, i,
+                lora_indices=lora_indices)
         hidden, _ = self._norm(hidden, params["norm"]["weight"],
                                residual=residual)
         return hidden, kv_caches

@@ -62,7 +62,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
         return specs
 
     # -- compute ---------------------------------------------------------
-    def _mlp(self, p, xf):
+    def _mlp(self, p, xf, lora_indices=None):
         return fused_moe(
             xf,
             p["moe_router"]["weight"],

@@ -73,6 +73,9 @@ class ModelRunner:
         self.params: Any = None
         self._step_key = jax.random.PRNGKey(model_config.seed or 0)
         self._jit_step_cache: Dict[Any, Any] = {}
+        # Stacked LoRA arrays (merged into params per call; structure
+        # changes only when an adapter first occupies a (layer, proj)).
+        self.lora_params: Optional[Dict[str, Any]] = None
 
     # ------------------------------------------------------------------
     # Model loading
@@ -99,6 +102,25 @@ class ModelRunner:
     # ------------------------------------------------------------------
     # Host-side input preparation
     # ------------------------------------------------------------------
+    def set_lora_params(self, lora_params: Optional[Dict[str, Any]]
+                        ) -> None:
+        self.lora_params = lora_params
+
+    def _merged_params(self):
+        """Overlay stacked LoRA entries onto the param pytree (dict
+        merge only — no array copies)."""
+        if self.lora_params is None:
+            return self.params
+        merged = dict(self.params)
+        merged["layers"] = []
+        for base_lp, lora_lp in zip(self.params["layers"],
+                                    self.lora_params["layers"]):
+            new_lp = dict(base_lp)
+            for proj, extra in lora_lp.items():
+                new_lp[proj] = {**base_lp[proj], **extra}
+            merged["layers"].append(new_lp)
+        return merged
+
     def _prepare_inputs(
         self, seq_group_metadata_list: List[SequenceGroupMetadata]
     ) -> Tuple[Dict[str, Any], List[Tuple[str, int]], bool, int]:
@@ -269,9 +291,11 @@ class ModelRunner:
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
 
-        def sharded_fwd(params, kv_caches, tokens, positions, md, sel):
+        def sharded_fwd(params, kv_caches, tokens, positions, md, sel,
+                        lora_indices):
             hidden, kv_caches = model.forward(params, kv_caches, tokens,
-                                              positions, md)
+                                              positions, md,
+                                              lora_indices=lora_indices)
             b, l, h = hidden.shape
             flat = hidden.reshape(b * l, h)
             selected = flat[sel]
@@ -280,10 +304,13 @@ class ModelRunner:
 
         if np.prod(mesh.devices.shape) > 1:
             from jax import shard_map
+            # lora_indices is passed positionally (None = empty pytree,
+            # so the replicated prefix spec matches trivially).
             fwd = shard_map(
                 sharded_fwd,
                 mesh=mesh,
-                in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep),
+                in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep,
+                          rep),
                 out_specs=(rep, kv_specs), check_vma=False,
             )
         else:
@@ -293,9 +320,9 @@ class ModelRunner:
             fwd = sharded_fwd
 
         def step(params, kv_caches, tokens, positions, md, sel, st,
-                 step_key):
+                 step_key, lora_indices=None):
             logits, kv_caches = fwd(params, kv_caches, tokens, positions,
-                                    md, sel)
+                                    md, sel, lora_indices)
             sampled, logprob, top = sample(
                 logits, st, step_key, do_penalties=do_penalties,
                 do_top_k_p=do_top_k_p, do_min_p=do_min_p,
@@ -582,6 +609,7 @@ class ModelRunner:
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],
         kv_caches: Tuple[jax.Array, jax.Array],
+        lora_slots: Optional[List[int]] = None,
     ) -> Tuple[List[SamplerOutput], Tuple[jax.Array, jax.Array]]:
         """Run one (possibly multi-)step; returns one SamplerOutput per
         executed decode step (len 1 for prefill / single-step)."""
@@ -590,8 +618,10 @@ class ModelRunner:
             seq_group_metadata_list)
         st, flags, max_logprobs = self._prepare_sampling(
             seq_group_metadata_list, rows, b_pad)
-        num_steps = self._num_multistep(seq_group_metadata_list,
-                                        is_prefill, flags)
+        has_lora = lora_slots is not None and any(
+            s >= 0 for s in lora_slots)
+        num_steps = 1 if has_lora else self._num_multistep(
+            seq_group_metadata_list, is_prefill, flags)
 
         md = AttentionMetadata(
             slot_mapping=jnp.asarray(arrays["slot_mapping"]),
@@ -603,10 +633,20 @@ class ModelRunner:
         step_fn = self._get_step_fn(flags, max_logprobs, num_steps)
         t_prep = time.perf_counter()
 
+        params = self.params
+        extra = {}
+        if has_lora:
+            params = self._merged_params()
+            l_pad = arrays["tokens"].shape[1]
+            tok_lora = np.full((b_pad, l_pad), -1, np.int32)
+            for i, slot in enumerate(lora_slots):
+                tok_lora[i, :] = slot
+            extra["lora_indices"] = jnp.asarray(tok_lora.reshape(-1))
+
         kv_caches, sampled, logprob, top = step_fn(
-            self.params, kv_caches, jnp.asarray(arrays["tokens"]),
+            params, kv_caches, jnp.asarray(arrays["tokens"]),
             jnp.asarray(arrays["positions"]), md,
-            jnp.asarray(arrays["sel"]), st, key)
+            jnp.asarray(arrays["sel"]), st, key, **extra)
         t_dispatch = time.perf_counter()
 
         # [B] single-step -> [1, B] so both paths share the fan-out.

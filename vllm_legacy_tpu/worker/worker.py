@@ -41,6 +41,13 @@ class Worker:
                                         self.cache_config, self.mesh)
         self.cache_engine: Optional[CacheEngine] = None
 
+        # Multi-LoRA (reference: lora/worker_manager.py): adapters are
+        # activated on demand per scheduled batch.
+        self.lora_manager = None
+        if cfg.lora_config is not None:
+            from vllm_legacy_tpu.lora.models import LoRAManager
+            self._lora_config = cfg.lora_config
+
         # Speculative decoding (reference: spec_decode_worker.py
         # create_spec_worker :27 — here the proposer plugs into the
         # same worker; scoring runs as a ragged-qlen model call).
@@ -58,6 +65,16 @@ class Worker:
     # -- bring-up -------------------------------------------------------
     def load_model(self) -> None:
         self.model_runner.load_model(self.load_config.load_format)
+        if getattr(self, "_lora_config", None) is not None:
+            from vllm_legacy_tpu.lora.models import LoRAManager
+            if len(self.mesh.devices.flatten()) > 1:
+                raise NotImplementedError(
+                    "LoRA with tensor_parallel_size > 1 is not wired "
+                    "yet (row-parallel LoRA needs the full activation)")
+            self.lora_manager = LoRAManager(
+                self.model_runner.model,
+                max_loras=self._lora_config.max_loras,
+                max_rank=self._lora_config.max_lora_rank)
 
     def determine_num_available_blocks(self) -> Tuple[int, int]:
         """Deterministic HBM budgeting (replaces the reference's
@@ -96,7 +113,23 @@ class Worker:
         if not request.seq_group_metadata_list:
             return []
         metas = request.seq_group_metadata_list
-        if self.spec_proposer is not None and not metas[0].is_prompt:
+        lora_slots: list = []
+        if self.lora_manager is not None:
+            dirty = False
+            for meta in metas:
+                slot = -1
+                if meta.lora_request is not None:
+                    before = self.lora_manager.slot_for(meta.lora_request)
+                    slot = self.lora_manager.activate(meta.lora_request)
+                    dirty |= (before != slot)
+                n_rows = 1 if meta.is_prompt else len(meta.seq_data)
+                lora_slots.extend([slot] * n_rows)
+            if dirty or self.model_runner.lora_params is None:
+                self.model_runner.set_lora_params(
+                    self.lora_manager.device_lora_params()
+                    if self.lora_manager.stacks else None)
+        if (self.spec_proposer is not None and not metas[0].is_prompt
+                and not any(s >= 0 for s in lora_slots)):
             proposals = []
             speculatable = True
             for meta in metas:
@@ -114,7 +147,8 @@ class Worker:
                 self.cache_engine.gpu_cache = new_caches
                 return outputs
         outputs, new_caches = self.model_runner.execute_model(
-            metas, self.cache_engine.gpu_cache)
+            metas, self.cache_engine.gpu_cache,
+            lora_slots=lora_slots if self.lora_manager else None)
         self.cache_engine.gpu_cache = new_caches
         return outputs
 
