@@ -172,6 +172,12 @@ class ModelRunner:
                     context_lens.append(data.get_len())
                     block_tables.append(meta.block_tables[seq_id])
 
+        # observability: tokens actually computed in prefill steps
+        # (prefix-cache hits shrink this below the prompt length)
+        if is_prefill:
+            self.total_prefill_tokens = (
+                getattr(self, "total_prefill_tokens", 0) + sum(query_lens))
+
         n = len(rows)
         b_pad = pad_to_bucket(n)
         # Prefill L_pad must be a whole number of KV blocks: the fused
