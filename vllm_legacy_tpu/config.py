@@ -123,6 +123,7 @@ class ModelConfig:
         rope_scaling: Optional[dict] = None,
         sliding_window_override: Optional[int] = None,
         embedding_mode: bool = False,
+        sparse_attention: Optional[Any] = None,
     ) -> None:
         self.model = model
         self.tokenizer = tokenizer or model
@@ -137,6 +138,9 @@ class ModelConfig:
         self.skip_tokenizer_init = skip_tokenizer_init
         self.served_model_name = served_model_name or model
         self.embedding_mode = embedding_mode
+        # SparseAttentionConfig or None (fork HiP capability, models/
+        # attention.py) — top-k block-sparse long-context decode.
+        self.sparse_attention = sparse_attention
 
         if hf_config is None:
             from vllm_legacy_tpu.transformers_utils.config import (
@@ -153,6 +157,12 @@ class ModelConfig:
         self.max_model_len = _get_and_verify_max_len(self.hf_text_config,
                                                      max_model_len)
         self._sliding_window_override = sliding_window_override
+        if not self.embedding_mode:
+            # auto-detect bare-encoder checkpoints (reference:
+            # ModelConfig.embedding_mode via ModelRegistry)
+            from vllm_legacy_tpu.models.registry import ModelRegistry
+            archs = getattr(self.hf_config, "architectures", None) or []
+            self.embedding_mode = ModelRegistry.is_embedding_model(archs)
         self._verify_quantization()
 
     def _verify_quantization(self) -> None:

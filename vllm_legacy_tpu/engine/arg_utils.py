@@ -72,6 +72,12 @@ class EngineArgs:
     # Decoding
     guided_decoding_backend: str = "outlines"
 
+    # Sparse long-context attention (fork HiP capability; reference env
+    # HIP_K / HIP_DENSE_LAYERS, attention/backends/hip.py:106-110)
+    hip_attention: bool = False
+    hip_k: int = 1024
+    hip_dense_layers: int = 3
+
     disable_log_stats: bool = False
 
     @classmethod
@@ -98,6 +104,13 @@ class EngineArgs:
         return cls(**{a: getattr(args, a) for a in attrs
                       if hasattr(args, a)})
 
+    def _sparse_attention_config(self):
+        if not self.hip_attention:
+            return None
+        from vllm_legacy_tpu.models.attention import SparseAttentionConfig
+        return SparseAttentionConfig(top_k=self.hip_k,
+                                     dense_layers=self.hip_dense_layers)
+
     def create_engine_config(self) -> EngineConfig:
         model_config = ModelConfig(
             model=self.model,
@@ -113,6 +126,7 @@ class EngineArgs:
             max_logprobs=self.max_logprobs,
             skip_tokenizer_init=self.skip_tokenizer_init,
             served_model_name=self.served_model_name,
+            sparse_attention=self._sparse_attention_config(),
         )
         cache_config = CacheConfig(
             block_size=self.block_size,

@@ -57,10 +57,14 @@ def initialize_model(model_config: ModelConfig,
     dtype = jnp.bfloat16 if model_config.dtype == "bfloat16" \
         else jnp.float32
     quant_config = resolve_quant_config(model_config)
-    return model_cls(model_config.hf_config,
-                     tp_size=parallel_config.tensor_parallel_size,
-                     dtype=dtype,
-                     quant_config=quant_config)
+    model = model_cls(model_config.hf_config,
+                      tp_size=parallel_config.tensor_parallel_size,
+                      dtype=dtype,
+                      quant_config=quant_config)
+    # sparse long-context decode config (models read it via getattr so
+    # architectures without the capability simply ignore it)
+    model.sparse_config = model_config.sparse_attention
+    return model
 
 
 def get_model(model_config: ModelConfig, parallel_config: ParallelConfig,

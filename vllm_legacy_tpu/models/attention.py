@@ -32,6 +32,19 @@ def padded_head_size(head_size: int) -> int:
     return ((head_size + LANE - 1) // LANE) * LANE
 
 
+class SparseAttentionConfig(NamedTuple):
+    """Long-context sparse decode (capability of the reference fork's
+    HiP attention, attention/backends/hip.py:32 + env HIP_K /
+    HIP_DENSE_LAYERS :106-110 — see ops/hip_mask.py for the TPU-first
+    redesign). ``top_k`` is the attended-key budget per kv head in
+    tokens; blocks beyond it are pruned by representative-key scoring.
+    """
+    top_k: int = 1024  # HIP_K equivalent (tokens per kv head)
+    dense_layers: int = 3  # first layers stay dense (HIP_DENSE_LAYERS)
+    num_sink: int = 1  # always-attended leading blocks
+    num_recent: int = 2  # always-attended trailing blocks
+
+
 class AttentionMetadata(NamedTuple):
     """Per-step device metadata (reference: attention/backends/abstract.py
     AttentionMetadata :102, built by model_runner._prepare_model_input).
@@ -60,6 +73,7 @@ def attention(
     layer_idx: int = 0,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
+    sparse: Optional[SparseAttentionConfig] = None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Returns (attn output [B, L, Hq, D], updated kv cache).
 
@@ -78,9 +92,22 @@ def attention(
     lidx = jnp.asarray([layer_idx], jnp.int32)
 
     if l == 1:
+        tables, ctx = md.block_tables, md.context_lens
+        use_sparse = (sparse is not None and sliding_window is None
+                      and layer_idx >= sparse.dense_layers)
+        if use_sparse:
+            from vllm_legacy_tpu.ops.hip_mask import select_kv_blocks
+            block_size = k_cache.shape[3]
+            num_sel = max(sparse.top_k // block_size,
+                          sparse.num_sink + sparse.num_recent + 1)
+            if num_sel < tables.shape[1]:  # else dense is never pruned
+                tables, ctx = select_kv_blocks(
+                    q[:, 0], k_cache, lidx, tables, ctx,
+                    num_sel=num_sel, num_sink=sparse.num_sink,
+                    num_recent=sparse.num_recent)
         out, k_cache, v_cache = attn_ops.paged_attention_decode(
             q[:, 0], k[:, 0], v[:, 0], k_cache, v_cache, lidx,
-            md.block_tables, md.context_lens, scale=scale,
+            tables, ctx, scale=scale,
             sliding_window=sliding_window, soft_cap=soft_cap)
         out = out[:, None]
     else:

@@ -52,7 +52,8 @@ class GemmaForCausalLM(LlamaForCausalLM):
         return row_parallel_linear(act, p["down_proj"],
                                    tp_size=self.tp_size)
 
-    def forward(self, params, kv_caches, token_ids, positions, md):
+    def forward(self, params, kv_caches, token_ids, positions, md,
+                lora_indices=None):
         b, l = token_ids.shape
         hidden = embedding.embed(params["embed"], token_ids.reshape(-1),
                                  tp_size=self.tp_size)

@@ -69,7 +69,8 @@ class GPT2LMHeadModel:
         }
 
     # -- forward ---------------------------------------------------------
-    def forward(self, params, kv_caches, token_ids, positions, md):
+    def forward(self, params, kv_caches, token_ids, positions, md,
+                lora_indices=None):
         b, l = token_ids.shape
         tok = embedding.embed(params["wte"], token_ids.reshape(-1),
                               tp_size=self.tp_size)

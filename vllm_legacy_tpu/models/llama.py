@@ -204,7 +204,8 @@ class LlamaForCausalLM:
         v = v.reshape(b, l, -1, self.head_dim)
         attn_out, kv_caches = attention(
             q, k, v, kv_caches, md, scale=self.scale,
-            layer_idx=layer_idx, sliding_window=self.sliding_window)
+            layer_idx=layer_idx, sliding_window=self.sliding_window,
+            sparse=getattr(self, "sparse_config", None))
         o = row_parallel_linear(attn_out.reshape(b * l, -1), p["o_proj"],
                                 tp_size=self.tp_size,
                                 lora_indices=lora_indices)

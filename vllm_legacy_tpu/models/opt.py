@@ -67,7 +67,8 @@ class OPTForCausalLM:
             "lm_head": {"weight": P("model", None)},
         }
 
-    def forward(self, params, kv_caches, token_ids, positions, md):
+    def forward(self, params, kv_caches, token_ids, positions, md,
+                lora_indices=None):
         b, l = token_ids.shape
         tok = embedding.embed(params["embed_tokens"],
                               token_ids.reshape(-1),

@@ -1,0 +1,96 @@
+"""Top-k KV-block selection for sparse long-context decode.
+
+Capability of the reference fork's HiP attention
+(``vllm/attention/backends/hip.py:32`` — hierarchical per-query top-K
+key pruning, O(T*K) decode) rebuilt TPU-first: instead of the
+reference's iterative hierarchical mask (log T rounds of data-dependent
+gathers, hostile to XLA), each logical KV block is scored against the
+query via a few *representative keys* in ONE gather + ONE batched
+matmul (MXU-friendly), and the top ``num_sel`` blocks per kv head are
+kept.  Memory traffic is ``R/bs`` of the cache for scoring plus
+``num_sel/num_blocks`` for the attention itself.
+
+The selection is returned as a *virtual block table*: a per-(seq, head)
+list of physical block ids, sorted by logical position, plus a virtual
+context length.  The unified paged-attention kernel then runs UNCHANGED
+over the virtual table — streaming, masking, and even the fused decode
+KV write stay correct because:
+
+* sorted selection preserves position monotonicity (softmax masking
+  only needs ``kv_pos < ctx``; RoPE is baked into cached keys),
+* the true last block is force-selected, so the virtual position
+  ``vctx - 1`` maps to exactly the physical slot the dense path writes
+  (same block, same offset — see ``_virtual_ctx``),
+* when a sequence has fewer than ``num_sel`` valid blocks the selection
+  degenerates to the identity prefix and the result is bit-exact dense
+  attention (the reference's ``ctx < 3K -> dense`` fallback,
+  backends/hip.py:306-319, with no batch-level branch).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_FORCE = float(2.0**30)
+_NEG = float(-2.0**30)
+
+
+def select_kv_blocks(
+    q: jax.Array,  # [B, num_q_heads, D] decode queries (cache-padded D)
+    k_cache: jax.Array,  # [Lnum, Hkv, N, bs, D] stacked
+    layer_idx: jax.Array,  # [1] int32
+    block_tables: jax.Array,  # [B, max_blocks] int32 physical ids
+    context_lens: jax.Array,  # [B] int32 (incl. the new token)
+    *,
+    num_sel: int,
+    num_sink: int = 1,
+    num_recent: int = 2,
+    reps_per_block: int = 3,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (virtual_tables [B, Hkv, num_sel] physical ids,
+    virtual_ctx [B] int32)."""
+    batch, num_q_heads, d = q.shape
+    _, num_kv_heads, num_blocks, bs, _ = k_cache.shape
+    group = num_q_heads // num_kv_heads
+    max_entries = block_tables.shape[1]
+
+    nb = (context_lens + bs - 1) // bs  # valid entries per seq [B]
+
+    # --- representative-key scores:  [B, Hkv, max_entries] -------------
+    offsets = jnp.linspace(0, bs - 1, reps_per_block).astype(jnp.int32)
+    kf = k_cache[layer_idx[0]].reshape(num_kv_heads, num_blocks * bs, d)
+    # rep row ids [B, max_entries * R]
+    rows = (block_tables[:, :, None] * bs + offsets[None, None, :])
+    rows = rows.reshape(batch, max_entries * reps_per_block)
+    reps = kf[:, rows]  # [Hkv, B, M*R, D]
+    reps = reps.transpose(1, 0, 2, 3).astype(jnp.float32)
+
+    qg = q.reshape(batch, num_kv_heads, group, d).astype(jnp.float32)
+    s = jnp.einsum("bhgd,bhrd->bhgr", qg, reps)
+    s = s.reshape(batch, num_kv_heads, group, max_entries,
+                  reps_per_block)
+    s = s.max(axis=(2, 4))  # union over group heads and reps
+
+    entry = jnp.arange(max_entries)[None, :]  # [1, M]
+    valid = entry < nb[:, None]  # [B, M]
+    force = entry < num_sink  # sink blocks
+    force |= entry >= (nb[:, None] - num_recent)  # recent + last block
+    s = jnp.where(valid[:, None, :], s, _NEG)
+    s = jnp.where((force & valid)[:, None, :], _FORCE, s)
+
+    # --- top-k + ascending position sort -------------------------------
+    _, idx = jax.lax.top_k(s, num_sel)  # [B, Hkv, S] logical entries
+    idx = jnp.sort(idx, axis=-1)
+    vtables = jnp.take_along_axis(
+        jnp.broadcast_to(block_tables[:, None, :],
+                         (batch, num_kv_heads, max_entries)), idx,
+        axis=2)
+
+    # --- virtual context length ----------------------------------------
+    # last-block fill r_last = ctx - (nb-1)*bs  (in 1..bs for ctx >= 1)
+    r_last = context_lens - (nb - 1) * bs
+    vctx = jnp.where(nb <= num_sel, context_lens,
+                     (num_sel - 1) * bs + r_last)
+    return vtables.astype(jnp.int32), vctx.astype(jnp.int32)

@@ -84,6 +84,13 @@ def _attention_kernel(
     h = pl.program_id(1)
     qb = pl.program_id(2)
 
+    def bt(entry):
+        # [B, max_blocks] dense tables or [B, Hkv, S] per-head virtual
+        # tables (sparse top-k decode, ops/hip_mask.py)
+        if len(block_tables_ref.shape) == 3:
+            return block_tables_ref[b, h, entry]
+        return block_tables_ref[b, entry]
+
     g, _, d = q_ref.shape
     sb = kblk * block_size  # kv positions per super-block
     lyr = layer_ref[0]
@@ -105,7 +112,7 @@ def _attention_kernel(
             for c in range(l_pad // block_size):
                 @pl.when(c * block_size < qlen)
                 def _(c=c):
-                    blk = block_tables_ref[b, first_entry + c]
+                    blk = bt(first_entry + c)
                     pltpu.make_async_copy(
                         k_new_ref.at[0, 0,
                                      pl.ds(c * block_size, block_size)],
@@ -117,7 +124,7 @@ def _attention_kernel(
             for c in range(l_pad // block_size):
                 @pl.when(c * block_size < qlen)
                 def _(c=c):
-                    blk = block_tables_ref[b, first_entry + c]
+                    blk = bt(first_entry + c)
                     pltpu.make_async_copy(
                         k_new_ref.at[0, 0,
                                      pl.ds(c * block_size, block_size)],
@@ -145,7 +152,7 @@ def _attention_kernel(
 
             @pl.when(entry < nb)
             def _():
-                blk = block_tables_ref[b, entry]
+                blk = bt(entry)
                 pltpu.make_async_copy(
                     k_hbm.at[lyr, h, blk], k_buf.at[slot, j],
                     sem.at[0, slot, j]).start()
@@ -159,7 +166,7 @@ def _attention_kernel(
 
             @pl.when(entry < nb)
             def _():
-                blk = block_tables_ref[b, entry]
+                blk = bt(entry)
                 pltpu.make_async_copy(
                     k_hbm.at[lyr, h, blk], k_buf.at[slot, j],
                     sem.at[0, slot, j]).wait()
@@ -225,7 +232,7 @@ def _attention_kernel(
                                             entry <= last_new_blk),
                             jnp.logical_and(entry < nb, qlen > 0)))
                     def _writeback(j=j):
-                        blk = block_tables_ref[b, entry]
+                        blk = bt(entry)
                         kw = pltpu.make_async_copy(
                             k_buf.at[slot, j], k_hbm.at[lyr, h, blk],
                             wsem.at[0, 0])

@@ -59,9 +59,13 @@ def _write_new_kv(k_new, v_new, k_cache, v_cache, layer_idx,
 
 
 def _gather_kv(cache4: jax.Array, block_table: jax.Array) -> jax.Array:
-    """[H, N, bs, D] + [max_blocks] -> [H, max_blocks*bs, D]."""
+    """[H, N, bs, D] + [max_blocks] (shared) or [H, S] (per-head
+    virtual tables, ops/hip_mask.py) -> [H, len*bs, D]."""
     num_heads, _, block_size, head_size = cache4.shape
-    g = cache4[:, block_table]
+    if block_table.ndim == 2:
+        g = cache4[jnp.arange(num_heads)[:, None], block_table]
+    else:
+        g = cache4[:, block_table]
     return g.reshape(num_heads, -1, head_size)
 
 
@@ -82,14 +86,22 @@ def paged_attention(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Causal prefill/decode attention reading KV from the paged cache
     after writing the new rows (capability of paged_attention_v1/v2 +
-    flash prefill + reshape_and_cache in the reference)."""
+    flash prefill + reshape_and_cache in the reference).
+
+    ``block_tables`` may be [B, max_blocks] (dense) or [B, Hkv, S]
+    per-head virtual tables (sparse decode) — every head's virtual
+    table ends with the true last block at the same offset, so the new
+    row's slot is head-independent and head 0's table can do the write.
+    """
+    write_tables = (block_tables[:, 0]
+                    if block_tables.ndim == 3 else block_tables)
     k_cache, v_cache = _write_new_kv(k_new, v_new, k_cache, v_cache,
-                                     layer_idx, block_tables, query_lens,
+                                     layer_idx, write_tables, query_lens,
                                      context_lens)
     _, l_pad, num_q_heads, _ = q.shape
     num_kv_heads = k_cache.shape[1]
     group = num_q_heads // num_kv_heads
-    max_len = block_tables.shape[1] * k_cache.shape[3]
+    max_len = block_tables.shape[-1] * k_cache.shape[3]
     k4 = k_cache[layer_idx[0]]
     v4 = v_cache[layer_idx[0]]
 

@@ -77,6 +77,7 @@ def make_dummy_engine_config(
     enable_prefix_caching: bool = False,
     kv_cache_dtype: str = "auto",
     num_scheduler_steps: int = 1,
+    sparse_attention=None,
 ) -> EngineConfig:
     if hf_config is None:
         hf_config = tiny_llama_hf_config()
@@ -86,6 +87,7 @@ def make_dummy_engine_config(
         max_model_len=max_model_len,
         skip_tokenizer_init=True,
         hf_config=hf_config,
+        sparse_attention=sparse_attention,
     )
     cache_config = CacheConfig(
         block_size=block_size,
