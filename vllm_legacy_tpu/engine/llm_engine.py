@@ -104,9 +104,13 @@ class LLMEngine:
                                              num_cpu_blocks)
 
     def _get_tokenizer_for_seq(self, sequence: Sequence):
+        if self.tokenizer is None:
+            return None
         return self.tokenizer.get_lora_tokenizer(None)
 
     def get_tokenizer(self):
+        if self.tokenizer is None:
+            return None
         return self.tokenizer.get_lora_tokenizer(None)
 
     # ------------------------------------------------------------------
@@ -137,7 +141,7 @@ class LLMEngine:
         self,
         request_id: str,
         inputs: PromptInputs,
-        params: SamplingParams,
+        params,  # SamplingParams | PoolingParams
         arrival_time: Optional[float] = None,
         lora_request=None,
     ) -> None:
@@ -158,16 +162,24 @@ class LLMEngine:
                        processed["prompt_token_ids"], block_size,
                        eos_token_id, lora_request)
 
-        params = params.clone()
-        if params.max_tokens is None:
-            params.max_tokens = max(
-                self.model_config.max_model_len - seq.get_prompt_len(), 1)
-
-        seq_group = SequenceGroup(request_id=request_id,
-                                  seqs=[seq],
-                                  arrival_time=arrival_time,
-                                  sampling_params=params,
-                                  lora_request=lora_request)
+        from vllm_legacy_tpu.pooling_params import PoolingParams
+        if isinstance(params, PoolingParams):
+            seq_group = SequenceGroup(request_id=request_id,
+                                      seqs=[seq],
+                                      arrival_time=arrival_time,
+                                      pooling_params=params,
+                                      lora_request=lora_request)
+        else:
+            params = params.clone()
+            if params.max_tokens is None:
+                params.max_tokens = max(
+                    self.model_config.max_model_len -
+                    seq.get_prompt_len(), 1)
+            seq_group = SequenceGroup(request_id=request_id,
+                                      seqs=[seq],
+                                      arrival_time=arrival_time,
+                                      sampling_params=params,
+                                      lora_request=lora_request)
         self.scheduler.add_seq_group(seq_group)
 
     def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:
@@ -217,6 +229,31 @@ class LLMEngine:
             scheduler_outputs: SchedulerOutputs) -> List[RequestOutput]:
         now = time.time()
         request_outputs: List[RequestOutput] = []
+
+        from vllm_legacy_tpu.sequence import PoolerOutput
+        if outputs and isinstance(outputs[0], PoolerOutput):
+            # Embedding models: one prefill step produces the pooled
+            # vector; the group finishes immediately (reference:
+            # llm_engine.py _process_sequence_group_outputs for
+            # embeddings).
+            for scheduled, group_output in zip(
+                    scheduler_outputs.scheduled_seq_groups,
+                    outputs[0].outputs):
+                seq_group = scheduled.seq_group
+                seq_group.update_num_computed_tokens(
+                    scheduled.token_chunk_size)
+                seq_group.embeddings = group_output.embeddings
+                for seq in seq_group.get_seqs():
+                    seq.status = SequenceStatus.FINISHED_STOPPED
+            self.scheduler.free_finished_seq_groups()
+            for scheduled in scheduler_outputs.scheduled_seq_groups:
+                scheduled.seq_group.maybe_set_first_token_time(now)
+                request_outputs.append(
+                    RequestOutputFactory.create(scheduled.seq_group))
+            for seq_group in scheduler_outputs.ignored_seq_groups:
+                request_outputs.append(
+                    RequestOutputFactory.create(seq_group))
+            return request_outputs
 
         if outputs:
             # Multi-step decode returns one SamplerOutput per on-device

@@ -107,6 +107,28 @@ class LLM:
             self._add_request(item, params, lora_request)
         return self._run_engine(use_tqdm=use_tqdm)
 
+    def encode(
+        self,
+        prompts: Union[PromptStrictInputs, Sequence[PromptStrictInputs],
+                       str, List[str], None] = None,
+        pooling_params=None,
+        prompt_token_ids: Optional[Union[List[int],
+                                         List[List[int]]]] = None,
+        use_tqdm: bool = True,
+    ):
+        """Embedding-model entrypoint (reference: entrypoints/llm.py
+        encode :305-372); returns EmbeddingRequestOutputs."""
+        from vllm_legacy_tpu.pooling_params import PoolingParams
+        if prompt_token_ids is not None:
+            inputs = parse_and_batch_prompt(prompt_token_ids)
+        else:
+            inputs = parse_and_batch_prompt(prompts)
+        if pooling_params is None:
+            pooling_params = PoolingParams()
+        for item in inputs:
+            self._add_request(item, pooling_params)
+        return self._run_engine(use_tqdm=use_tqdm)
+
     def _add_request(self, inputs: PromptInputs,
                      params: SamplingParams,
                      lora_request=None) -> None:

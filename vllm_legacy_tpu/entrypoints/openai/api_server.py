@@ -20,9 +20,12 @@ from vllm_legacy_tpu import __version__, envs
 from vllm_legacy_tpu.engine.arg_utils import AsyncEngineArgs
 from vllm_legacy_tpu.engine.async_llm_engine import AsyncLLMEngine
 from vllm_legacy_tpu.entrypoints.openai.protocol import (
-    ChatCompletionRequest, CompletionRequest, ErrorResponse)
+    ChatCompletionRequest, CompletionRequest, EmbeddingRequest,
+    ErrorResponse)
 from vllm_legacy_tpu.entrypoints.openai.serving_chat import (
     OpenAIServingChat)
+from vllm_legacy_tpu.entrypoints.openai.serving_embedding import (
+    OpenAIServingEmbedding)
 from vllm_legacy_tpu.entrypoints.openai.serving_completion import (
     OpenAIServingCompletion)
 from vllm_legacy_tpu.logger import init_logger
@@ -31,6 +34,7 @@ logger = init_logger(__name__)
 
 openai_serving_chat: Optional[OpenAIServingChat] = None
 openai_serving_completion: Optional[OpenAIServingCompletion] = None
+openai_serving_embedding: Optional[OpenAIServingEmbedding] = None
 engine: Optional[AsyncLLMEngine] = None
 
 
@@ -109,6 +113,19 @@ async def create_chat_completion(request: web.Request) -> web.Response:
     return web.json_response(generator.model_dump())
 
 
+async def create_embedding(request: web.Request) -> web.Response:
+    try:
+        body = EmbeddingRequest(**await request.json())
+    except Exception as e:
+        return _json_error(
+            openai_serving_embedding.create_error_response(str(e)))
+    response = await openai_serving_embedding.create_embedding(
+        body, request)
+    if isinstance(response, ErrorResponse):
+        return _json_error(response)
+    return web.json_response(response.model_dump())
+
+
 @web.middleware
 async def api_key_middleware(request: web.Request, handler):
     token = envs.VLT_API_KEY
@@ -129,11 +146,13 @@ def build_app() -> web.Application:
     app.router.add_get("/dev/debug/envs", debug_envs)
     app.router.add_post("/v1/completions", create_completion)
     app.router.add_post("/v1/chat/completions", create_chat_completion)
+    app.router.add_post("/v1/embeddings", create_embedding)
     return app
 
 
 async def init_server(args: argparse.Namespace) -> web.Application:
     global engine, openai_serving_chat, openai_serving_completion
+    global openai_serving_embedding
     engine_args = AsyncEngineArgs.from_cli_args(args)
     engine = AsyncLLMEngine.from_engine_args(engine_args)
     served_model_names = [args.served_model_name or args.model]
@@ -143,8 +162,11 @@ async def init_server(args: argparse.Namespace) -> web.Application:
         engine, served_model_names,
         response_role=args.response_role,
         chat_template=args.chat_template)
+    openai_serving_embedding = OpenAIServingEmbedding(
+        engine, served_model_names)
     await openai_serving_completion._post_init()
     await openai_serving_chat._post_init()
+    await openai_serving_embedding._post_init()
     return build_app()
 
 

@@ -87,16 +87,24 @@ class OpenAIServing:
             input_ids = self.tokenizer.encode(prompt)
         else:
             input_ids = list(prompt_ids)
-            prompt = self.tokenizer.decode(input_ids) \
-                if prompt is None else prompt
+            if prompt is None:
+                prompt = (self.tokenizer.decode(input_ids)
+                          if self.tokenizer is not None else "")
         if truncate_prompt_tokens is not None:
             input_ids = input_ids[-truncate_prompt_tokens:]
 
         token_num = len(input_ids)
         max_tokens = getattr(request, "max_tokens", None)
-        if max_tokens is None:
+        has_max_tokens = "max_tokens" in type(request).model_fields
+        if max_tokens is None and has_max_tokens:
             request.max_tokens = self.max_model_len - token_num
-        if token_num + (request.max_tokens or 0) > self.max_model_len:
+            max_tokens = request.max_tokens
+        if not has_max_tokens and token_num > self.max_model_len:
+            raise ValueError(
+                f"Prompt length {token_num} exceeds maximum context "
+                f"length {self.max_model_len}")
+        if has_max_tokens and \
+                token_num + (request.max_tokens or 0) > self.max_model_len:
             raise ValueError(
                 f"This model's maximum context length is "
                 f"{self.max_model_len} tokens. However, you requested "

@@ -16,7 +16,13 @@ _MODELS: Dict[str, Tuple[str, str]] = {
     "GemmaForCausalLM": ("gemma", "GemmaForCausalLM"),
     "GPT2LMHeadModel": ("gpt2", "GPT2LMHeadModel"),
     "OPTForCausalLM": ("opt", "OPTForCausalLM"),
+    # embedding models (reference: models/__init__.py _EMBEDDING_MODELS)
+    "LlamaModel": ("llama_embedding", "LlamaEmbeddingModel"),
+    "MistralModel": ("llama_embedding", "LlamaEmbeddingModel"),
+    "LlamaEmbeddingModel": ("llama_embedding", "LlamaEmbeddingModel"),
 }
+
+_EMBEDDING_MODELS = {"LlamaModel", "MistralModel", "LlamaEmbeddingModel"}
 
 _OOT_MODELS: Dict[str, Type] = {}
 
@@ -41,6 +47,10 @@ class ModelRegistry:
     @staticmethod
     def register_model(arch: str, model_cls: Type) -> None:
         _OOT_MODELS[arch] = model_cls
+
+    @staticmethod
+    def is_embedding_model(architectures: List[str]) -> bool:
+        return any(a in _EMBEDDING_MODELS for a in architectures)
 
     @staticmethod
     def resolve_model_cls(architectures: List[str]) -> Tuple[Type, str]:

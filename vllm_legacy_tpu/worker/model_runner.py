@@ -430,6 +430,62 @@ class ModelRunner:
 
         return jax.jit(multistep, donate_argnums=(1, ))
 
+    def _build_embed_fn(self):
+        """Prefill forward + pooling for embedding models (reference:
+        worker/embedding_model_runner.py:170 + layers/pooler.py:56)."""
+        model = self.model
+        mesh = self.mesh
+        param_specs = self.model.param_specs(
+            jax.tree.map(lambda x: None, self.params))
+        cache_spec = P(None, "model", None, None, None)
+        kv_specs = (cache_spec, cache_spec)
+        rep = P()
+        md_specs = AttentionMetadata(rep, rep, rep, rep)
+
+        def sharded_fwd(params, kv_caches, tokens, positions, md):
+            hidden, kv_caches = model.forward(params, kv_caches, tokens,
+                                              positions, md)
+            pooled = model.pooler(hidden, md.query_lens)
+            return pooled, kv_caches
+
+        if np.prod(mesh.devices.shape) > 1:
+            from jax import shard_map
+            fwd = shard_map(
+                sharded_fwd, mesh=mesh,
+                in_specs=(param_specs, kv_specs, rep, rep, md_specs),
+                out_specs=(rep, kv_specs), check_vma=False)
+        else:
+            fwd = sharded_fwd
+
+        return jax.jit(fwd, donate_argnums=(1, ))
+
+    def execute_pooling(self, seq_group_metadata_list, kv_caches):
+        """Embedding-model step: one prefill pass -> PoolerOutput."""
+        from vllm_legacy_tpu.sequence import (EmbeddingSequenceGroupOutput,
+                                              PoolerOutput)
+        arrays, rows, is_prefill, b_pad = self._prepare_inputs(
+            seq_group_metadata_list)
+        assert is_prefill, "embedding models schedule prompts only"
+        md = AttentionMetadata(
+            slot_mapping=jnp.asarray(arrays["slot_mapping"]),
+            block_tables=jnp.asarray(arrays["block_tables"]),
+            context_lens=jnp.asarray(arrays["context_lens"]),
+            query_lens=jnp.asarray(arrays["query_lens"]),
+        )
+        key = "embed"
+        if key not in self._jit_step_cache:
+            self._jit_step_cache[key] = self._build_embed_fn()
+        pooled, kv_caches = self._jit_step_cache[key](
+            self.params, kv_caches, jnp.asarray(arrays["tokens"]),
+            jnp.asarray(arrays["positions"]), md)
+        pooled_np = np.asarray(jax.device_get(pooled))
+        outputs = [
+            EmbeddingSequenceGroupOutput(
+                embeddings=pooled_np[i].tolist())
+            for i in range(len(rows))
+        ]
+        return [PoolerOutput(outputs=outputs)], kv_caches
+
     def _get_step_fn(self, flags: Tuple[bool, bool, bool, bool],
                      max_logprobs: int, num_steps: int = 1):
         key = (flags, max_logprobs, num_steps)
@@ -619,6 +675,10 @@ class ModelRunner:
     ) -> Tuple[List[SamplerOutput], Tuple[jax.Array, jax.Array]]:
         """Run one (possibly multi-)step; returns one SamplerOutput per
         executed decode step (len 1 for prefill / single-step)."""
+        if seq_group_metadata_list and \
+                seq_group_metadata_list[0].pooling_params is not None:
+            return self.execute_pooling(seq_group_metadata_list,
+                                        kv_caches)
         t0 = time.perf_counter()
         arrays, rows, is_prefill, b_pad = self._prepare_inputs(
             seq_group_metadata_list)
