@@ -124,6 +124,7 @@ class ModelConfig:
         sliding_window_override: Optional[int] = None,
         embedding_mode: bool = False,
         sparse_attention: Optional[Any] = None,
+        self_extend: Optional[Any] = None,
     ) -> None:
         self.model = model
         self.tokenizer = tokenizer or model
@@ -141,6 +142,10 @@ class ModelConfig:
         # SparseAttentionConfig or None (fork HiP capability, models/
         # attention.py) — top-k block-sparse long-context decode.
         self.sparse_attention = sparse_attention
+        # (window, group) or None — self-extend RoPE (fork
+        # rope_method='self_extend'); extends usable context past the
+        # trained max by group-quantizing far relative positions.
+        self.self_extend = self_extend
 
         if hf_config is None:
             from vllm_legacy_tpu.transformers_utils.config import (

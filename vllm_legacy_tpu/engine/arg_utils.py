@@ -78,6 +78,11 @@ class EngineArgs:
     hip_k: int = 1024
     hip_dense_layers: int = 3
 
+    # Self-extend RoPE (reference env SE_WINDOW / SE_SCALE)
+    self_extend: bool = False
+    se_window: int = 1024
+    se_group: int = 8
+
     disable_log_stats: bool = False
 
     @classmethod
@@ -127,6 +132,8 @@ class EngineArgs:
             skip_tokenizer_init=self.skip_tokenizer_init,
             served_model_name=self.served_model_name,
             sparse_attention=self._sparse_attention_config(),
+            self_extend=((self.se_window, self.se_group)
+                         if self.self_extend else None),
         )
         cache_config = CacheConfig(
             block_size=self.block_size,

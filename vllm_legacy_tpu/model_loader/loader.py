@@ -64,6 +64,7 @@ def initialize_model(model_config: ModelConfig,
     # sparse long-context decode config (models read it via getattr so
     # architectures without the capability simply ignore it)
     model.sparse_config = model_config.sparse_attention
+    model.self_extend = getattr(model_config, "self_extend", None)
     return model
 
 

@@ -74,6 +74,7 @@ def attention(
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
     sparse: Optional[SparseAttentionConfig] = None,
+    self_extend=None,  # Optional[SelfExtendSpec]; q/k arrive UNROTATED
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Returns (attn output [B, L, Hq, D], updated kv cache).
 
@@ -91,6 +92,9 @@ def attention(
         v = jnp.pad(v, pad)
     lidx = jnp.asarray([layer_idx], jnp.int32)
 
+    if self_extend is not None:
+        assert sparse is None and sliding_window is None, (
+            "self-extend composes with dense global attention only")
     if l == 1:
         tables, ctx = md.block_tables, md.context_lens
         use_sparse = (sparse is not None and sliding_window is None
@@ -108,13 +112,15 @@ def attention(
         out, k_cache, v_cache = attn_ops.paged_attention_decode(
             q[:, 0], k[:, 0], v[:, 0], k_cache, v_cache, lidx,
             tables, ctx, scale=scale,
-            sliding_window=sliding_window, soft_cap=soft_cap)
+            sliding_window=sliding_window, soft_cap=soft_cap,
+            self_extend=self_extend)
         out = out[:, None]
     else:
         out, k_cache, v_cache = attn_ops.paged_attention_prefill(
             q, k, v, k_cache, v_cache, lidx, md.block_tables,
             md.query_lens, md.context_lens, scale=scale,
-            sliding_window=sliding_window, soft_cap=soft_cap)
+            sliding_window=sliding_window, soft_cap=soft_cap,
+            self_extend=self_extend)
     if d_pad != d:
         out = out[..., :d]
     return out, (k_cache, v_cache)

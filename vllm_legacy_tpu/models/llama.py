@@ -197,15 +197,18 @@ class LlamaForCausalLM:
             b * l, -1, self.head_dim)
         v = linear(xf, p["v_proj"], lora_indices=li).reshape(
             b * l, -1, self.head_dim)
-        q, k = apply_rope(q, k, q_pos, rope_cache,
-                          rotary_dim=self.head_dim)
+        se_spec = self._self_extend_spec()
+        if se_spec is None:
+            q, k = apply_rope(q, k, q_pos, rope_cache,
+                              rotary_dim=self.head_dim)
         q = q.reshape(b, l, -1, self.head_dim)
         k = k.reshape(b, l, -1, self.head_dim)
         v = v.reshape(b, l, -1, self.head_dim)
         attn_out, kv_caches = attention(
             q, k, v, kv_caches, md, scale=self.scale,
             layer_idx=layer_idx, sliding_window=self.sliding_window,
-            sparse=getattr(self, "sparse_config", None))
+            sparse=getattr(self, "sparse_config", None),
+            self_extend=se_spec)
         o = row_parallel_linear(attn_out.reshape(b * l, -1), p["o_proj"],
                                 tp_size=self.tp_size,
                                 lora_indices=lora_indices)
@@ -218,6 +221,19 @@ class LlamaForCausalLM:
                          lora_indices=lora_indices)
         hidden = down.reshape(b, l, h)
         return hidden, residual, kv_caches
+
+    def _self_extend_spec(self):
+        """Self-extend RoPE config (fork SE_SCALE/SE_WINDOW,
+        attention/backends/hip.py:109-113), set by the loader from
+        ModelConfig.self_extend as (window, group)."""
+        cfg = getattr(self, "self_extend", None)
+        if cfg is None:
+            return None
+        from vllm_legacy_tpu.ops.self_extend import SelfExtendSpec
+        window, group = cfg
+        return SelfExtendSpec(window=window, group=group,
+                              rotary_dim=self.head_dim,
+                              rope_base=self.rope_theta)
 
     def _norm(self, x, weight, residual=None):
         """RMSNorm hook; Gemma overrides with its (1+w) variant."""

@@ -32,30 +32,34 @@ def _interpret() -> bool:
 def paged_attention_decode(q, k_new, v_new, k_cache, v_cache, layer_idx,
                            block_tables, context_lens, *, scale: float,
                            sliding_window: Optional[int] = None,
-                           soft_cap: Optional[float] = None):
+                           soft_cap: Optional[float] = None,
+                           self_extend=None):
     if _use_xla():
         return xla_attention.paged_attention_decode(
             q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
             context_lens, scale=scale, sliding_window=sliding_window,
-            soft_cap=soft_cap)
+            soft_cap=soft_cap, self_extend=self_extend)
     return pallas_attn.paged_attention_decode(
         q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
         context_lens, scale=scale, sliding_window=sliding_window,
-        soft_cap=soft_cap, interpret=_interpret())
+        soft_cap=soft_cap, interpret=_interpret(),
+        self_extend=self_extend)
 
 
 def paged_attention_prefill(q, k_new, v_new, k_cache, v_cache, layer_idx,
                             block_tables, query_lens, context_lens, *,
                             scale: float,
                             sliding_window: Optional[int] = None,
-                            soft_cap: Optional[float] = None):
+                            soft_cap: Optional[float] = None,
+                            self_extend=None):
     if _use_xla():
         return xla_attention.paged_attention(
             q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
             query_lens, context_lens, scale=scale,
-            sliding_window=sliding_window, soft_cap=soft_cap)
+            sliding_window=sliding_window, soft_cap=soft_cap,
+            self_extend=self_extend)
     return pallas_attn.paged_attention(
         q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
         query_lens, context_lens, scale=scale,
         sliding_window=sliding_window, soft_cap=soft_cap,
-        interpret=_interpret())
+        interpret=_interpret(), self_extend=self_extend)

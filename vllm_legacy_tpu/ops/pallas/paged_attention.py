@@ -35,12 +35,14 @@ Alignment invariants (validated by the caller):
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from vllm_legacy_tpu.ops.self_extend import rope_rows
 
 _NEG_INF = float(-2.0**30)  # finite sentinel: avoids -inf - -inf = nan
 
@@ -79,6 +81,10 @@ def _attention_kernel(
     l_pad: int,
     sliding_window: Optional[int],
     soft_cap: Optional[float],
+    self_extend: Optional[Tuple[int, int]] = None,
+    rope_base: float = 10000.0,
+    rotary_dim: int = 0,
+    rope_neox: bool = True,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -185,6 +191,21 @@ def _attention_kernel(
         q = q_ref[...].reshape(g * bq, d).astype(jnp.float32) * scale
         row = jax.lax.broadcasted_iota(jnp.int32, (g * bq, 1), 0)
         q_pos = q_base + row % bq  # [G*BQ, 1]
+        if self_extend is not None:
+            # self-extend: q/k arrive UNROTATED; rotate copies at
+            # normal and group-quantized positions (ops/self_extend.py).
+            # inv_freq is built from an iota — pallas kernels cannot
+            # capture array constants.
+            w_se, g_se = self_extend
+            import math as _math
+            # int iota then cast: Mosaic has no float iota lowering
+            exps = jax.lax.broadcasted_iota(
+                jnp.int32, (1, rotary_dim // 2), 1).astype(
+                    jnp.float32) * (2.0 / rotary_dim)
+            inv = jnp.exp(exps * (-_math.log(rope_base)))  # [1, rd/2]
+            q_n = rope_rows(q, q_pos[:, 0], inv, rotary_dim, rope_neox)
+            q_g = rope_rows(q, q_pos[:, 0] // g_se + (w_se - w_se // g_se),
+                            inv, rotary_dim, rope_neox)
 
         start_fetch(first_sb, 0)
 
@@ -252,14 +273,27 @@ def _attention_kernel(
             k = jnp.where(valid, k, 0.0)
             v = jnp.where(valid, v, 0.0)
 
-            s = jax.lax.dot_general(
-                q, k, (((1, ), (1, )), ((), ())),
-                preferred_element_type=jnp.float32)  # [G*BQ, SB]
+            kv_pos = sb_idx * sb + jax.lax.broadcasted_iota(
+                jnp.int32, (1, sb), 1)  # [1, SB]
+            if self_extend is None:
+                s = jax.lax.dot_general(
+                    q, k, (((1, ), (1, )), ((), ())),
+                    preferred_element_type=jnp.float32)  # [G*BQ, SB]
+            else:
+                k_n = rope_rows(k, kv_pos[0], inv, rotary_dim,
+                                rope_neox)
+                k_g = rope_rows(k, kv_pos[0] // g_se, inv, rotary_dim,
+                                rope_neox)
+                s_n = jax.lax.dot_general(
+                    q_n, k_n, (((1, ), (1, )), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s_g = jax.lax.dot_general(
+                    q_g, k_g, (((1, ), (1, )), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s = jnp.where(q_pos - kv_pos <= w_se, s_n, s_g)
             if soft_cap is not None:
                 s = soft_cap * jnp.tanh(s / soft_cap)
 
-            kv_pos = sb_idx * sb + jax.lax.broadcasted_iota(
-                jnp.int32, (1, sb), 1)  # [1, SB]
             mask = (kv_pos <= q_pos) & (kv_pos < ctx)
             if sliding_window is not None:
                 mask &= kv_pos > (q_pos - sliding_window)
@@ -288,7 +322,7 @@ def _attention_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "soft_cap", "bq", "kblk",
-                     "interpret"),
+                     "interpret", "self_extend"),
 )
 def paged_attention(
     q: jax.Array,  # [B, L_pad, num_q_heads, head_size]
@@ -307,6 +341,7 @@ def paged_attention(
     bq: int = 128,
     kblk: int = 8,
     interpret: bool = False,
+    self_extend=None,  # Optional[SelfExtendSpec]; q/k_new UNROTATED
 ):
     """Fused cache-write + attention.
 
@@ -334,6 +369,14 @@ def paged_attention(
     grid = (batch, num_kv_heads, num_q_blocks)
     wch = max(l_pad // block_size, 1)
 
+    se_kwargs = {}
+    if self_extend is not None:
+        se_kwargs = dict(
+            self_extend=(self_extend.window, self_extend.group),
+            rope_base=float(self_extend.rope_base),
+            rotary_dim=self_extend.rotary_dim,
+            rope_neox=self_extend.neox,
+        )
     kernel = functools.partial(
         _attention_kernel,
         scale=scale,
@@ -343,6 +386,7 @@ def paged_attention(
         l_pad=l_pad,
         sliding_window=sliding_window,
         soft_cap=soft_cap,
+        **se_kwargs,
     )
 
     def kernel_5d(lr, bt, cl, ql, q5, kn4, vn4, kc, vc, o5, ko, vo, kb,
@@ -417,6 +461,7 @@ def paged_attention_decode(
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
     interpret: bool = False,
+    self_extend=None,
 ):
     """Decode = the unified kernel with one new token per sequence."""
     batch = q.shape[0]
@@ -435,6 +480,7 @@ def paged_attention_decode(
         soft_cap=soft_cap,
         bq=1,
         interpret=interpret,
+        self_extend=self_extend,
     )
     return out[:, 0], k_cache, v_cache
 

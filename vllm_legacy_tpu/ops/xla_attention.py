@@ -83,6 +83,7 @@ def paged_attention(
     scale: float,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
+    self_extend=None,  # Optional[SelfExtendSpec]; q/k arrive UNROTATED
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Causal prefill/decode attention reading KV from the paged cache
     after writing the new rows (capability of paged_attention_v1/v2 +
@@ -108,12 +109,29 @@ def paged_attention(
     def one_seq(q_b, table_b, qlen_b, ctx_b):
         k = _gather_kv(k4, table_b).astype(jnp.float32)
         v = _gather_kv(v4, table_b).astype(jnp.float32)
-        qg = q_b.reshape(l_pad, num_kv_heads, group, -1).astype(
+        qh = q_b.reshape(l_pad, num_kv_heads, group, -1).astype(
             jnp.float32)
-        s = jnp.einsum("ihgd,hld->hgil", qg * scale, k)
-        s = _apply_soft_cap(s, soft_cap)
         q_pos = ctx_b - qlen_b + jnp.arange(l_pad)
         kv_pos = jnp.arange(max_len)
+        if self_extend is None:
+            s = jnp.einsum("ihgd,hld->hgil", qh * scale, k)
+        else:
+            from vllm_legacy_tpu.ops.self_extend import (
+                grouped_k_pos, grouped_q_pos, inv_freq_array, rope_rows)
+            se = self_extend
+            inv = jnp.asarray(inv_freq_array(se))
+            qt = qh.transpose(1, 2, 0, 3)  # [h, g, L, d]
+            qn = rope_rows(qt, q_pos, inv, se.rotary_dim, se.neox)
+            qg_ = rope_rows(qt, grouped_q_pos(q_pos, se), inv,
+                            se.rotary_dim, se.neox)
+            kn = rope_rows(k, kv_pos, inv, se.rotary_dim, se.neox)
+            kg = rope_rows(k, grouped_k_pos(kv_pos, se), inv,
+                           se.rotary_dim, se.neox)
+            sa = jnp.einsum("hgid,hld->hgil", qn * scale, kn)
+            sb = jnp.einsum("hgid,hld->hgil", qg_ * scale, kg)
+            rel = q_pos[:, None] - kv_pos[None, :]  # [L, max_len]
+            s = jnp.where(rel[None, None] <= se.window, sa, sb)
+        s = _apply_soft_cap(s, soft_cap)
         mask = kv_pos[None, :] <= q_pos[:, None]
         mask &= kv_pos[None, :] < ctx_b
         if sliding_window is not None:
@@ -132,13 +150,14 @@ def paged_attention(
 
 def paged_attention_decode(q, k_new, v_new, k_cache, v_cache, layer_idx,
                            block_tables, context_lens, *, scale,
-                           sliding_window=None, soft_cap=None):
+                           sliding_window=None, soft_cap=None,
+                           self_extend=None):
     batch = q.shape[0]
     out, k_cache, v_cache = paged_attention(
         q[:, None], k_new[:, None], v_new[:, None], k_cache, v_cache,
         layer_idx, block_tables, jnp.ones((batch, ), jnp.int32),
         context_lens, scale=scale, sliding_window=sliding_window,
-        soft_cap=soft_cap)
+        soft_cap=soft_cap, self_extend=self_extend)
     return out[:, 0], k_cache, v_cache
 
 
