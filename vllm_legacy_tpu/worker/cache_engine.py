@@ -61,14 +61,18 @@ def compute_num_blocks(
     parallel_config: ParallelConfig,
     *,
     activation_headroom: float = 0.05,
+    extra_block_bytes: int = 0,
 ) -> Tuple[int, int]:
     """Deterministic TPU replacement for the reference's empirical memory
-    profiling: (HBM * utilization - params - headroom) / block_bytes."""
+    profiling: (HBM * utilization - params - headroom) / block_bytes.
+    ``extra_block_bytes`` adds per-block cost of secondary caches (the
+    spec-decode draft model's KV shares the target's block tables)."""
     budget = int(available_hbm_bytes * cache_config.hbm_utilization)
     budget -= param_bytes
     budget -= int(available_hbm_bytes * activation_headroom)
     block_bytes = get_cache_block_size(cache_config, model_config,
                                        parallel_config)
+    block_bytes += extra_block_bytes
     num_gpu_blocks = max(budget // block_bytes, 0)
     num_cpu_blocks = int(cache_config.swap_space_bytes // block_bytes)
     return int(num_gpu_blocks), int(num_cpu_blocks)

@@ -507,6 +507,109 @@ class ModelRunner:
     # :372 + batch_expansion.py — here one jitted call with per-sequence
     # query lengths instead of batch expansion)
     # ------------------------------------------------------------------
+    def _build_propose_fn(self, num_spec: int):
+        """Draft-model proposal step (reference: spec_decode/
+        multi_step_worker.py MultiStepWorker + top1_proposer.py): one
+        ragged catch-up forward over the tokens accepted since the last
+        call, then num_spec-1 greedy single-token decodes — all inside
+        one jitted call so the whole K-token proposal costs a single
+        host round-trip."""
+        model = self.model
+        mesh = self.mesh
+        param_specs = self.model.param_specs(
+            jax.tree.map(lambda x: None, self.params))
+        cache_spec = P(None, "model", None, None, None)
+        kv_specs = (cache_spec, cache_spec)
+        rep = P()
+        md_specs = AttentionMetadata(rep, rep, rep, rep)
+
+        def sharded_fwd(params, kv_caches, tokens, positions, md, sel):
+            hidden, kv_caches = model.forward(params, kv_caches, tokens,
+                                              positions, md)
+            bsz, ln, hd = hidden.shape
+            logits = model.compute_logits(params,
+                                          hidden.reshape(bsz * ln,
+                                                         hd)[sel])
+            return logits, kv_caches
+
+        if np.prod(mesh.devices.shape) > 1:
+            from jax import shard_map
+            fwd = shard_map(
+                sharded_fwd, mesh=mesh,
+                in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep),
+                out_specs=(rep, kv_specs), check_vma=False)
+        else:
+            fwd = sharded_fwd
+
+        def propose(params, kv_caches, tokens, positions, md, sel):
+            b = tokens.shape[0]
+            valid = md.query_lens > 0
+            logits, kv_caches = fwd(params, kv_caches, tokens, positions,
+                                    md, sel)  # [B, V] last-row logits
+            first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            out = jnp.zeros((b, num_spec), jnp.int32)
+            out = out.at[:, 0].set(first)
+
+            def body(i, carry):
+                kv_caches, tok, pos, ctx, out = carry
+                md_i = AttentionMetadata(
+                    md.slot_mapping, md.block_tables,
+                    jnp.where(valid, ctx, 0),
+                    jnp.where(valid, 1, 0).astype(jnp.int32))
+                lg, kv_caches = fwd(params, kv_caches, tok[:, None],
+                                    pos[:, None], md_i,
+                                    jnp.arange(b, dtype=jnp.int32))
+                nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                out = out.at[:, i + 1].set(nxt)
+                return kv_caches, nxt, pos + 1, ctx + 1, out
+
+            # proposal token i sits at position ctx + i - 1 (the
+            # catch-up already covers positions up to ctx - 1)
+            pos0 = md.context_lens
+            ctx0 = md.context_lens + 1
+            kv_caches, _, _, _, out = jax.lax.fori_loop(
+                0, num_spec - 1, body,
+                (kv_caches, first, pos0, ctx0, out))
+            return kv_caches, out
+
+        return jax.jit(propose, donate_argnums=(1, ))
+
+    def execute_propose(self, rows, kv_caches, num_spec: int):
+        """rows: list of (tokens_to_catch_up, start_pos, ctx, table).
+        Returns (proposals [n, num_spec] np.ndarray, kv_caches)."""
+        n = len(rows)
+        b_pad = pad_to_bucket(n)
+        l_pad = next_power_of_2(num_spec + 1)
+        tokens = np.zeros((b_pad, l_pad), np.int32)
+        positions = np.zeros((b_pad, l_pad), np.int32)
+        ctx_arr = np.zeros((b_pad, ), np.int32)
+        qlen_arr = np.zeros((b_pad, ), np.int32)
+        tables = np.zeros((b_pad, self.max_blocks_per_seq), np.int32)
+        sel = np.zeros((b_pad, ), np.int32)
+        for i, (toks, start, ctx, bt) in enumerate(rows):
+            ql = len(toks)
+            assert 0 < ql <= l_pad
+            tokens[i, :ql] = toks
+            positions[i, :ql] = range(start, start + ql)
+            ctx_arr[i] = ctx
+            qlen_arr[i] = ql
+            tables[i, :len(bt)] = bt
+            sel[i] = i * l_pad + ql - 1
+        md = AttentionMetadata(
+            slot_mapping=jnp.zeros((b_pad * l_pad, ), jnp.int32),
+            block_tables=jnp.asarray(tables),
+            context_lens=jnp.asarray(ctx_arr),
+            query_lens=jnp.asarray(qlen_arr),
+        )
+        cache_key = ("propose", num_spec, b_pad)
+        if cache_key not in self._jit_step_cache:
+            self._jit_step_cache[cache_key] = self._build_propose_fn(
+                num_spec)
+        kv_caches, out = self._jit_step_cache[cache_key](
+            self.params, kv_caches, jnp.asarray(tokens),
+            jnp.asarray(positions), md, jnp.asarray(sel))
+        return np.asarray(jax.device_get(out))[:n], kv_caches
+
     def _build_spec_fn(self, num_spec: int, greedy: bool):
         from vllm_legacy_tpu.spec_decode.rejection_sampler import (
             verify_greedy, verify_stochastic)

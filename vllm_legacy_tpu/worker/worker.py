@@ -52,6 +52,7 @@ class Worker:
         # create_spec_worker :27 — here the proposer plugs into the
         # same worker; scoring runs as a ragged-qlen model call).
         self.spec_proposer = None
+        self.draft_proposer = None
         self.num_spec_tokens = 0
         spec = cfg.speculative_config
         if spec is not None and spec.method == "ngram":
@@ -61,10 +62,19 @@ class Worker:
                 spec.ngram_prompt_lookup_max,
                 spec.num_speculative_tokens)
             self.num_spec_tokens = spec.num_speculative_tokens
+        elif spec is not None and spec.method == "draft_model":
+            from vllm_legacy_tpu.spec_decode.draft_model import (
+                DraftModelProposer)
+            self.draft_proposer = DraftModelProposer(
+                spec, self.parallel_config, self.scheduler_config,
+                self.cache_config, self.mesh)
+            self.num_spec_tokens = spec.num_speculative_tokens
 
     # -- bring-up -------------------------------------------------------
     def load_model(self) -> None:
         self.model_runner.load_model(self.load_config.load_format)
+        if self.draft_proposer is not None:
+            self.draft_proposer.load_model(self.load_config.load_format)
         if getattr(self, "_lora_config", None) is not None:
             from vllm_legacy_tpu.lora.models import LoRAManager
             if len(self.mesh.devices.flatten()) > 1:
@@ -83,10 +93,19 @@ class Worker:
         # Per-device param bytes: total / world size (sharded weights).
         world = max(len(self.mesh.devices.flatten()), 1)
         param_bytes = self.model_runner.param_bytes() // world
-        num_tpu, num_cpu = compute_num_blocks(hbm, param_bytes,
-                                              self.cache_config,
-                                              self.model_config,
-                                              self.parallel_config)
+        extra_block_bytes = 0
+        if self.draft_proposer is not None:
+            # the draft's KV cache shares block tables with the target,
+            # so every block costs target + draft bytes
+            from vllm_legacy_tpu.worker.cache_engine import (
+                get_cache_block_size)
+            param_bytes += self.draft_proposer.param_bytes() // world
+            extra_block_bytes = get_cache_block_size(
+                self.cache_config, self.draft_proposer.model_config,
+                self.parallel_config)
+        num_tpu, num_cpu = compute_num_blocks(
+            hbm, param_bytes, self.cache_config, self.model_config,
+            self.parallel_config, extra_block_bytes=extra_block_bytes)
         if self.cache_config.num_tpu_blocks_override is not None:
             num_tpu = self.cache_config.num_tpu_blocks_override
         return num_tpu, num_cpu
@@ -95,6 +114,8 @@ class Worker:
                          num_cpu_blocks: int) -> None:
         self.cache_config.num_tpu_blocks = num_tpu_blocks
         self.cache_config.num_cpu_blocks = num_cpu_blocks
+        if self.draft_proposer is not None:
+            self.draft_proposer.initialize_cache()
         self.cache_engine = CacheEngine(self.cache_config,
                                         self.model_config,
                                         self.parallel_config, self.mesh)
@@ -128,6 +149,28 @@ class Worker:
                 self.model_runner.set_lora_params(
                     self.lora_manager.device_lora_params()
                     if self.lora_manager.stacks else None)
+        if (self.draft_proposer is not None
+                and metas[0].pooling_params is None
+                and not any(s >= 0 for s in lora_slots)):
+            if metas[0].is_prompt:
+                outputs, new_caches = self.model_runner.execute_model(
+                    metas, self.cache_engine.gpu_cache)
+                self.cache_engine.gpu_cache = new_caches
+                # mirror the prompt into the draft KV cache
+                self.draft_proposer.on_prefill(metas)
+                return outputs
+            speculatable = all(
+                m.sampling_params is None
+                or (not m.sampling_params.use_beam_search
+                    and m.sampling_params.best_of == 1)
+                for m in metas)
+            if speculatable:
+                proposals = self.draft_proposer.propose(metas)
+                outputs, new_caches = self.model_runner.execute_spec(
+                    metas, self.cache_engine.gpu_cache, proposals,
+                    self.num_spec_tokens)
+                self.cache_engine.gpu_cache = new_caches
+                return outputs
         if (self.spec_proposer is not None and not metas[0].is_prompt
                 and not any(s >= 0 for s in lora_slots)):
             proposals = []
