@@ -205,10 +205,23 @@ class Sequence:
 
     def hash_of_block(self, logical_idx: int) -> int:
         """Content hash of block prefix [0, logical_idx] for prefix caching
-        (reference: Sequence.hash_of_block, sequence.py:281)."""
-        num_tokens = self.num_hashed_tokens_of_block(logical_idx)
-        hashed = self.data.get_prefix_token_ids(num_tokens)
-        return hash((hashed, self.lora_int_id))
+        (reference: Sequence.hash_of_block, sequence.py:281 — which
+        re-hashes the whole prefix per block, O(prompt^2); here an
+        incremental native FNV chain, O(block) per block and process-
+        stable, csrc/vlt_host.cpp)."""
+        from vllm_legacy_tpu.native import hash_block_chain, hash_seed
+        chain = getattr(self, "_hash_chain", None)
+        if chain is None:
+            chain = self._hash_chain = [hash_seed(self.lora_int_id)]
+        if logical_idx + 1 < len(chain):
+            return chain[logical_idx + 1]
+        tokens = self.data.get_token_ids()
+        bs = self.block_size
+        for b in range(len(chain) - 1, logical_idx + 1):
+            chain.append(
+                hash_block_chain(chain[-1],
+                                 tokens[b * bs:(b + 1) * bs]))
+        return chain[logical_idx + 1]
 
     def num_hashed_tokens_of_block(self, logical_idx: int) -> int:
         return logical_idx * self.block_size + self.block_size

@@ -17,24 +17,8 @@ class NGramProposer:
         self.k = num_speculative_tokens
 
     def propose(self, token_ids: List[int]) -> Optional[List[int]]:
-        """Return up to k proposed continuation tokens, or None."""
-        arr = np.asarray(token_ids, dtype=np.int64)
-        n_tokens = len(arr)
-        if n_tokens < self.ngram_min + 1:
-            return None
-        for n in range(min(self.ngram_max, n_tokens - 1),
-                       self.ngram_min - 1, -1):
-            pattern = arr[-n:]
-            # most recent earlier occurrence of the trailing n-gram
-            windows = np.lib.stride_tricks.sliding_window_view(
-                arr[:-1], n)
-            matches = np.all(windows == pattern, axis=1)
-            idx = np.flatnonzero(matches)
-            if idx.size == 0:
-                continue
-            start = int(idx[-1]) + n
-            proposal = arr[start:start + self.k]
-            if proposal.size == 0:
-                continue
-            return [int(t) for t in proposal]
-        return None
+        """Return up to k proposed continuation tokens, or None
+        (native scan in csrc/vlt_host.cpp, Python fallback inside)."""
+        from vllm_legacy_tpu.native import ngram_propose
+        return ngram_propose(token_ids, self.ngram_min, self.ngram_max,
+                             self.k)
