@@ -86,6 +86,30 @@ def test_openai_server_endpoints(tiny_llama_path):
             assert body["object"] == "chat.completion"
             assert body["choices"][0]["message"]["role"] == "assistant"
 
+            # guided decoding: choice constraint (token-level; the tiny
+            # test tokenizer's decode may insert spaces)
+            r = await client.post("/v1/completions", json={
+                "model": tiny_llama_path,
+                "prompt": "Hello",
+                "max_tokens": 8,
+                "temperature": 1.0,
+                "seed": 5,
+                "guided_choice": ["thequick", "brownfox"],
+            })
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            text = body["choices"][0]["text"].replace(" ", "")
+            assert text in ("thequick", "brownfox"), text
+
+            # guided grammar is rejected with a clear error
+            r = await client.post("/v1/completions", json={
+                "model": tiny_llama_path,
+                "prompt": "x",
+                "max_tokens": 2,
+                "guided_grammar": "root ::= 'a'",
+            })
+            assert r.status == 400
+
             # wrong model -> 404
             r = await client.post("/v1/completions", json={
                 "model": "does-not-exist",

@@ -19,7 +19,8 @@ BLOCK_SIZE = 16
 HEAD_SIZE = 128
 
 
-def dense_oracle(q, k, v, q_lens, ctx_lens, scale, window=None, cap=None):
+def dense_oracle(q, k, v, q_lens, ctx_lens, scale, window=None, cap=None,
+                 alibi=None):
     """Numpy full-attention oracle. q: [B, L, Hq, D]; k/v: [B, C, Hkv, D]."""
     b, l_pad, hq, d = q.shape
     hkv = k.shape[2]
@@ -35,6 +36,8 @@ def dense_oracle(q, k, v, q_lens, ctx_lens, scale, window=None, cap=None):
                 if cap is not None:
                     s = cap * np.tanh(s / cap)
                 pos = np.arange(kv.shape[0])
+                if alibi is not None:
+                    s = s + alibi[h] * (pos - q_pos)
                 mask = pos <= q_pos
                 if window is not None:
                     mask &= pos > q_pos - window
@@ -216,3 +219,55 @@ def test_write_to_kv_cache_stacked_layer():
     assert (k2[1, :, 0, 3] == 5.0).all()
     assert (k2[1, :, 2, 8] == 5.0).all()  # slot 40 = block 2, off 8
     assert k2[0].sum() == 0 and k2[2].sum() == 0  # other layers untouched
+
+@pytest.mark.parametrize("hq,hkv", [(8, 8), (8, 2)])
+@pytest.mark.parametrize("phase", ["decode", "prefill"])
+def test_alibi_vs_oracle(hq, hkv, phase):
+    """ALiBi bias (reference: attention_kernels.cu alibi_slope path,
+    used by MPT/Bloom/Baichuan-13B/Jais)."""
+    scale = HEAD_SIZE**-0.5
+    if phase == "decode":
+        q_lens, ctx_lens = [1, 1, 1], [1, 33, 100]
+    else:
+        q_lens, ctx_lens = [7, 16], [7, 32]
+    batch = len(q_lens)
+    (q, k_new, v_new, k_cache, v_cache, tables, k_full,
+     v_full) = build_case(11, batch, q_lens, ctx_lens, hkv, hq, 64)
+    ql = jnp.asarray(q_lens, jnp.int32)
+    cl = jnp.asarray(ctx_lens, jnp.int32)
+    lidx = jnp.zeros((1, ), jnp.int32)
+    slopes = np.geomspace(0.5, 1.0 / 256, hq).astype(np.float32)
+    slopes_j = jnp.asarray(slopes)
+
+    if phase == "decode":
+        got_x, _, _ = xla_attention.paged_attention_decode(
+            q[:, 0], k_new[:, 0], v_new[:, 0], k_cache, v_cache, lidx,
+            tables, cl, scale=scale, alibi_slopes=slopes_j)
+        got_p, _, _ = pallas_attn.paged_attention_decode(
+            q[:, 0], k_new[:, 0], v_new[:, 0], k_cache, v_cache, lidx,
+            tables, cl, scale=scale, interpret=True,
+            alibi_slopes=slopes_j)
+        got_x, got_p = got_x[:, None], got_p[:, None]
+    else:
+        got_x, _, _ = xla_attention.paged_attention(
+            q, k_new, v_new, k_cache, v_cache, lidx, tables, ql, cl,
+            scale=scale, alibi_slopes=slopes_j)
+        got_p, _, _ = pallas_attn.paged_attention(
+            q, k_new, v_new, k_cache, v_cache, lidx, tables, ql, cl,
+            scale=scale, interpret=True, alibi_slopes=slopes_j)
+
+    max_ctx = max(ctx_lens)
+    kd = np.zeros((batch, max_ctx, hkv, HEAD_SIZE), np.float32)
+    vd = np.zeros_like(kd)
+    for i in range(batch):
+        kd[i, :ctx_lens[i]] = k_full[i, :ctx_lens[i]]
+        vd[i, :ctx_lens[i]] = v_full[i, :ctx_lens[i]]
+    want = dense_oracle(np.asarray(q), kd, vd, q_lens, ctx_lens, scale,
+                        alibi=slopes)
+    for i in range(batch):
+        np.testing.assert_allclose(
+            np.asarray(got_x)[i, :q_lens[i]], want[i, :q_lens[i]],
+            atol=2e-5, rtol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(got_p)[i, :q_lens[i]], want[i, :q_lens[i]],
+            atol=2e-5, rtol=2e-5)

@@ -90,6 +90,12 @@ class CompletionRequest(OpenAIBaseModel):
     min_tokens: Optional[int] = 0
     skip_special_tokens: Optional[bool] = True
     spaces_between_special_tokens: Optional[bool] = True
+    # guided decoding (reference: protocol.py guided_* extensions)
+    guided_json: Optional[Union[str, dict]] = None
+    guided_regex: Optional[str] = None
+    guided_choice: Optional[List[str]] = None
+    guided_grammar: Optional[str] = None
+    response_format: Optional[Dict[str, str]] = None
 
     def to_sampling_params(self) -> SamplingParams:
         return SamplingParams(
@@ -157,6 +163,12 @@ class ChatCompletionRequest(OpenAIBaseModel):
     echo: Optional[bool] = False
     add_generation_prompt: Optional[bool] = True
     chat_template: Optional[str] = None
+    # guided decoding (reference: protocol.py guided_* extensions)
+    guided_json: Optional[Union[str, dict]] = None
+    guided_regex: Optional[str] = None
+    guided_choice: Optional[List[str]] = None
+    guided_grammar: Optional[str] = None
+    response_format: Optional[Dict[str, str]] = None
 
     def to_sampling_params(self) -> SamplingParams:
         logprobs = self.top_logprobs if self.logprobs else None

@@ -70,6 +70,7 @@ class OpenAIServingChat(OpenAIServing):
         try:
             prompt = self._apply_chat_template(request)
             sampling_params = request.to_sampling_params()
+            await self._maybe_set_guided_fsm(request, sampling_params)
             prompt_ids, prompt_text = self._validate_prompt_and_tokenize(
                 request, prompt=prompt)
         except ValueError as e:

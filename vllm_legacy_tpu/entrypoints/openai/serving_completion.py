@@ -41,6 +41,7 @@ class OpenAIServingCompletion(OpenAIServing):
 
         try:
             sampling_params = request.to_sampling_params()
+            await self._maybe_set_guided_fsm(request, sampling_params)
             prompts = parse_and_batch_prompt(request.prompt)
             generators: List[AsyncIterator[RequestOutput]] = []
             prompt_text_by_idx: Dict[int, str] = {}

@@ -68,6 +68,32 @@ class OpenAIServing:
                                        status_code).model_dump()
         })
 
+    async def _maybe_set_guided_fsm(self, request, sampling_params) -> None:
+        """Attach a guided-decoding TokenFSM for the request's guided_*
+        fields / response_format (reference: serving layer calling
+        get_guided_decoding_logits_processor). FSM compilation can take
+        seconds for big schemas, so it runs off the event loop; results
+        are cached per (pattern, tokenizer)."""
+        import asyncio
+
+        from vllm_legacy_tpu.guided_decoding import get_guided_fsm
+        rf = getattr(request, "response_format", None)
+        json_object = bool(rf and rf.get("type") == "json_object")
+        if not (request.guided_json or request.guided_regex
+                or request.guided_choice or request.guided_grammar
+                or json_object):
+            return
+        fsm = await asyncio.to_thread(
+            get_guided_fsm,
+            self.tokenizer,
+            guided_regex=request.guided_regex,
+            guided_json=request.guided_json,
+            guided_choice=request.guided_choice,
+            guided_grammar=request.guided_grammar,
+            json_object=json_object,
+        )
+        sampling_params.guided_fsm = fsm
+
     async def _check_model(self, request) -> Optional[ErrorResponse]:
         if request.model in self.served_model_names:
             return None

@@ -52,6 +52,8 @@ def compute_logits(params,
                                     tiled=True)
     else:
         logits = logits_local
+    if "bias" in params:  # GPT-J / Phi lm_head carries a bias
+        logits = logits + params["bias"].astype(jnp.float32)
     if logit_scale != 1.0:
         logits = logits * logit_scale
     if soft_cap is not None:

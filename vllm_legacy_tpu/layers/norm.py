@@ -30,16 +30,18 @@ def rms_norm(x: jax.Array,
 
 
 def layer_norm(x: jax.Array,
-               weight: jax.Array,
+               weight: Optional[jax.Array],
                bias: Optional[jax.Array] = None,
                *,
                eps: float = 1e-5) -> jax.Array:
+    """weight=None -> non-parametric LayerNorm (OLMo)."""
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     out = (xf - mean) * jax.lax.rsqrt(var + eps)
-    out = out * weight.astype(jnp.float32)
+    if weight is not None:
+        out = out * weight.astype(jnp.float32)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(orig_dtype)

@@ -96,6 +96,30 @@ def build_cos_sin_cache(
         inv_freq = np.where((wavelen >= high_wl) & (wavelen <= low_wl), mid,
                             new_freq)
         t = np.arange(t_max, dtype=np.float64)
+    elif scaling_type in ("su", "longrope"):
+        # Phi-3 su-scaled rope (reference: rotary_embedding.py
+        # Phi3SuScaledRotaryEmbedding :422): per-dim long/short factors;
+        # positions < original_max use the short factors.
+        orig_max = int((rope_scaling or {}).get(
+            "original_max_position_embeddings", max_position))
+        short = np.asarray((rope_scaling or {}).get(
+            "short_factor", [1.0] * (rotary_dim // 2)), np.float64)
+        long = np.asarray((rope_scaling or {}).get(
+            "long_factor", [1.0] * (rotary_dim // 2)), np.float64)
+        scale = max_position / orig_max
+        if scale <= 1.0:
+            mscale = 1.0
+        else:
+            mscale = math.sqrt(1 + math.log(scale) / math.log(orig_max))
+        inv_short = compute_inv_freq(rotary_dim, base) / short
+        inv_long = compute_inv_freq(rotary_dim, base) / long
+        t = np.arange(t_max, dtype=np.float64)
+        freqs_s = np.einsum("i,j->ij", t, inv_short)
+        freqs_l = np.einsum("i,j->ij", t, inv_long)
+        freqs = np.where(t[:, None] < orig_max, freqs_s, freqs_l)
+        cos = np.cos(freqs) * mscale
+        sin = np.sin(freqs) * mscale
+        return np.concatenate([cos, sin], axis=-1).astype(np.float32)
     else:
         t = np.arange(t_max, dtype=np.float64)
         inv_freq = compute_inv_freq(rotary_dim, base)

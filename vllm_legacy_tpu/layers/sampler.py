@@ -158,6 +158,7 @@ def sample(
     do_min_p: bool = False,
     all_greedy: bool = False,
     max_logprobs: int = 0,
+    token_mask: Optional[jax.Array] = None,  # [B, V] bool, True = allowed
 ) -> Tuple[jax.Array, jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """Returns (sampled_ids [B], logprob of sampled [B],
     (top_logprob_vals, top_logprob_ids) [B, max_logprobs] or None).
@@ -165,7 +166,15 @@ def sample(
     The boolean flags are STATIC jit specializations: the full-vocab
     sort behind top-k/p costs tens of ms on TPU, so the all-greedy /
     plain-temperature fast paths must never trace it (the reference's
-    analogous skip: sampler.py _apply_top_k_top_p gating)."""
+    analogous skip: sampler.py _apply_top_k_top_p gating).
+
+    ``token_mask`` carries guided-decoding FSM masks and min-tokens
+    EOS/stop-token suppression (reference: sampler.py
+    _apply_min_tokens_penalty :153 and the guided logits processors) —
+    applied before everything else so logprobs reflect the constrained
+    distribution."""
+    if token_mask is not None:
+        logits = jnp.where(token_mask, logits, -jnp.inf)
     if do_penalties:
         logits = apply_penalties(logits, st)
 

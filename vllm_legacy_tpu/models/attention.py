@@ -75,6 +75,7 @@ def attention(
     soft_cap: Optional[float] = None,
     sparse: Optional[SparseAttentionConfig] = None,
     self_extend=None,  # Optional[SelfExtendSpec]; q/k arrive UNROTATED
+    alibi_slopes: Optional[jax.Array] = None,  # [Hq(local)] f32
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Returns (attn output [B, L, Hq, D], updated kv cache).
 
@@ -113,14 +114,14 @@ def attention(
             q[:, 0], k[:, 0], v[:, 0], k_cache, v_cache, lidx,
             tables, ctx, scale=scale,
             sliding_window=sliding_window, soft_cap=soft_cap,
-            self_extend=self_extend)
+            self_extend=self_extend, alibi_slopes=alibi_slopes)
         out = out[:, None]
     else:
         out, k_cache, v_cache = attn_ops.paged_attention_prefill(
             q, k, v, k_cache, v_cache, lidx, md.block_tables,
             md.query_lens, md.context_lens, scale=scale,
             sliding_window=sliding_window, soft_cap=soft_cap,
-            self_extend=self_extend)
+            self_extend=self_extend, alibi_slopes=alibi_slopes)
     if d_pad != d:
         out = out[..., :d]
     return out, (k_cache, v_cache)

@@ -40,8 +40,8 @@ class GemmaForCausalLM(LlamaForCausalLM):
             or getattr(hf_config, "hidden_act", "gelu_pytorch_tanh")
         self.embed_scale = self.hidden_size**0.5
 
-    def _norm(self, x, weight, residual=None):
-        return _gemma_rms_norm(x, weight, eps=self.rms_eps,
+    def _norm(self, x, norm_params, residual=None):
+        return _gemma_rms_norm(x, norm_params["weight"], eps=self.rms_eps,
                                residual=residual)
 
     def _mlp(self, p, xf, lora_indices=None):

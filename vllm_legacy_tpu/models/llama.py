@@ -59,6 +59,7 @@ class LlamaForCausalLM:
         self.rope_scaling = getattr(c, "rope_scaling", None)
         self.max_position = getattr(c, "max_position_embeddings", 4096)
         self.sliding_window = getattr(c, "sliding_window", None)
+        self.rotary_dim = self.head_dim  # partial-rotary models override
         self.attention_bias = bool(
             getattr(c, "attention_bias", False)
             or getattr(c, "use_qkv_bias", False)
@@ -112,7 +113,7 @@ class LlamaForCausalLM:
         }
 
     def make_rope_cache(self) -> np.ndarray:
-        return build_cos_sin_cache(self.head_dim, self.head_dim,
+        return build_cos_sin_cache(self.head_dim, self.rotary_dim,
                                    self.max_position, self.rope_theta,
                                    self.rope_scaling)
 
@@ -158,8 +159,8 @@ class LlamaForCausalLM:
         def layer_spec(lp):
             spec = {}
             for proj, tensors in lp.items():
-                if proj in ("input_layernorm", "post_attention_layernorm"):
-                    spec[proj] = {"weight": P()}
+                if "norm" in proj or proj.startswith("ln"):
+                    spec[proj] = {k: P() for k in tensors}
                     continue
                 mode = "column" if proj in self._COL_PROJS else "row"
                 spec[proj] = {
@@ -171,7 +172,7 @@ class LlamaForCausalLM:
         return {
             "embed": {"weight": P("model", None)},
             "layers": [layer_spec(lp) for lp in params["layers"]],
-            "norm": {"weight": P()},
+            "norm": {k: P() for k in params["norm"]},
             "lm_head": {"weight": P("model", None)},
             "rope_cache": P(),
         }
@@ -184,23 +185,16 @@ class LlamaForCausalLM:
         b, l, h = hidden.shape
         if residual is None:
             residual = hidden
-            x = self._norm(hidden, p["input_layernorm"]["weight"])
+            x = self._norm(hidden, p["input_layernorm"])
         else:
-            x, residual = self._norm(hidden,
-                                     p["input_layernorm"]["weight"],
+            x, residual = self._norm(hidden, p["input_layernorm"],
                                      residual=residual)
         xf = x.reshape(b * l, h)
-        li = lora_indices
-        q = linear(xf, p["q_proj"], lora_indices=li).reshape(
-            b * l, -1, self.head_dim)
-        k = linear(xf, p["k_proj"], lora_indices=li).reshape(
-            b * l, -1, self.head_dim)
-        v = linear(xf, p["v_proj"], lora_indices=li).reshape(
-            b * l, -1, self.head_dim)
+        q, k, v = self._project_qkv(p, xf, lora_indices)
         se_spec = self._self_extend_spec()
         if se_spec is None:
             q, k = apply_rope(q, k, q_pos, rope_cache,
-                              rotary_dim=self.head_dim)
+                              rotary_dim=self.rotary_dim)
         q = q.reshape(b, l, -1, self.head_dim)
         k = k.reshape(b, l, -1, self.head_dim)
         v = v.reshape(b, l, -1, self.head_dim)
@@ -214,13 +208,24 @@ class LlamaForCausalLM:
                                 lora_indices=lora_indices)
         hidden = o.reshape(b, l, h)
 
-        x, residual = self._norm(hidden,
-                                 p["post_attention_layernorm"]["weight"],
+        x, residual = self._norm(hidden, p["post_attention_layernorm"],
                                  residual=residual)
         down = self._mlp(p, x.reshape(b * l, h),
                          lora_indices=lora_indices)
         hidden = down.reshape(b, l, h)
         return hidden, residual, kv_caches
+
+    def _project_qkv(self, p, xf, lora_indices=None):
+        """QKV projection hook ([T, Hq/Hkv, D] each); OLMo overrides to
+        clip, Cohere to q/k-norm."""
+        li = lora_indices
+        q = linear(xf, p["q_proj"], lora_indices=li).reshape(
+            xf.shape[0], -1, self.head_dim)
+        k = linear(xf, p["k_proj"], lora_indices=li).reshape(
+            xf.shape[0], -1, self.head_dim)
+        v = linear(xf, p["v_proj"], lora_indices=li).reshape(
+            xf.shape[0], -1, self.head_dim)
+        return q, k, v
 
     def _self_extend_spec(self):
         """Self-extend RoPE config (fork SE_SCALE/SE_WINDOW,
@@ -235,9 +240,11 @@ class LlamaForCausalLM:
                               rotary_dim=self.head_dim,
                               rope_base=self.rope_theta)
 
-    def _norm(self, x, weight, residual=None):
-        """RMSNorm hook; Gemma overrides with its (1+w) variant."""
-        return rms_norm(x, weight, eps=self.rms_eps, residual=residual)
+    def _norm(self, x, norm_params, residual=None):
+        """Norm hook taking the layer's norm param dict; Gemma overrides
+        with its (1+w) RMS variant, StableLM/Orion with LayerNorm."""
+        return rms_norm(x, norm_params["weight"], eps=self.rms_eps,
+                        residual=residual)
 
     def _mlp(self, p, xf, lora_indices=None):
         """SwiGLU MLP; MoE models override (mixtral.py)."""
@@ -269,7 +276,7 @@ class LlamaForCausalLM:
                 params["layers"][i], hidden, residual, q_pos,
                 params["rope_cache"], kv_caches, md, i,
                 lora_indices=lora_indices)
-        hidden, _ = self._norm(hidden, params["norm"]["weight"],
+        hidden, _ = self._norm(hidden, params["norm"],
                                residual=residual)
         return hidden, kv_caches
 
@@ -322,8 +329,8 @@ class LlamaForCausalLM:
             if name == "lm_head.weight":
                 params["lm_head"]["weight"] = self._pad_vocab(w)
                 continue
-            if name == "model.norm.weight":
-                params["norm"]["weight"] = w
+            if name in ("model.norm.weight", "model.norm.bias"):
+                params["norm"][name.split(".")[-1]] = w
                 continue
             if not name.startswith("model.layers."):
                 continue
@@ -331,8 +338,8 @@ class LlamaForCausalLM:
             idx = int(parts[2])
             sub = parts[3]  # self_attn | mlp | input_layernorm | post_...
             lp = params["layers"][idx]
-            if sub in ("input_layernorm", "post_attention_layernorm"):
-                lp.setdefault(sub, {})["weight"] = w
+            if "layernorm" in sub or sub.endswith("norm"):
+                lp.setdefault(sub, {})[parts[4]] = w
             elif sub in ("self_attn", "mlp"):
                 proj = parts[4]  # q_proj etc.
                 kind = parts[5]  # weight | bias | qweight | ...

@@ -33,17 +33,18 @@ def paged_attention_decode(q, k_new, v_new, k_cache, v_cache, layer_idx,
                            block_tables, context_lens, *, scale: float,
                            sliding_window: Optional[int] = None,
                            soft_cap: Optional[float] = None,
-                           self_extend=None):
+                           self_extend=None, alibi_slopes=None):
     if _use_xla():
         return xla_attention.paged_attention_decode(
             q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
             context_lens, scale=scale, sliding_window=sliding_window,
-            soft_cap=soft_cap, self_extend=self_extend)
+            soft_cap=soft_cap, self_extend=self_extend,
+            alibi_slopes=alibi_slopes)
     return pallas_attn.paged_attention_decode(
         q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
         context_lens, scale=scale, sliding_window=sliding_window,
         soft_cap=soft_cap, interpret=_interpret(),
-        self_extend=self_extend)
+        self_extend=self_extend, alibi_slopes=alibi_slopes)
 
 
 def paged_attention_prefill(q, k_new, v_new, k_cache, v_cache, layer_idx,
@@ -51,15 +52,16 @@ def paged_attention_prefill(q, k_new, v_new, k_cache, v_cache, layer_idx,
                             scale: float,
                             sliding_window: Optional[int] = None,
                             soft_cap: Optional[float] = None,
-                            self_extend=None):
+                            self_extend=None, alibi_slopes=None):
     if _use_xla():
         return xla_attention.paged_attention(
             q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
             query_lens, context_lens, scale=scale,
             sliding_window=sliding_window, soft_cap=soft_cap,
-            self_extend=self_extend)
+            self_extend=self_extend, alibi_slopes=alibi_slopes)
     return pallas_attn.paged_attention(
         q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
         query_lens, context_lens, scale=scale,
         sliding_window=sliding_window, soft_cap=soft_cap,
-        interpret=_interpret(), self_extend=self_extend)
+        interpret=_interpret(), self_extend=self_extend,
+        alibi_slopes=alibi_slopes)

@@ -58,6 +58,7 @@ def _attention_kernel(
     block_tables_ref,  # [B, max_blocks] SMEM
     context_lens_ref,  # [B] SMEM
     query_lens_ref,  # [B] SMEM
+    alibi_ref,  # [num_q_heads] SMEM f32 (zeros when has_alibi=False)
     # inputs
     q_ref,  # [G, BQ, D] VMEM tile
     k_new_ref,  # [1, 1, L_pad, D] VMEM tile (new K rows for (b, h))
@@ -85,6 +86,7 @@ def _attention_kernel(
     rope_base: float = 10000.0,
     rotary_dim: int = 0,
     rope_neox: bool = True,
+    has_alibi: bool = False,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -293,6 +295,15 @@ def _attention_kernel(
                 s = jnp.where(q_pos - kv_pos <= w_se, s_n, s_g)
             if soft_cap is not None:
                 s = soft_cap * jnp.tanh(s / soft_cap)
+            if has_alibi:
+                # ALiBi bias slope_head * (kv_pos - q_pos) (reference:
+                # csrc/attention/attention_kernels.cu alibi_slope arg;
+                # q heads are contiguous per kv head: q_head = h*G + g).
+                slope_col = jnp.concatenate([
+                    jnp.full((bq, 1), alibi_ref[h * g + gi], jnp.float32)
+                    for gi in range(g)
+                ], axis=0)  # [G*BQ, 1]
+                s = s + slope_col * (kv_pos - q_pos).astype(jnp.float32)
 
             mask = (kv_pos <= q_pos) & (kv_pos < ctx)
             if sliding_window is not None:
@@ -324,7 +335,7 @@ def _attention_kernel(
     static_argnames=("scale", "sliding_window", "soft_cap", "bq", "kblk",
                      "interpret", "self_extend"),
 )
-def paged_attention(
+def paged_attention(  # noqa: C901
     q: jax.Array,  # [B, L_pad, num_q_heads, head_size]
     k_new: jax.Array,  # [B, L_pad, num_kv_heads, head_size]
     v_new: jax.Array,  # [B, L_pad, num_kv_heads, head_size]
@@ -342,6 +353,7 @@ def paged_attention(
     kblk: int = 8,
     interpret: bool = False,
     self_extend=None,  # Optional[SelfExtendSpec]; q/k_new UNROTATED
+    alibi_slopes: Optional[jax.Array] = None,  # [num_q_heads] f32
 ):
     """Fused cache-write + attention.
 
@@ -377,6 +389,11 @@ def paged_attention(
             rotary_dim=self_extend.rotary_dim,
             rope_neox=self_extend.neox,
         )
+    has_alibi = alibi_slopes is not None
+    if alibi_slopes is None:
+        alibi_arr = jnp.zeros((1, ), jnp.float32)
+    else:
+        alibi_arr = alibi_slopes.astype(jnp.float32)
     kernel = functools.partial(
         _attention_kernel,
         scale=scale,
@@ -386,16 +403,17 @@ def paged_attention(
         l_pad=l_pad,
         sliding_window=sliding_window,
         soft_cap=soft_cap,
+        has_alibi=has_alibi,
         **se_kwargs,
     )
 
-    def kernel_5d(lr, bt, cl, ql, q5, kn4, vn4, kc, vc, o5, ko, vo, kb,
-                  vb, sm, wsm):
-        kernel(lr, bt, cl, ql, q5.at[0, 0], kn4, vn4, kc, vc,
+    def kernel_5d(lr, bt, cl, ql, al, q5, kn4, vn4, kc, vc, o5, ko, vo,
+                  kb, vb, sm, wsm):
+        kernel(lr, bt, cl, ql, al, q5.at[0, 0], kn4, vn4, kc, vc,
                o5.at[0, 0], ko, vo, kb, vb, sm, wsm)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, group, bq, head),
@@ -430,16 +448,17 @@ def paged_attention(
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
         # scalar-prefetch args count toward input positions: inputs are
-        # (layer, tables, ctx, qlens, q, k_new, v_new, k_cache, v_cache)
-        input_output_aliases={7: 1, 8: 2},
+        # (layer, tables, ctx, qlens, alibi, q, k_new, v_new, k_cache,
+        # v_cache)
+        input_output_aliases={8: 1, 9: 2},
         # batch/head cells touch disjoint cache regions, so megacore
         # may split them; the q-tile dim accumulates and stays ordered.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(layer_idx.astype(jnp.int32), block_tables,
-      context_lens.astype(jnp.int32), query_lens.astype(jnp.int32), qr,
-      kn, vn, k_cache, v_cache)
+      context_lens.astype(jnp.int32), query_lens.astype(jnp.int32),
+      alibi_arr, qr, kn, vn, k_cache, v_cache)
 
     # [B, Hkv, G, L, D] -> [B, L, Hq, D]
     out = out.transpose(0, 3, 1, 2, 4)
@@ -462,6 +481,7 @@ def paged_attention_decode(
     soft_cap: Optional[float] = None,
     interpret: bool = False,
     self_extend=None,
+    alibi_slopes: Optional[jax.Array] = None,
 ):
     """Decode = the unified kernel with one new token per sequence."""
     batch = q.shape[0]
@@ -481,6 +501,7 @@ def paged_attention_decode(
         bq=1,
         interpret=interpret,
         self_extend=self_extend,
+        alibi_slopes=alibi_slopes,
     )
     return out[:, 0], k_cache, v_cache
 

@@ -84,6 +84,7 @@ def paged_attention(
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
     self_extend=None,  # Optional[SelfExtendSpec]; q/k arrive UNROTATED
+    alibi_slopes: Optional[jax.Array] = None,  # [num_q_heads] f32
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Causal prefill/decode attention reading KV from the paged cache
     after writing the new rows (capability of paged_attention_v1/v2 +
@@ -132,6 +133,13 @@ def paged_attention(
             rel = q_pos[:, None] - kv_pos[None, :]  # [L, max_len]
             s = jnp.where(rel[None, None] <= se.window, sa, sb)
         s = _apply_soft_cap(s, soft_cap)
+        if alibi_slopes is not None:
+            # [Hkv, G] slopes x [L, max_len] relative distances
+            slopes = alibi_slopes.astype(jnp.float32).reshape(
+                num_kv_heads, group)
+            rel_pos = (kv_pos[None, :] - q_pos[:, None]).astype(
+                jnp.float32)
+            s = s + slopes[:, :, None, None] * rel_pos[None, None]
         mask = kv_pos[None, :] <= q_pos[:, None]
         mask &= kv_pos[None, :] < ctx_b
         if sliding_window is not None:
@@ -151,13 +159,14 @@ def paged_attention(
 def paged_attention_decode(q, k_new, v_new, k_cache, v_cache, layer_idx,
                            block_tables, context_lens, *, scale,
                            sliding_window=None, soft_cap=None,
-                           self_extend=None):
+                           self_extend=None, alibi_slopes=None):
     batch = q.shape[0]
     out, k_cache, v_cache = paged_attention(
         q[:, None], k_new[:, None], v_new[:, None], k_cache, v_cache,
         layer_idx, block_tables, jnp.ones((batch, ), jnp.int32),
         context_lens, scale=scale, sliding_window=sliding_window,
-        soft_cap=soft_cap, self_extend=self_extend)
+        soft_cap=soft_cap, self_extend=self_extend,
+        alibi_slopes=alibi_slopes)
     return out[:, 0], k_cache, v_cache
 
 

@@ -56,6 +56,7 @@ class SamplingParams:
         spaces_between_special_tokens: bool = True,
         logits_processors: Optional[List[LogitsProcessor]] = None,
         truncate_prompt_tokens: Optional[int] = None,
+        guided_fsm: Optional[Any] = None,
     ) -> None:
         self.n = n
         self.best_of = best_of if best_of is not None else n
@@ -88,6 +89,13 @@ class SamplingParams:
         self.spaces_between_special_tokens = spaces_between_special_tokens
         self.logits_processors = logits_processors
         self.truncate_prompt_tokens = truncate_prompt_tokens
+        # Token-FSM constraint (guided decoding). The TPU sampler runs
+        # jitted, so arbitrary Python logits_processors can't execute on
+        # the hot path; constraints are expressed as a TokenFSM
+        # (guided_decoding/token_fsm.py) whose per-state [V] masks the
+        # runner ships to the device (reference analogue:
+        # model_executor/guided_decoding/ logits processors).
+        self.guided_fsm = guided_fsm
         # Number of output logprobs to return; may be bumped by serving
         # layer for echo.
         self.output_text_buffer_length = 0

@@ -73,6 +73,8 @@ class ModelRunner:
         self.params: Any = None
         self._step_key = jax.random.PRNGKey(model_config.seed or 0)
         self._jit_step_cache: Dict[Any, Any] = {}
+        # guided decoding: seq_id -> (consumed_out_len, fsm_state, fsm)
+        self._guided_cache: Dict[int, Tuple[int, int, Any]] = {}
         # Stacked LoRA arrays (merged into params per call; structure
         # changes only when an adapter first occupies a (layer, proj)).
         self.lora_params: Optional[Dict[str, Any]] = None
@@ -225,6 +227,71 @@ class ModelRunner:
         )
         return arrays, rows, is_prefill, b_pad
 
+    def _guided_state(self, seq_id: int, fsm, output_tokens) -> int:
+        """FSM state after ``output_tokens``; incremental via a per-seq
+        (consumed_len, state) cache so each step walks only new tokens."""
+        cached = self._guided_cache.get(seq_id)
+        out = list(output_tokens)
+        if cached is not None and cached[0] <= len(out) \
+                and cached[2] is fsm:
+            done, state, _ = cached
+        else:
+            done, state = 0, 0
+        for tid in out[done:]:
+            state = fsm.next_state(state, int(tid))
+            if state < 0:
+                break
+        self._guided_cache[seq_id] = (len(out), state, fsm)
+        return state
+
+    def _build_token_mask(
+        self, seq_group_metadata_list: List[SequenceGroupMetadata],
+        rows: List[Tuple[str, int]], b_pad: int
+    ) -> Optional[np.ndarray]:
+        """[b_pad, V_logits] bool allowed-token mask, or None when no row
+        needs one. Covers (a) guided-decoding FSM masks, (b) min-tokens
+        EOS/stop-token suppression (reference: sampler.py
+        _apply_min_tokens_penalty :153). Padding rows stay all-True so
+        log_softmax never sees an all--inf row."""
+        by_req = {m.request_id: m for m in seq_group_metadata_list}
+        vocab = self.model.vocab_size  # padded logits width
+        mask: Optional[np.ndarray] = None
+        live_seq_ids = set()
+        for i, (req_id, seq_id) in enumerate(rows):
+            meta = by_req[req_id]
+            sp = meta.sampling_params
+            data = meta.seq_data[seq_id]
+            live_seq_ids.add(seq_id)
+            fsm = sp.guided_fsm
+            row: Optional[np.ndarray] = None
+            if fsm is not None:
+                state = self._guided_state(seq_id, fsm,
+                                           data.output_token_ids)
+                allowed = fsm.allowed(state)
+                row = np.zeros((vocab, ), np.bool_)
+                row[:len(allowed)] = allowed
+            if sp.min_tokens and data.get_output_len() < sp.min_tokens:
+                if row is None:
+                    row = np.ones((vocab, ), np.bool_)
+                eos = getattr(self.model_config.hf_text_config,
+                              "eos_token_id", None)
+                for tid in ([eos] if isinstance(eos, int) else eos or []):
+                    row[tid] = False
+                for tid in sp.stop_token_ids:
+                    if 0 <= tid < vocab:
+                        row[tid] = False
+            if row is not None:
+                if mask is None:
+                    mask = np.ones((b_pad, vocab), np.bool_)
+                mask[i] = row
+        # prune guided-state cache entries for finished/preempted seqs
+        if len(self._guided_cache) > 4 * max(len(rows), 16):
+            self._guided_cache = {
+                k: v
+                for k, v in self._guided_cache.items() if k in live_seq_ids
+            }
+        return mask
+
     def _prepare_sampling(
         self, seq_group_metadata_list: List[SequenceGroupMetadata],
         rows: List[Tuple[str, int]], b_pad: int
@@ -326,13 +393,14 @@ class ModelRunner:
             fwd = sharded_fwd
 
         def step(params, kv_caches, tokens, positions, md, sel, st,
-                 step_key, lora_indices=None):
+                 step_key, lora_indices=None, token_mask=None):
             logits, kv_caches = fwd(params, kv_caches, tokens, positions,
                                     md, sel, lora_indices)
             sampled, logprob, top = sample(
                 logits, st, step_key, do_penalties=do_penalties,
                 do_top_k_p=do_top_k_p, do_min_p=do_min_p,
-                all_greedy=all_greedy, max_logprobs=max_logprobs)
+                all_greedy=all_greedy, max_logprobs=max_logprobs,
+                token_mask=token_mask)
             return kv_caches, sampled, logprob, top
 
         return jax.jit(step, donate_argnums=(1, ))
@@ -787,10 +855,14 @@ class ModelRunner:
             seq_group_metadata_list)
         st, flags, max_logprobs = self._prepare_sampling(
             seq_group_metadata_list, rows, b_pad)
+        token_mask = self._build_token_mask(seq_group_metadata_list, rows,
+                                            b_pad)
         has_lora = lora_slots is not None and any(
             s >= 0 for s in lora_slots)
-        num_steps = 1 if has_lora else self._num_multistep(
-            seq_group_metadata_list, is_prefill, flags)
+        # Guided/min-tokens masks depend on the sampled token (FSM state
+        # advances on host), so masked steps run single-step.
+        num_steps = 1 if (has_lora or token_mask is not None) else \
+            self._num_multistep(seq_group_metadata_list, is_prefill, flags)
 
         md = AttentionMetadata(
             slot_mapping=jnp.asarray(arrays["slot_mapping"]),
@@ -811,6 +883,8 @@ class ModelRunner:
             for i, slot in enumerate(lora_slots):
                 tok_lora[i, :] = slot
             extra["lora_indices"] = jnp.asarray(tok_lora.reshape(-1))
+        if token_mask is not None:
+            extra["token_mask"] = jnp.asarray(token_mask)
 
         kv_caches, sampled, logprob, top = step_fn(
             params, kv_caches, jnp.asarray(arrays["tokens"]),
