@@ -4,6 +4,10 @@ fixed batch x input-len x output-len decode, with optional profiling)."""
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # noqa: E501  repo-root import without install
 import time
 
 import numpy as np

@@ -4,6 +4,10 @@ fixed-length or sampled workload)."""
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # noqa: E501  repo-root import without install
 import json
 import random
 import time

@@ -101,6 +101,26 @@ def test_openai_server_endpoints(tiny_llama_path):
             text = body["choices"][0]["text"].replace(" ", "")
             assert text in ("thequick", "brownfox"), text
 
+            # echo + logprobs: prompt tokens come back with logprobs
+            r = await client.post("/v1/completions", json={
+                "model": tiny_llama_path,
+                "prompt": "Hello, my name is",
+                "max_tokens": 3,
+                "temperature": 0,
+                "echo": True,
+                "logprobs": 2,
+            })
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            ch = body["choices"][0]
+            assert ch["text"].startswith("Hello")
+            lp = ch["logprobs"]
+            # first prompt token has no logprob; later ones do
+            assert lp["token_logprobs"][0] is None
+            assert any(v is not None for v in lp["token_logprobs"][1:])
+            n_prompt = body["usage"]["prompt_tokens"]
+            assert len(lp["tokens"]) == n_prompt + 3
+
             # guided grammar is rejected with a clear error
             r = await client.post("/v1/completions", json={
                 "model": tiny_llama_path,

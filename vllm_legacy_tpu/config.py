@@ -209,6 +209,12 @@ class ModelConfig:
 
     def get_total_num_kv_heads(self) -> int:
         cfg = self.hf_text_config
+        # MQA models (GPT-BigCode, Falcon-7B) advertise multi_query;
+        # new-decoder-arch Falcon instead carries num_kv_heads
+        # (reference: config.py get_total_num_kv_heads falcon handling).
+        new_arch = bool(getattr(cfg, "new_decoder_architecture", False))
+        if not new_arch and bool(getattr(cfg, "multi_query", False)):
+            return 1
         for attr in ("num_key_value_heads", "n_head_kv", "num_kv_heads"):
             if getattr(cfg, attr, None) is not None:
                 return getattr(cfg, attr)

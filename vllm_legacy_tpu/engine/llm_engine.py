@@ -164,22 +164,22 @@ class LLMEngine:
 
         from vllm_legacy_tpu.pooling_params import PoolingParams
         if isinstance(params, PoolingParams):
-            seq_group = SequenceGroup(request_id=request_id,
-                                      seqs=[seq],
-                                      arrival_time=arrival_time,
-                                      pooling_params=params,
-                                      lora_request=lora_request)
+            seq_group = SequenceGroup(
+                request_id=request_id, seqs=[seq],
+                arrival_time=arrival_time, pooling_params=params,
+                lora_request=lora_request,
+                multi_modal_data=processed.get("multi_modal_data"))
         else:
             params = params.clone()
             if params.max_tokens is None:
                 params.max_tokens = max(
                     self.model_config.max_model_len -
                     seq.get_prompt_len(), 1)
-            seq_group = SequenceGroup(request_id=request_id,
-                                      seqs=[seq],
-                                      arrival_time=arrival_time,
-                                      sampling_params=params,
-                                      lora_request=lora_request)
+            seq_group = SequenceGroup(
+                request_id=request_id, seqs=[seq],
+                arrival_time=arrival_time, sampling_params=params,
+                lora_request=lora_request,
+                multi_modal_data=processed.get("multi_modal_data"))
         self.scheduler.add_seq_group(seq_group)
 
     def abort_request(self, request_id: Union[str, Iterable[str]]) -> None:

@@ -107,6 +107,28 @@ class LLM:
             self._add_request(item, params, lora_request)
         return self._run_engine(use_tqdm=use_tqdm)
 
+    def save_sharded_state(self, path: str) -> None:
+        """Persist the POST-PROCESSED param pytree for fast reload
+        (reference: worker.save_sharded_state worker.py:123 +
+        examples/save_sharded_state.py). Reload by pointing --model at
+        ``path`` (config + tokenizer files are copied alongside)."""
+        import os
+        import shutil
+
+        from vllm_legacy_tpu.model_loader.sharded_state import save_params
+        worker = self.llm_engine.model_executor.worker
+        save_params(worker.model_runner.params, path)
+        # make the directory a self-contained --model target
+        self.llm_engine.model_config.hf_config.save_pretrained(path)
+        src = self.llm_engine.model_config.tokenizer
+        if src and os.path.isdir(src):
+            for name in os.listdir(src):
+                if "token" in name or name.endswith(".json") \
+                        or name.endswith(".model"):
+                    dst = os.path.join(path, name)
+                    if not os.path.exists(dst):
+                        shutil.copy(os.path.join(src, name), dst)
+
     def encode(
         self,
         prompts: Union[PromptStrictInputs, Sequence[PromptStrictInputs],

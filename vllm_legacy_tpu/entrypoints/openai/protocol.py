@@ -316,3 +316,21 @@ class EmbeddingResponse(OpenAIBaseModel):
     model: str
     data: List[EmbeddingResponseData]
     usage: UsageInfo
+
+
+class BatchRequestInput(OpenAIBaseModel):
+    """Per-line object of the batch input file (reference:
+    protocol.py:604 — only /v1/chat/completions is supported)."""
+    custom_id: str
+    method: str
+    url: str
+    body: ChatCompletionRequest
+
+
+class BatchRequestOutput(OpenAIBaseModel):
+    """Per-line object of the batch output file (reference:
+    protocol.py:627)."""
+    id: str
+    custom_id: str
+    response: Optional[ChatCompletionResponse]
+    error: Optional[Any]

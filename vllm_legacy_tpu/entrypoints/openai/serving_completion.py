@@ -31,9 +31,9 @@ class OpenAIServingCompletion(OpenAIServing):
         if request.suffix is not None:
             return self.create_error_response(
                 "suffix is not currently supported")
-        if request.echo:
+        if request.echo and request.stream:
             return self.create_error_response(
-                "echo is not currently supported")
+                "echo is not supported with streaming")
 
         request_id = f"cmpl-{random_uuid()}"
         created_time = int(time.time())
@@ -41,6 +41,10 @@ class OpenAIServingCompletion(OpenAIServing):
 
         try:
             sampling_params = request.to_sampling_params()
+            if request.echo and request.logprobs is not None:
+                # echo + logprobs returns the prompt's own logprobs too
+                # (reference: serving_completion echo handling)
+                sampling_params.prompt_logprobs = request.logprobs
             await self._maybe_set_guided_fsm(request, sampling_params)
             prompts = parse_and_batch_prompt(request.prompt)
             generators: List[AsyncIterator[RequestOutput]] = []
@@ -89,14 +93,24 @@ class OpenAIServingCompletion(OpenAIServing):
             num_prompt_tokens += len(final_res.prompt_token_ids)
             for output in final_res.outputs:
                 logprobs = None
+                token_ids = list(output.token_ids)
+                lp_dicts = list(output.logprobs or [])
+                text = output.text
+                if request.echo:
+                    text = (final_res.prompt or "") + text
+                    token_ids = list(final_res.prompt_token_ids) + \
+                        token_ids
+                    lp_dicts = list(final_res.prompt_logprobs or
+                                    [None] *
+                                    len(final_res.prompt_token_ids)) + \
+                        lp_dicts
                 if request.logprobs is not None:
                     logprobs = self._create_logprobs(
-                        output.token_ids, output.logprobs or [],
-                        request.logprobs)
+                        token_ids, lp_dicts, request.logprobs)
                 choices.append(
                     CompletionResponseChoice(
                         index=prompt_idx * request.n + output.index,
-                        text=output.text,
+                        text=text,
                         logprobs=logprobs,
                         finish_reason=output.finish_reason,
                         stop_reason=output.stop_reason))

@@ -35,9 +35,13 @@ def parse_and_batch_prompt(prompt):
     """Normalize legacy prompt APIs into a list of typed prompts."""
     if isinstance(prompt, str):
         return [TextPrompt(prompt=prompt)]
+    if isinstance(prompt, dict):
+        return [dict(prompt)]
     if isinstance(prompt, list):
         if len(prompt) == 0:
             raise ValueError("please provide at least one prompt")
+        if isinstance(prompt[0], dict):  # new-style typed prompts
+            return [dict(p) for p in prompt]
         if isinstance(prompt[0], str):
             return [TextPrompt(prompt=p) for p in prompt]
         if isinstance(prompt[0], int):

@@ -159,7 +159,8 @@ def sample(
     all_greedy: bool = False,
     max_logprobs: int = 0,
     token_mask: Optional[jax.Array] = None,  # [B, V] bool, True = allowed
-) -> Tuple[jax.Array, jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    n_samples: int = 1,  # best_of > 1 prompt phase: samples per row
+):
     """Returns (sampled_ids [B], logprob of sampled [B],
     (top_logprob_vals, top_logprob_ids) [B, max_logprobs] or None).
 
@@ -214,6 +215,20 @@ def sample(
 
         random_ids = jax.vmap(sample_row)(keys, scaled)
         sampled = jnp.where(st.is_greedy, greedy_ids, random_ids)
+        if n_samples > 1:
+            # best_of independent draws per row (reference: sampler.py
+            # _random_sample prompt phase drawing best_of samples)
+            def sample_row_multi(key_data, row_logits):
+                ks = jax.random.split(
+                    jax.random.wrap_key_data(key_data), n_samples)
+                return jax.vmap(
+                    lambda kk: jax.random.categorical(kk,
+                                                      row_logits))(ks)
+
+            multi = jax.vmap(sample_row_multi)(keys, scaled)  # [B, S]
+            multi = jnp.where(st.is_greedy[:, None],
+                              greedy_ids[:, None], multi)
+            multi = multi.at[:, 0].set(sampled)
 
     sampled_logprob = jnp.take_along_axis(raw_logprobs, sampled[:, None],
                                           axis=-1)[:, 0]
@@ -221,4 +236,7 @@ def sample(
     if max_logprobs > 0:
         vals, ids = jax.lax.top_k(raw_logprobs, max_logprobs)
         top = (vals, ids)
-    return sampled, sampled_logprob, top
+    if n_samples > 1 and not all_greedy:
+        multi_lp = jnp.take_along_axis(raw_logprobs, multi, axis=-1)
+        return sampled, sampled_logprob, top, (multi, multi_lp)
+    return sampled, sampled_logprob, top, None

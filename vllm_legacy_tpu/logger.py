@@ -47,3 +47,44 @@ def init_logger(name: str) -> logging.Logger:
         logger.addHandler(_default_handler)
     logger.propagate = False
     return logger
+
+
+def enable_trace_function_call(log_file_path: str,
+                               root_dir: str = None) -> None:
+    """Per-thread call/return tracer (reference: vllm/logger.py:100-154
+    VLLM_TRACE_FUNCTION): logs every Python call/return under the
+    package tree to ``log_file_path``. Heavy — debugging hangs/crashes
+    only; enable with VLT_TRACE_FUNCTION=1 (worker init)."""
+    import datetime
+    import sys
+
+    if root_dir is None:
+        root_dir = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+
+    log_f = open(log_file_path, "a", buffering=1)
+    log_f.write(
+        f"# trace started {datetime.datetime.now().isoformat()} "
+        f"root={root_dir}\n")
+
+    def _trace(frame, event, arg):
+        if event not in ("call", "return"):
+            return _trace
+        filename = frame.f_code.co_filename
+        if not filename.startswith(root_dir):
+            return _trace
+        ts = datetime.datetime.now().strftime("%H:%M:%S.%f")
+        name = frame.f_code.co_name
+        lineno = frame.f_lineno
+        log_f.write(f"{ts} {event} {filename}:{lineno} {name}\n")
+        return _trace
+
+    sys.settrace(_trace)
+
+
+def get_trace_file_path(process_kind: str = "worker") -> str:
+    """Default trace destination under a temp dir, one file per pid."""
+    import tempfile
+    trace_dir = os.path.join(tempfile.gettempdir(), "vlt_traces")
+    os.makedirs(trace_dir, exist_ok=True)
+    return os.path.join(trace_dir, f"{process_kind}_{os.getpid()}.log")

@@ -74,8 +74,14 @@ def get_model(model_config: ModelConfig, parallel_config: ParallelConfig,
     """Build the model object and load host-side params."""
     model = initialize_model(model_config, parallel_config)
     timer = MonotonicTimer()
+    from vllm_legacy_tpu.model_loader import sharded_state
     if load_format == LoadFormat.DUMMY:
         params = model.init_dummy_params(seed=model_config.seed or 0)
+    elif (load_format == LoadFormat.SHARDED_STATE
+          or (load_format == LoadFormat.AUTO
+              and sharded_state.is_sharded_state_checkpoint(
+                  model_config.model))):
+        params = sharded_state.load_params(model_config.model)
     else:
         files, fmt = resolve_weight_files(model_config.model,
                                           load_format.value)

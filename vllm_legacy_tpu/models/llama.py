@@ -60,6 +60,9 @@ class LlamaForCausalLM:
         self.max_position = getattr(c, "max_position_embeddings", 4096)
         self.sliding_window = getattr(c, "sliding_window", None)
         self.rotary_dim = self.head_dim  # partial-rotary models override
+        # models applying rope themselves inside _project_qkv (ChatGLM's
+        # interleaved half-dim rope) set this True
+        self.rope_in_projection = False
         self.attention_bias = bool(
             getattr(c, "attention_bias", False)
             or getattr(c, "use_qkv_bias", False)
@@ -192,7 +195,9 @@ class LlamaForCausalLM:
         xf = x.reshape(b * l, h)
         q, k, v = self._project_qkv(p, xf, lora_indices)
         se_spec = self._self_extend_spec()
-        if se_spec is None:
+        alibi = getattr(self, "_alibi_slopes", None)
+        if se_spec is None and alibi is None and \
+                not self.rope_in_projection:
             q, k = apply_rope(q, k, q_pos, rope_cache,
                               rotary_dim=self.rotary_dim)
         q = q.reshape(b, l, -1, self.head_dim)
@@ -202,7 +207,7 @@ class LlamaForCausalLM:
             q, k, v, kv_caches, md, scale=self.scale,
             layer_idx=layer_idx, sliding_window=self.sliding_window,
             sparse=getattr(self, "sparse_config", None),
-            self_extend=se_spec)
+            self_extend=se_spec, alibi_slopes=alibi)
         o = row_parallel_linear(attn_out.reshape(b * l, -1), p["o_proj"],
                                 tp_size=self.tp_size,
                                 lora_indices=lora_indices)
@@ -268,6 +273,17 @@ class LlamaForCausalLM:
         hidden = embedding.embed(params["embed"], token_ids.reshape(-1),
                                  tp_size=self.tp_size)
         hidden = hidden.reshape(b, l, self.hidden_size)
+        return self.forward_embedded(params, kv_caches, hidden,
+                                     positions, md,
+                                     lora_indices=lora_indices)
+
+    def forward_embedded(self, params, kv_caches, hidden, positions, md,
+                         lora_indices=None):
+        """Decoder stack from pre-computed embeddings (multimodal
+        models substitute image features before calling this)."""
+        # ALiBi models (Baichuan-13B, Jais) carry slopes in the params
+        # pytree (sharded P("model")) and skip rope entirely.
+        self._alibi_slopes = params.get("alibi_slopes")
         q_pos = jnp.clip(positions.reshape(-1), 0,
                          params["rope_cache"].shape[0] - 1)
         residual = None
@@ -289,6 +305,11 @@ class LlamaForCausalLM:
             mask = jnp.arange(self.vocab_size) >= self.org_vocab_size
             logits = jnp.where(mask[None, :], neg, logits)
         return logits
+
+    def _np_dtype(self):
+        import ml_dtypes
+        return (ml_dtypes.bfloat16
+                if self.dtype == jnp.bfloat16 else np.float32)
 
     # ------------------------------------------------------------------
     # Weight loading (host side, numpy)
@@ -401,6 +422,12 @@ class LlamaForCausalLM:
 
         shapes = self.param_shapes()
         shapes.pop("rope_cache")
+        constants = {}
+        if hasattr(self, "constant_params"):
+            constants = self.constant_params()
+        for k in constants:
+            shapes.pop(k, None)
         params = make(shapes)
         params["rope_cache"] = self.make_rope_cache()
+        params.update(constants)
         return params

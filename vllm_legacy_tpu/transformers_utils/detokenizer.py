@@ -186,6 +186,18 @@ class Detokenizer:
 
     def decode_prompt_logprobs_inplace(self, seq_group: SequenceGroup,
                                        prompt_logprobs) -> None:
-        # Prompt logprobs decoding mirrors the sequence path; deferred
-        # until prompt_logprobs are produced by the runner.
-        return
+        """Attach decoded text to each prompt-logprob entry (reference:
+        detokenizer.py decode_prompt_logprobs_inplace :13 — the full
+        incremental-state replay is unnecessary here: entries are
+        decoded independently, which matches what the OpenAI layer
+        serializes)."""
+        params = seq_group.sampling_params
+        if not params or not params.detokenize:
+            return
+        tokenizer = self.get_tokenizer_for_seq(seq_group.get_seqs()[0])
+        for entry in prompt_logprobs:
+            if not entry:
+                continue
+            for tid, logprob in entry.items():
+                if logprob.decoded_token is None:
+                    logprob.decoded_token = tokenizer.decode([tid])

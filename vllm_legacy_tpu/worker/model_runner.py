@@ -139,6 +139,7 @@ class ModelRunner:
         query_lens: List[int] = []
         context_lens: List[int] = []
         block_tables: List[List[int]] = []
+        mm_rows: List[Optional[np.ndarray]] = []
 
         for meta in seq_group_metadata_list:
             if is_prefill:
@@ -164,6 +165,16 @@ class ModelRunner:
                 query_lens.append(len(new_tokens))
                 context_lens.append(ctx + len(new_tokens))
                 block_tables.append(meta.block_tables[seq_id])
+                mm = getattr(meta, "multi_modal_data", None)
+                if mm is not None:
+                    if isinstance(mm, dict):
+                        mm = mm.get("pixel_values", mm.get("image"))
+                    mm = np.asarray(mm, np.float32)
+                    if mm.ndim == 4:
+                        mm = mm[0]
+                    assert len(new_tokens) == len(all_tokens), (
+                        "multimodal prompts must prefill in one chunk")
+                mm_rows.append(mm)
             else:
                 for seq_id, data in meta.seq_data.items():
                     rows.append((meta.request_id, seq_id))
@@ -225,6 +236,13 @@ class ModelRunner:
             block_tables=tables,
             sel=sel,
         )
+        if is_prefill and any(m is not None for m in mm_rows):
+            shape = next(m.shape for m in mm_rows if m is not None)
+            pixels = np.zeros((b_pad, ) + shape, np.float32)
+            for i, m in enumerate(mm_rows):
+                if m is not None:
+                    pixels[i] = m
+            arrays["pixel_values"] = pixels
         return arrays, rows, is_prefill, b_pad
 
     def _guided_state(self, seq_id: int, fsm, output_tokens) -> int:
@@ -315,7 +333,11 @@ class ModelRunner:
             pres.append(sp.presence_penalty)
             freq.append(sp.frequency_penalty)
             rep.append(sp.repetition_penalty)
-            greedy.append(sp.sampling_type.name == "GREEDY")
+            # BEAM rows need no on-device draw: beam candidates are
+            # selected on host from the top-2·bw logprobs (reference:
+            # sampler.py _beam_search_sample :351 does the same from
+            # logprobs, not sampled ids).
+            greedy.append(sp.sampling_type.name in ("GREEDY", "BEAM"))
             seeds.append((sp.seed or 0) & 0xFFFFFFFF)
             seedpos.append(data.get_output_len())
             if (abs(sp.presence_penalty) >= 1e-5
@@ -353,7 +375,12 @@ class ModelRunner:
     # Jitted step
     # ------------------------------------------------------------------
     def _build_step_fn(self, flags: Tuple[bool, bool, bool, bool],
-                       max_logprobs: int):
+                       max_logprobs: int, prompt_lp_k: int = -1,
+                       n_samples: int = 1):
+        """prompt_lp_k >= 0 adds prompt-logprob outputs: per-position
+        next-token logprobs over the whole [B, L] grid plus top-k
+        (reference: sampler.py _get_logprobs prompt path :689 +
+        model_runner prefill selected indices)."""
         do_penalties, do_top_k_p, do_min_p, all_greedy = flags
         model = self.model
         mesh = self.mesh
@@ -365,26 +392,46 @@ class ModelRunner:
         md_specs = AttentionMetadata(rep, rep, rep, rep)
 
         def sharded_fwd(params, kv_caches, tokens, positions, md, sel,
-                        lora_indices):
+                        lora_indices, lp_targets, pixel_values):
+            kwargs = {}
+            if pixel_values is not None:
+                kwargs["pixel_values"] = pixel_values
             hidden, kv_caches = model.forward(params, kv_caches, tokens,
                                               positions, md,
-                                              lora_indices=lora_indices)
+                                              lora_indices=lora_indices,
+                                              **kwargs)
             b, l, h = hidden.shape
             flat = hidden.reshape(b * l, h)
             selected = flat[sel]
             logits = model.compute_logits(params, selected)
-            return logits, kv_caches
+            prompt_lp = None
+            if prompt_lp_k >= 0:
+                all_logits = model.compute_logits(params, flat)  # [BL, V]
+                lps = jax.nn.log_softmax(all_logits, axis=-1)
+                tgt = jnp.maximum(lp_targets.reshape(-1), 0)
+                tok_lp = jnp.take_along_axis(lps, tgt[:, None],
+                                             axis=-1)[:, 0]
+                if prompt_lp_k > 0:
+                    tv, ti = jax.lax.top_k(lps, prompt_lp_k)
+                    prompt_lp = (tok_lp.reshape(b, l),
+                                 tv.reshape(b, l, -1),
+                                 ti.reshape(b, l, -1))
+                else:
+                    prompt_lp = (tok_lp.reshape(b, l), None, None)
+            return logits, kv_caches, prompt_lp
 
         if np.prod(mesh.devices.shape) > 1:
             from jax import shard_map
-            # lora_indices is passed positionally (None = empty pytree,
-            # so the replicated prefix spec matches trivially).
+            # lora_indices / lp_targets are passed positionally (None =
+            # empty pytree, so a replicated spec matches trivially).
+            lp_out_spec = (rep, rep, rep) if prompt_lp_k > 0 else \
+                (rep, None, None) if prompt_lp_k == 0 else None
             fwd = shard_map(
                 sharded_fwd,
                 mesh=mesh,
                 in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep,
-                          rep),
-                out_specs=(rep, kv_specs), check_vma=False,
+                          rep, rep, rep),
+                out_specs=(rep, kv_specs, lp_out_spec), check_vma=False,
             )
         else:
             # Single-chip fast path: shard_map currently defeats donated
@@ -393,15 +440,18 @@ class ModelRunner:
             fwd = sharded_fwd
 
         def step(params, kv_caches, tokens, positions, md, sel, st,
-                 step_key, lora_indices=None, token_mask=None):
-            logits, kv_caches = fwd(params, kv_caches, tokens, positions,
-                                    md, sel, lora_indices)
-            sampled, logprob, top = sample(
+                 step_key, lora_indices=None, token_mask=None,
+                 lp_targets=None, pixel_values=None):
+            logits, kv_caches, prompt_lp = fwd(params, kv_caches, tokens,
+                                               positions, md, sel,
+                                               lora_indices, lp_targets,
+                                               pixel_values)
+            sampled, logprob, top, multi = sample(
                 logits, st, step_key, do_penalties=do_penalties,
                 do_top_k_p=do_top_k_p, do_min_p=do_min_p,
                 all_greedy=all_greedy, max_logprobs=max_logprobs,
-                token_mask=token_mask)
-            return kv_caches, sampled, logprob, top
+                token_mask=token_mask, n_samples=n_samples)
+            return kv_caches, sampled, logprob, top, prompt_lp, multi
 
         return jax.jit(step, donate_argnums=(1, ))
 
@@ -472,7 +522,7 @@ class ModelRunner:
                 import dataclasses as _dc
                 st_i = _dc.replace(st,
                                    seed_positions=st.seed_positions + i)
-                sampled, logprob, top = sample(
+                sampled, logprob, top, _ = sample(
                     logits, st_i, jax.random.fold_in(step_key, i),
                     do_penalties=False, do_top_k_p=do_top_k_p,
                     do_min_p=do_min_p, all_greedy=all_greedy,
@@ -555,15 +605,16 @@ class ModelRunner:
         return [PoolerOutput(outputs=outputs)], kv_caches
 
     def _get_step_fn(self, flags: Tuple[bool, bool, bool, bool],
-                     max_logprobs: int, num_steps: int = 1):
-        key = (flags, max_logprobs, num_steps)
+                     max_logprobs: int, num_steps: int = 1,
+                     prompt_lp_k: int = -1, n_samples: int = 1):
+        key = (flags, max_logprobs, num_steps, prompt_lp_k, n_samples)
         if key not in self._jit_step_cache:
             if num_steps > 1:
                 self._jit_step_cache[key] = self._build_multistep_fn(
                     flags, max_logprobs, num_steps)
             else:
                 self._jit_step_cache[key] = self._build_step_fn(
-                    flags, max_logprobs)
+                    flags, max_logprobs, prompt_lp_k, n_samples)
         return self._jit_step_cache[key]
 
     # ------------------------------------------------------------------
@@ -857,8 +908,41 @@ class ModelRunner:
             seq_group_metadata_list, rows, b_pad)
         token_mask = self._build_token_mask(seq_group_metadata_list, rows,
                                             b_pad)
+        # prompt logprobs (prefill only): -1 = off, else the top-k width
+        prompt_lp_k = -1
+        if is_prefill:
+            by_req = {m.request_id: m for m in seq_group_metadata_list}
+            wants = [
+                by_req[rid].sampling_params.prompt_logprobs
+                for rid, _ in rows
+                if by_req[rid].sampling_params is not None
+            ]
+            if any(w is not None for w in wants):
+                prompt_lp_k = max(w or 0 for w in wants)
+                prompt_lp_k = min(next_power_of_2(max(prompt_lp_k, 1)),
+                                  self.model_config.max_logprobs) \
+                    if prompt_lp_k > 0 else 0
         has_lora = lora_slots is not None and any(
             s >= 0 for s in lora_slots)
+        # best_of > 1 / beam search at the prompt phase need multiple
+        # candidates per parent (reference: sampler.py beam/random
+        # dispatch :452-556): random draws best_of samples; beam takes
+        # the top 2*best_of tokens from the logprobs.
+        n_samples = 1
+        has_beam = False
+        for meta in seq_group_metadata_list:
+            sp = meta.sampling_params
+            if sp is None:
+                continue
+            if sp.use_beam_search:
+                has_beam = True
+                max_logprobs = max(max_logprobs, 2 * sp.best_of)
+            elif meta.is_prompt and sp.best_of > 1:
+                n_samples = max(n_samples, sp.best_of)
+        if n_samples > 1 and flags[3]:
+            # all_greedy + best_of>1 is rejected by SamplingParams; the
+            # flag combination cannot occur
+            n_samples = 1
         # Guided/min-tokens masks depend on the sampled token (FSM state
         # advances on host), so masked steps run single-step.
         num_steps = 1 if (has_lora or token_mask is not None) else \
@@ -871,7 +955,8 @@ class ModelRunner:
             query_lens=jnp.asarray(arrays["query_lens"]),
         )
         self._step_key, key = jax.random.split(self._step_key)
-        step_fn = self._get_step_fn(flags, max_logprobs, num_steps)
+        step_fn = self._get_step_fn(flags, max_logprobs, num_steps,
+                                    prompt_lp_k, n_samples)
         t_prep = time.perf_counter()
 
         params = self.params
@@ -885,11 +970,34 @@ class ModelRunner:
             extra["lora_indices"] = jnp.asarray(tok_lora.reshape(-1))
         if token_mask is not None:
             extra["token_mask"] = jnp.asarray(token_mask)
+        if "pixel_values" in arrays:
+            extra["pixel_values"] = jnp.asarray(arrays["pixel_values"])
+        if prompt_lp_k >= 0:
+            # target of grid position j = the NEXT prompt token; -1 where
+            # the target is not a prompt token (pads / final position)
+            by_req = {m.request_id: m for m in seq_group_metadata_list}
+            b_dim, l_dim = arrays["tokens"].shape
+            lp_targets = np.full((b_dim, l_dim), -1, np.int32)
+            for i, (rid, seq_id) in enumerate(rows):
+                data = by_req[rid].seq_data[seq_id]
+                all_toks = data.prompt_token_ids
+                start = int(arrays["positions"][i, 0])
+                ql = int(arrays["query_lens"][i])
+                for j in range(ql):
+                    p_next = start + j + 1
+                    if p_next < len(all_toks):
+                        lp_targets[i, j] = all_toks[p_next]
+            extra["lp_targets"] = jnp.asarray(lp_targets)
 
-        kv_caches, sampled, logprob, top = step_fn(
+        out = step_fn(
             params, kv_caches, jnp.asarray(arrays["tokens"]),
             jnp.asarray(arrays["positions"]), md,
             jnp.asarray(arrays["sel"]), st, key, **extra)
+        if num_steps > 1:
+            kv_caches, sampled, logprob, top = out
+            prompt_lp = multi = None
+        else:
+            kv_caches, sampled, logprob, top, prompt_lp, multi = out
         t_dispatch = time.perf_counter()
 
         # [B] single-step -> [1, B] so both paths share the fan-out.
@@ -902,6 +1010,18 @@ class ModelRunner:
             if tv.ndim == 2:
                 tv, ti = tv[None], ti[None]
             top_np = (tv, ti)
+        multi_np = None
+        if multi is not None:
+            multi_np = (np.asarray(jax.device_get(multi[0])),
+                        np.asarray(jax.device_get(multi[1])))
+        prompt_lp_np = None
+        if prompt_lp is not None:
+            tok_lp = np.asarray(jax.device_get(prompt_lp[0]))
+            tv = ti = None
+            if prompt_lp[1] is not None:
+                tv = np.asarray(jax.device_get(prompt_lp[1]))
+                ti = np.asarray(jax.device_get(prompt_lp[2]))
+            prompt_lp_np = (tok_lp, tv, ti)
         t_done = time.perf_counter()
         if envs.VLT_BENCHMARK_RUNNER:
             # Fork-parity per-step instrumentation (reference:
@@ -918,12 +1038,56 @@ class ModelRunner:
             for meta in seq_group_metadata_list:
                 samples = []
                 n_seqs = 1 if meta.is_prompt else len(meta.seq_data)
+                sp = meta.sampling_params
+                if sp is not None and sp.use_beam_search and meta.do_sample:
+                    # 2·bw beam candidates per group, ranked by parent
+                    # cumulative + token logprob (reference: sampler.py
+                    # _beam_search_sample :351).
+                    assert top_np is not None
+                    bw = sp.best_of
+                    cands = []
+                    for _ in range(n_seqs):
+                        _, seq_id = rows[row_idx]
+                        cum = meta.seq_data[seq_id].cumulative_logprob
+                        for v, tid in zip(top_np[0][k, row_idx][:2 * bw],
+                                          top_np[1][k, row_idx][:2 * bw]):
+                            cands.append((cum + float(v), seq_id,
+                                          int(tid), float(v)))
+                        row_idx += 1
+                    cands.sort(key=lambda c: c[0], reverse=True)
+                    for _, parent, tid, lp in cands[:2 * bw]:
+                        samples.append(
+                            SequenceOutput(
+                                parent_seq_id=parent, output_token=tid,
+                                logprobs={tid: Logprob(logprob=lp)}))
+                    outputs.append(
+                        CompletionSequenceGroupOutput(
+                            samples=samples, prompt_logprobs=None))
+                    continue
+                if (sp is not None and meta.is_prompt and sp.best_of > 1
+                        and meta.do_sample and multi_np is not None):
+                    # best_of parallel samples from one prompt; the
+                    # output processor forks children (reference:
+                    # sampler.py _random_sample prompt phase).
+                    _, seq_id = rows[row_idx]
+                    for tid, lp in zip(multi_np[0][row_idx][:sp.best_of],
+                                       multi_np[1][row_idx][:sp.best_of]):
+                        samples.append(
+                            SequenceOutput(
+                                parent_seq_id=seq_id,
+                                output_token=int(tid),
+                                logprobs={int(tid):
+                                          Logprob(logprob=float(lp))}))
+                    row_idx += 1
+                    outputs.append(
+                        CompletionSequenceGroupOutput(
+                            samples=samples, prompt_logprobs=None))
+                    continue
                 for _ in range(n_seqs):
                     req_id, seq_id = rows[row_idx]
                     token = int(sampled_np[k, row_idx])
                     lp = float(logprob_np[k, row_idx])
                     logprobs = {token: Logprob(logprob=lp)}
-                    sp = meta.sampling_params
                     if sp.logprobs and top_np is not None:
                         for v, tid in zip(
                                 top_np[0][k, row_idx][:sp.logprobs],
@@ -936,8 +1100,44 @@ class ModelRunner:
                                            output_token=token,
                                            logprobs=logprobs))
                     row_idx += 1
+                group_prompt_lp = None
+                if (prompt_lp_np is not None and meta.is_prompt
+                        and meta.sampling_params is not None
+                        and meta.sampling_params.prompt_logprobs
+                        is not None):
+                    group_prompt_lp = self._assemble_prompt_logprobs(
+                        meta, rows, row_idx - 1, arrays, prompt_lp_np)
                 outputs.append(
-                    CompletionSequenceGroupOutput(samples=samples,
-                                                  prompt_logprobs=None))
+                    CompletionSequenceGroupOutput(
+                        samples=samples,
+                        prompt_logprobs=group_prompt_lp))
             outs.append(SamplerOutput(outputs=outputs))
         return outs, kv_caches
+
+    def _assemble_prompt_logprobs(self, meta, rows, row_i, arrays,
+                                  prompt_lp_np):
+        """Per-position {token: Logprob} dicts for this prefill chunk
+        (reference: SamplerOutput prompt_logprobs contract — the very
+        first prompt token has no logprob and maps to None)."""
+        tok_lp, tv, ti = prompt_lp_np
+        sp = meta.sampling_params
+        k = sp.prompt_logprobs or 0
+        seq_id = rows[row_i][1]
+        data = meta.seq_data[seq_id]
+        all_toks = data.prompt_token_ids
+        start = int(arrays["positions"][row_i, 0])
+        ql = int(arrays["query_lens"][row_i])
+        out = []
+        if start == 0:
+            out.append(None)
+        for j in range(ql):
+            p_next = start + j + 1
+            if p_next >= len(all_toks):
+                break
+            tid = int(all_toks[p_next])
+            entry = {tid: Logprob(logprob=float(tok_lp[row_i, j]))}
+            if k > 0 and tv is not None:
+                for v, t in zip(tv[row_i, j][:k], ti[row_i, j][:k]):
+                    entry.setdefault(int(t), Logprob(logprob=float(v)))
+            out.append(entry)
+        return out

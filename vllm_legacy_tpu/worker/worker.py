@@ -11,6 +11,7 @@ from typing import List, Optional, Tuple
 
 import jax
 
+from vllm_legacy_tpu import envs
 from vllm_legacy_tpu.config import EngineConfig
 from vllm_legacy_tpu.logger import init_logger
 from vllm_legacy_tpu.parallel.mesh import build_mesh, get_device_hbm_bytes
@@ -72,6 +73,12 @@ class Worker:
 
     # -- bring-up -------------------------------------------------------
     def load_model(self) -> None:
+        if envs.VLT_TRACE_FUNCTION:
+            # reference parity: worker_base.py:123
+            # enable_trace_function_call_for_thread
+            from vllm_legacy_tpu.logger import (enable_trace_function_call,
+                                                get_trace_file_path)
+            enable_trace_function_call(get_trace_file_path("worker"))
         self.model_runner.load_model(self.load_config.load_format)
         if self.draft_proposer is not None:
             self.draft_proposer.load_model(self.load_config.load_format)
