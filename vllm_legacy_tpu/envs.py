@@ -39,6 +39,11 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # Force interpret mode for Pallas kernels (debugging / CPU test runs).
     "VLT_PALLAS_INTERPRET":
     lambda: int(os.getenv("VLT_PALLAS_INTERPRET", "0")),
+    # Persistent XLA compilation cache directory ("" disables). First
+    # compiles of each (phase, bucket) shape cost 5-40s; the cache
+    # makes every later engine start skip them.
+    "VLT_COMPILATION_CACHE_DIR":
+    lambda: os.getenv("VLT_COMPILATION_CACHE_DIR", "/tmp/vlt_xla_cache"),
     # Use the pure-XLA reference attention instead of Pallas kernels.
     "VLT_USE_XLA_OPS":
     lambda: int(os.getenv("VLT_USE_XLA_OPS", "0")),

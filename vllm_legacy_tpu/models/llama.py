@@ -407,9 +407,12 @@ class LlamaForCausalLM:
         """Random-weight init (reference: DummyModelLoader,
         model_loader/loader.py:261) — host numpy, cheap and seedable."""
         import ml_dtypes
+
+        from vllm_legacy_tpu.models.base import make_noise_fn
         rng = np.random.RandomState(seed)
         np_dtype = (ml_dtypes.bfloat16
                     if self.dtype == jnp.bfloat16 else np.float32)
+        noise = make_noise_fn(rng, 1e-2, np_dtype)
 
         def make(tree):
             if isinstance(tree, dict):
@@ -417,8 +420,7 @@ class LlamaForCausalLM:
             if isinstance(tree, list):
                 return [make(v) for v in tree]
             shape, _ = tree
-            scale = 1e-2
-            return (rng.standard_normal(shape) * scale).astype(np_dtype)
+            return noise(shape)
 
         shapes = self.param_shapes()
         shapes.pop("rope_cache")

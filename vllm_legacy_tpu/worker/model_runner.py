@@ -84,17 +84,61 @@ class ModelRunner:
     # ------------------------------------------------------------------
     def load_model(self, load_format) -> None:
         from vllm_legacy_tpu.model_loader import get_model
-        self.model, host_params = get_model(self.model_config,
-                                            self.parallel_config,
-                                            load_format)
+        from vllm_legacy_tpu.models.base import NoiseLeaf, lazy_dummy_init
+        with lazy_dummy_init():
+            # Dummy-format loads return NoiseLeaf placeholders so the
+            # multi-GB noise tensors are expanded on DEVICE below
+            # instead of materialized + transferred from host.
+            self.model, host_params = get_model(self.model_config,
+                                                self.parallel_config,
+                                                load_format)
         specs = self.model.param_specs(host_params)
+        is_leaf = lambda x: isinstance(x, (np.ndarray, jnp.ndarray,
+                                           NoiseLeaf))
+        noise_leaves: List[NoiseLeaf] = []
+        noise_shardings: List[NamedSharding] = []
+
+        def put(arr, spec):
+            if isinstance(arr, NoiseLeaf):
+                noise_leaves.append(arr)
+                noise_shardings.append(NamedSharding(self.mesh, spec))
+                return arr
+            return jax.device_put(jnp.asarray(arr),
+                                  NamedSharding(self.mesh, spec))
+
         # rope cache entry exists in params but not in shapes pytree; its
         # spec is replicated.
-        self.params = jax.tree.map(
-            lambda arr, spec: jax.device_put(
-                jnp.asarray(arr), NamedSharding(self.mesh, spec)),
-            host_params, specs,
-            is_leaf=lambda x: isinstance(x, (np.ndarray, jnp.ndarray)))
+        placed = jax.tree.map(put, host_params, specs, is_leaf=is_leaf)
+
+        if noise_leaves:
+            pools: List[np.ndarray] = []
+            pool_idx: List[int] = []
+            for lf in noise_leaves:
+                for j, p in enumerate(pools):
+                    if p is lf.pool:
+                        pool_idx.append(j)
+                        break
+                else:
+                    pool_idx.append(len(pools))
+                    pools.append(lf.pool)
+
+            def gen(device_pools):
+                outs = []
+                for lf, pi in zip(noise_leaves, pool_idx):
+                    p = device_pools[pi]
+                    n = int(np.prod(lf.shape))
+                    reps = (lf.start + n) // p.size + 1
+                    flat = jnp.tile(p, reps)[lf.start:lf.start + n]
+                    outs.append(flat.reshape(lf.shape))
+                return outs
+
+            arrs = jax.jit(gen, out_shardings=noise_shardings)(
+                [jnp.asarray(p) for p in pools])
+            it = iter(arrs)
+            placed = jax.tree.map(
+                lambda x: next(it) if isinstance(x, NoiseLeaf) else x,
+                placed, is_leaf=is_leaf)
+        self.params = placed
 
     def param_bytes(self) -> int:
         return sum(

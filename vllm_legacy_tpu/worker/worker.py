@@ -22,6 +22,29 @@ from vllm_legacy_tpu.worker.model_runner import ModelRunner
 
 logger = init_logger(__name__)
 
+_cache_enabled = False
+
+
+def _enable_compilation_cache() -> None:
+    """Point jit at a persistent on-disk compilation cache so repeated
+    engine starts skip the 5-40s first-compile of each (phase, bucket)
+    shape (reference analogue: CUDA-graph capture cost amortized by
+    long-lived processes; XLA lets us amortize across processes)."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    cache_dir = envs.VLT_COMPILATION_CACHE_DIR
+    if not cache_dir:
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # pragma: no cover - config name drift
+        logger.warning("compilation cache unavailable: %s", e)
+
 
 class Worker:
 
@@ -33,6 +56,7 @@ class Worker:
         self.scheduler_config = cfg.scheduler_config
         self.load_config = cfg.load_config
 
+        _enable_compilation_cache()
         self.mesh = build_mesh(
             tensor_parallel_size=self.parallel_config.tensor_parallel_size,
             data_parallel_size=self.parallel_config.data_parallel_size)
