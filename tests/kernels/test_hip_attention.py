@@ -23,8 +23,8 @@ def build_state(rng, batch, max_blocks, ctx_lens, num_layers=2,
     """Random cache + block tables; optionally make `concentrate` block
     indices carry high-norm keys so attention mass is localized."""
     n_blocks = batch * max_blocks + 1
-    k_cache = rng.randn(num_layers, HKV, n_blocks, BS, D) * 0.02
-    v_cache = rng.randn(num_layers, HKV, n_blocks, BS, D) * 1.0
+    k_cache = rng.randn(num_layers, n_blocks, HKV, BS, D) * 0.02
+    v_cache = rng.randn(num_layers, n_blocks, HKV, BS, D) * 1.0
     # distinct physical blocks per sequence (shuffled to catch
     # virtual->physical mapping bugs)
     perm = rng.permutation(batch * max_blocks) + 1
@@ -35,7 +35,7 @@ def build_state(rng, batch, max_blocks, ctx_lens, num_layers=2,
             for blk in concentrate:
                 phys = tables[b, blk]
                 # keys aligned with the query -> dominant scores
-                k_cache[:, :, phys] = (
+                k_cache[:, phys] = (
                     q[b].reshape(HKV, G, D).mean(1)[:, None, :] * 2.0
                     + rng.randn(HKV, BS, D) * 0.001)
     return (jnp.asarray(k_cache, jnp.float32),
@@ -131,11 +131,11 @@ def test_sparse_write_lands_in_true_last_block(impl):
         blk = tab[b, (c - 1) // BS]
         off = (c - 1) % BS
         np.testing.assert_array_equal(
-            np.asarray(sparse_k)[1, :, blk, off],
-            np.asarray(dense_k)[1, :, blk, off])
+            np.asarray(sparse_k)[1, blk, :, off],
+            np.asarray(dense_k)[1, blk, :, off])
         np.testing.assert_array_equal(
-            np.asarray(sparse_v)[1, :, blk, off],
-            np.asarray(dense_v)[1, :, blk, off])
+            np.asarray(sparse_v)[1, blk, :, off],
+            np.asarray(dense_v)[1, blk, :, off])
 
 
 def test_per_head_selection_differs():
@@ -148,8 +148,8 @@ def test_per_head_selection_differs():
     tab = np.asarray(tables)
     kc = np.array(k_cache)
     qn = np.asarray(q).reshape(1, HKV, G, D)
-    kc[:, 0, tab[0, 4]] = qn[0, 0].mean(0) * 0.5
-    kc[:, 1, tab[0, 20]] = qn[0, 1].mean(0) * 0.5
+    kc[:, tab[0, 4], 0] = qn[0, 0].mean(0) * 0.5
+    kc[:, tab[0, 20], 1] = qn[0, 1].mean(0) * 0.5
     k_cache = jnp.asarray(kc)
     vtab, _ = select_kv_blocks(q, k_cache, jnp.asarray([1], jnp.int32),
                                tables, jnp.asarray(ctx, jnp.int32),

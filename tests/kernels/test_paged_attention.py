@@ -65,7 +65,7 @@ def build_case(seed, batch, q_lens, ctx_lens, hkv, hq, num_blocks):
     v_new = np.zeros((batch, l_pad, hkv, HEAD_SIZE), np.float32)
 
     # stacked cache with 1 layer
-    k_cache = np.zeros((1, hkv, num_blocks, BLOCK_SIZE, HEAD_SIZE),
+    k_cache = np.zeros((1, num_blocks, hkv, BLOCK_SIZE, HEAD_SIZE),
                        np.float32)
     v_cache = np.zeros_like(k_cache)
     perm = rng.permutation(num_blocks - 1) + 1
@@ -81,8 +81,8 @@ def build_case(seed, batch, q_lens, ctx_lens, hkv, hq, num_blocks):
         # pre-write the context (positions < q_start)
         for p in range(q_start):
             blk = tables[i, p // BLOCK_SIZE]
-            k_cache[0, :, blk, p % BLOCK_SIZE] = k_full[i, p]
-            v_cache[0, :, blk, p % BLOCK_SIZE] = v_full[i, p]
+            k_cache[0, blk, :, p % BLOCK_SIZE] = k_full[i, p]
+            v_cache[0, blk, :, p % BLOCK_SIZE] = v_full[i, p]
         q_pad[i, :ql] = rng.randn(ql, hq, HEAD_SIZE)
         k_new[i, :ql] = k_full[i, q_start:ctx]
         v_new[i, :ql] = v_full[i, q_start:ctx]
@@ -98,7 +98,7 @@ def check_cache_contents(k_cache, tables, k_full, q_lens, ctx_lens):
         for p in range(ctx):
             blk = tables[i, p // BLOCK_SIZE]
             np.testing.assert_allclose(
-                kc[0, :, blk, p % BLOCK_SIZE], k_full[i, p], atol=1e-6,
+                kc[0, blk, :, p % BLOCK_SIZE], k_full[i, p], atol=1e-6,
                 err_msg=f"seq {i} pos {p}")
 
 
@@ -191,14 +191,14 @@ def test_prefill_vs_oracle(hq, hkv, q_lens, ctx_lens):
 
 def test_write_to_kv_cache_drops_pad_slots():
     hkv, nblocks = 2, 4
-    k_cache = jnp.zeros((hkv, nblocks, BLOCK_SIZE, HEAD_SIZE), jnp.float32)
+    k_cache = jnp.zeros((nblocks, hkv, BLOCK_SIZE, HEAD_SIZE), jnp.float32)
     v_cache = jnp.ones_like(k_cache)
     key = jnp.full((3, hkv, HEAD_SIZE), 2.0)
     val = jnp.full((3, hkv, HEAD_SIZE), 3.0)
     slots = jnp.asarray([0, 17, -1], jnp.int32)  # last is padding
     k2, v2 = write_to_kv_cache(key, val, k_cache, v_cache, slots)
-    k2 = np.asarray(k2).reshape(hkv, -1, HEAD_SIZE)
-    v2 = np.asarray(v2).reshape(hkv, -1, HEAD_SIZE)
+    k2 = np.asarray(k2).transpose(1, 0, 2, 3).reshape(hkv, -1, HEAD_SIZE)
+    v2 = np.asarray(v2).transpose(1, 0, 2, 3).reshape(hkv, -1, HEAD_SIZE)
     assert (k2[:, 0] == 2.0).all() and (k2[:, 17] == 2.0).all()
     assert (v2[:, 0] == 3.0).all() and (v2[:, 17] == 3.0).all()
     assert (k2[:, 1] == 0.0).all()  # untouched
@@ -207,7 +207,7 @@ def test_write_to_kv_cache_drops_pad_slots():
 
 def test_write_to_kv_cache_stacked_layer():
     hkv, nblocks, layers = 2, 4, 3
-    k_cache = jnp.zeros((layers, hkv, nblocks, BLOCK_SIZE, HEAD_SIZE),
+    k_cache = jnp.zeros((layers, nblocks, hkv, BLOCK_SIZE, HEAD_SIZE),
                         jnp.float32)
     v_cache = jnp.zeros_like(k_cache)
     key = jnp.full((2, hkv, HEAD_SIZE), 5.0)
@@ -216,8 +216,8 @@ def test_write_to_kv_cache_stacked_layer():
     k2, v2 = write_to_kv_cache(key, val, k_cache, v_cache, slots,
                                layer_idx=1)
     k2 = np.asarray(k2)
-    assert (k2[1, :, 0, 3] == 5.0).all()
-    assert (k2[1, :, 2, 8] == 5.0).all()  # slot 40 = block 2, off 8
+    assert (k2[1, 0, :, 3] == 5.0).all()
+    assert (k2[1, 2, :, 8] == 5.0).all()  # slot 40 = block 2, off 8
     assert k2[0].sum() == 0 and k2[2].sum() == 0  # other layers untouched
 
 @pytest.mark.parametrize("hq,hkv", [(8, 8), (8, 2)])

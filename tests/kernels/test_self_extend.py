@@ -62,9 +62,9 @@ def np_self_extend_attention(q, k, v, q_pos, scale):
 def build(rng, batch, max_blocks, num_layers=2):
     n_blocks = batch * max_blocks + 1
     k_cache = jnp.asarray(
-        rng.randn(num_layers, HKV, n_blocks, BS, D) * 0.1, jnp.float32)
+        rng.randn(num_layers, n_blocks, HKV, BS, D) * 0.1, jnp.float32)
     v_cache = jnp.asarray(
-        rng.randn(num_layers, HKV, n_blocks, BS, D), jnp.float32)
+        rng.randn(num_layers, n_blocks, HKV, BS, D), jnp.float32)
     tables = jnp.asarray(
         (rng.permutation(batch * max_blocks) + 1).reshape(
             batch, max_blocks).astype(np.int32))
@@ -96,8 +96,8 @@ def test_self_extend_decode_matches_oracle(impl):
         rows_k, rows_v = [], []
         for t in range(c):
             blk, off = tab[b, t // BS], t % BS
-            rows_k.append(kc[1, :, blk, off])
-            rows_v.append(vc[1, :, blk, off])
+            rows_k.append(kc[1, blk, :, off])
+            rows_v.append(vc[1, blk, :, off])
         kk = np.stack(rows_k).astype(np.float64)  # [T, Hkv, D]
         vv = np.stack(rows_v).astype(np.float64)
         # the write must have stored the UNROTATED new key
@@ -127,8 +127,8 @@ def test_self_extend_prefill_matches_oracle(impl):
                          self_extend=SPEC)
     kc, vc = np.asarray(k_up), np.asarray(v_up)
     tab = np.asarray(tables)
-    rows_k = [kc[1, :, tab[0, t // BS], t % BS] for t in range(ctx)]
-    rows_v = [vc[1, :, tab[0, t // BS], t % BS] for t in range(ctx)]
+    rows_k = [kc[1, tab[0, t // BS], :, t % BS] for t in range(ctx)]
+    rows_v = [vc[1, tab[0, t // BS], :, t % BS] for t in range(ctx)]
     kk = np.stack(rows_k).astype(np.float64)
     vv = np.stack(rows_v).astype(np.float64)
     for i in range(qlen):
@@ -162,7 +162,7 @@ def test_self_extend_within_window_equals_standard_rope():
     tab = np.asarray(tables)
     for t in range(ctx[0] - 1):
         blk, off = tab[0, t // BS], t % BS
-        kc[:, :, blk, off] = np_rope(kc[:, :, blk, off], t, D)
+        kc[:, blk, :, off] = np_rope(kc[:, blk, :, off], t, D)
     q_rot = jnp.asarray(np_rope(np.asarray(q_raw), ctx[0] - 1, D),
                         jnp.float32)
     k_rot = jnp.asarray(np_rope(np.asarray(k_raw), ctx[0] - 1, D),

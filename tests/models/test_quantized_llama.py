@@ -118,8 +118,8 @@ def test_quantized_llama_matches_dequantized_dense():
     tokens = jnp.asarray(rng.randint(0, 255, (b, l)), jnp.int32)
     positions = jnp.tile(jnp.arange(l, dtype=jnp.int32)[None], (b, 1))
     d_pad = padded_head_size(32)
-    kv = (jnp.zeros((2, 2, 8, 16, d_pad), jnp.float32),
-          jnp.zeros((2, 2, 8, 16, d_pad), jnp.float32))
+    kv = (jnp.zeros((2, 8, 2, 16, d_pad), jnp.float32),
+          jnp.zeros((2, 8, 2, 16, d_pad), jnp.float32))
     md = AttentionMetadata(
         slot_mapping=jnp.arange(b * l, dtype=jnp.int32),
         block_tables=jnp.tile(jnp.arange(4, dtype=jnp.int32)[None],
@@ -130,7 +130,7 @@ def test_quantized_llama_matches_dequantized_dense():
 
     def run(model, params):
         specs = model.param_specs(params)
-        cache_spec = P(None, "model", None, None, None)
+        cache_spec = P(None, None, "model", None, None)
         kv_specs = (cache_spec, cache_spec)
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)

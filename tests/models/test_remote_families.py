@@ -61,7 +61,7 @@ def run_forward(model, params):
     """One 8-token prefill + one decode step; asserts finite output."""
     from vllm_legacy_tpu.models.attention import (AttentionMetadata,
                                                   padded_head_size)
-    kv_shape = (model.num_layers, model.num_kv_heads, 8, 16,
+    kv_shape = (model.num_layers, 8, model.num_kv_heads, 16,
                 padded_head_size(model.head_dim))
     kv = (jnp.zeros(kv_shape, jnp.float32),
           jnp.zeros(kv_shape, jnp.float32))

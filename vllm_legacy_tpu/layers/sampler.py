@@ -56,6 +56,33 @@ class SamplingTensors:
         output_tokens: Optional[List[List[int]]] = None,
         pad_to: Optional[int] = None,
     ) -> "SamplingTensors":
+        return cls(**jax.tree.map(
+            jnp.asarray,
+            cls.np_fields(temperature, top_p, top_k, min_p, presence,
+                          frequency, repetition, is_greedy, seeds,
+                          seed_positions, prompt_tokens, output_tokens,
+                          pad_to)))
+
+    @classmethod
+    def np_fields(
+        cls,
+        temperature: List[float],
+        top_p: List[float],
+        top_k: List[int],
+        min_p: List[float],
+        presence: List[float],
+        frequency: List[float],
+        repetition: List[float],
+        is_greedy: List[bool],
+        seeds: List[int],
+        seed_positions: Optional[List[int]] = None,
+        prompt_tokens: Optional[List[List[int]]] = None,
+        output_tokens: Optional[List[List[int]]] = None,
+        pad_to: Optional[int] = None,
+    ) -> dict:
+        """Field dict as host numpy, so the runner can pack every step
+        input into one host->device transfer (tunnel RTT dominates the
+        step otherwise)."""
         from vllm_legacy_tpu.utils import make_ndarray_with_pad
         n = len(temperature)
         pad = pad_to if pad_to is not None else n
@@ -63,20 +90,20 @@ class SamplingTensors:
         def fill(x, fill_value, dtype):
             a = np.full((pad, ), fill_value, dtype)
             a[:n] = np.asarray(x, dtype)
-            return jnp.asarray(a)
+            return a
 
         def tok(lists):
             if not lists:
-                return jnp.full((pad, 1), -1, jnp.int32)
+                return np.full((pad, 1), -1, np.int32)
             arr = make_ndarray_with_pad(lists, -1, np.int32)
             if arr.shape[0] < pad:
                 arr = np.pad(arr, ((0, pad - arr.shape[0]), (0, 0)),
                              constant_values=-1)
             if arr.shape[1] == 0:
                 arr = np.full((pad, 1), -1, np.int32)
-            return jnp.asarray(arr)
+            return arr
 
-        return cls(
+        return dict(
             temperature=fill(temperature, 1.0, np.float32),
             top_p=fill(top_p, 1.0, np.float32),
             top_k=fill(top_k, 0, np.int32),

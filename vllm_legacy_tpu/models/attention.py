@@ -66,7 +66,7 @@ def attention(
     q: jax.Array,  # [B, L, num_q_heads(local), head]
     k: jax.Array,  # [B, L, num_kv_heads(local), head]
     v: jax.Array,  # [B, L, num_kv_heads(local), head]
-    kv_cache: Tuple[jax.Array, jax.Array],  # stacked [L, H, N, bs, D]
+    kv_cache: Tuple[jax.Array, jax.Array],  # stacked [L, N, H, bs, D]
     md: AttentionMetadata,
     *,
     scale: float,

@@ -39,7 +39,7 @@ _NEG = float(-2.0**30)
 
 def select_kv_blocks(
     q: jax.Array,  # [B, num_q_heads, D] decode queries (cache-padded D)
-    k_cache: jax.Array,  # [Lnum, Hkv, N, bs, D] stacked
+    k_cache: jax.Array,  # [Lnum, N, Hkv, bs, D] stacked block-major
     layer_idx: jax.Array,  # [1] int32
     block_tables: jax.Array,  # [B, max_blocks] int32 physical ids
     context_lens: jax.Array,  # [B] int32 (incl. the new token)
@@ -52,7 +52,7 @@ def select_kv_blocks(
     """Returns (virtual_tables [B, Hkv, num_sel] physical ids,
     virtual_ctx [B] int32)."""
     batch, num_q_heads, d = q.shape
-    _, num_kv_heads, num_blocks, bs, _ = k_cache.shape
+    _, num_blocks, num_kv_heads, bs, _ = k_cache.shape
     group = num_q_heads // num_kv_heads
     max_entries = block_tables.shape[1]
 
@@ -60,12 +60,16 @@ def select_kv_blocks(
 
     # --- representative-key scores:  [B, Hkv, max_entries] -------------
     offsets = jnp.linspace(0, bs - 1, reps_per_block).astype(jnp.int32)
-    kf = k_cache[layer_idx[0]].reshape(num_kv_heads, num_blocks * bs, d)
-    # rep row ids [B, max_entries * R]
-    rows = (block_tables[:, :, None] * bs + offsets[None, None, :])
-    rows = rows.reshape(batch, max_entries * reps_per_block)
-    reps = kf[:, rows]  # [Hkv, B, M*R, D]
-    reps = reps.transpose(1, 0, 2, 3).astype(jnp.float32)
+    k4 = k_cache[layer_idx[0]]  # [N, Hkv, bs, D] block-major
+    # rep rows: block id [B, M, R] x in-block offset [R]
+    blk = jnp.broadcast_to(block_tables[:, :, None],
+                           (batch, max_entries, reps_per_block))
+    off = jnp.broadcast_to(offsets[None, None, :], blk.shape)
+    # advanced indices at axes 0 and 2 -> [B, M, R, Hkv, D]
+    reps = k4[blk.reshape(batch, -1), :, off.reshape(batch, -1), :]
+    reps = reps.reshape(batch, max_entries * reps_per_block,
+                        num_kv_heads, d)
+    reps = reps.transpose(0, 2, 1, 3).astype(jnp.float32)  # [B,H,M*R,D]
 
     qg = q.reshape(batch, num_kv_heads, group, d).astype(jnp.float32)
     s = jnp.einsum("bhgd,bhrd->bhgr", qg, reps)

@@ -6,17 +6,19 @@ are XLA scatters/gathers over functionally-updated arrays — the engine
 donates the cache buffers into the jitted step so XLA performs them in
 place.
 
-Cache layout — ONE stacked array pair for the whole model:
+Cache layout — ONE stacked array pair for the whole model, block-major:
 
-    k_cache, v_cache: [num_layers, num_kv_heads, num_blocks,
+    k_cache, v_cache: [num_layers, num_blocks, num_kv_heads,
                        block_size, head_size]
 
 Stacking matters: per-layer cache arrays would mean 2*L donated HBM
 buffers feeding 2*L Pallas attention reads per step, which degrades
 XLA/runtime buffer aliasing catastrophically (measured seconds per step
-on v5e); two big buffers alias cleanly. kv-head-major within a layer so
-a Pallas grid cell working on one kv head DMAs a contiguous
-``(block_size, head_size)`` tile per block-table entry.
+on v5e); two big buffers alias cleanly. Block-major with heads INSIDE
+the block so a Pallas grid cell streams one contiguous
+``[Hkv, block_size, head_size]`` slab per block-table entry — all kv
+heads in one DMA (4-32x fewer, larger DMAs than a head-major layout;
+DMA-issue overhead dominated decode otherwise).
 
 The 4D per-layer view ``k_cache[layer]`` is what the attention kernel
 consumes (a static-index slice — no copy).
@@ -32,7 +34,7 @@ import jax.numpy as jnp
 def write_to_kv_cache(
     key: jax.Array,  # [T, num_kv_heads, head_size]
     value: jax.Array,  # [T, num_kv_heads, head_size]
-    k_cache: jax.Array,  # [L, H, N, bs, D] stacked or [H, N, bs, D]
+    k_cache: jax.Array,  # [L, N, H, bs, D] stacked or [N, H, bs, D]
     v_cache: jax.Array,
     slot_mapping: jax.Array,  # [T] int32; flat slot = block*bs + off; <0 pad
     layer_idx: Optional[int] = None,
@@ -46,56 +48,46 @@ def write_to_kv_cache(
     stacked = k_cache.ndim == 5
     if stacked:
         assert layer_idx is not None
-        layers, num_heads, num_blocks, block_size, head_size = \
-            k_cache.shape
+        _, num_blocks, _, block_size, _ = k_cache.shape
     else:
-        num_heads, num_blocks, block_size, head_size = k_cache.shape
+        num_blocks, _, block_size, _ = k_cache.shape
 
-    kt = key.swapaxes(0, 1).astype(k_cache.dtype)  # [H, T, D]
-    vt = value.swapaxes(0, 1).astype(v_cache.dtype)
-    # Clamp negatives to an out-of-range index so "drop" removes them.
-    slots = jnp.where(slot_mapping < 0, num_blocks * block_size,
-                      slot_mapping)
+    # Clamp negatives to an out-of-range block so "drop" removes them.
+    blk = jnp.where(slot_mapping < 0, num_blocks,
+                    slot_mapping // block_size)
+    off = jnp.where(slot_mapping < 0, 0, slot_mapping % block_size)
+    kt = key.astype(k_cache.dtype)  # [T, H, D]
+    vt = value.astype(v_cache.dtype)
     if stacked:
-        k_flat = k_cache.reshape(layers, num_heads,
-                                 num_blocks * block_size, head_size)
-        v_flat = v_cache.reshape(layers, num_heads,
-                                 num_blocks * block_size, head_size)
-        # advanced-index slots between slices -> update shape [T, H, D]
-        k_flat = k_flat.at[layer_idx, :, slots, :].set(
-            key.astype(k_cache.dtype), mode="drop")
-        v_flat = v_flat.at[layer_idx, :, slots, :].set(
-            value.astype(v_cache.dtype), mode="drop")
+        k_cache = k_cache.at[layer_idx, blk, :, off, :].set(kt,
+                                                            mode="drop")
+        v_cache = v_cache.at[layer_idx, blk, :, off, :].set(vt,
+                                                            mode="drop")
     else:
-        k_flat = k_cache.reshape(num_heads, num_blocks * block_size,
-                                 head_size)
-        v_flat = v_cache.reshape(num_heads, num_blocks * block_size,
-                                 head_size)
-        k_flat = k_flat.at[:, slots, :].set(kt, mode="drop")
-        v_flat = v_flat.at[:, slots, :].set(vt, mode="drop")
-    return (k_flat.reshape(k_cache.shape), v_flat.reshape(v_cache.shape))
+        k_cache = k_cache.at[blk, :, off, :].set(kt, mode="drop")
+        v_cache = v_cache.at[blk, :, off, :].set(vt, mode="drop")
+    return k_cache, v_cache
 
 
 def copy_blocks(
-    k_cache: jax.Array,  # [L, H, N, bs, D]
+    k_cache: jax.Array,  # [L, N, H, bs, D]
     v_cache: jax.Array,
     src_blocks: jax.Array,  # [P] int32
     dst_blocks: jax.Array,  # [P] int32
 ) -> Tuple[jax.Array, jax.Array]:
     """Copy-on-write block duplication across all layers (reference:
     cache_kernels.cu copy_blocks)."""
-    k_cache = k_cache.at[:, :, dst_blocks].set(k_cache[:, :, src_blocks])
-    v_cache = v_cache.at[:, :, dst_blocks].set(v_cache[:, :, src_blocks])
+    k_cache = k_cache.at[:, dst_blocks].set(k_cache[:, src_blocks])
+    v_cache = v_cache.at[:, dst_blocks].set(v_cache[:, src_blocks])
     return k_cache, v_cache
 
 
 def gather_blocks(cache: jax.Array, blocks: jax.Array) -> jax.Array:
-    """[L, H, N, bs, D] + [P] -> [L, H, P, bs, D] (for swap-out)."""
-    return cache[:, :, blocks]
+    """[L, N, H, bs, D] + [P] -> [L, P, H, bs, D] (for swap-out)."""
+    return cache[:, blocks]
 
 
 def scatter_blocks(cache: jax.Array, blocks_data: jax.Array,
                    dst_blocks: jax.Array) -> jax.Array:
-    """Insert [L, H, P, bs, D] at block ids (for swap-in)."""
-    return cache.at[:, :, dst_blocks].set(
-        blocks_data.astype(cache.dtype))
+    """Insert [L, P, H, bs, D] at block ids (for swap-in)."""
+    return cache.at[:, dst_blocks].set(blocks_data.astype(cache.dtype))

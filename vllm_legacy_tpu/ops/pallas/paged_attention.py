@@ -7,8 +7,8 @@ Triton context_attention_fwd, csrc/cache_kernels.cu — SURVEY.md §2.6,
 §2.11):
 
 * The kernel WRITES the new tokens' K/V into the paged cache itself
-  (grid cell (b, h, 0) DMAs them in before any read) and the cache
-  arrays are input/output-aliased. This keeps the cache buffer chain
+  (grid cell (b, 0) DMAs them in before any read) and the cache arrays
+  are input/output-aliased. This keeps the cache buffer chain
   pallas→pallas across layers with no XLA scatter or slice in between —
   load-bearing for in-place donation: XLA cannot alias a buffer that is
   scattered outside and read inside a custom call, and the resulting
@@ -17,13 +17,15 @@ Triton context_attention_fwd, csrc/cache_kernels.cu — SURVEY.md §2.6,
   full prefill, chunked prefill, prefix-cache hits and single-token
   decode are all the same access pattern with different
   ``query_lens``/``context_lens``.
-* Grid ``(batch, num_kv_heads, num_q_blocks)``; each cell computes all
-  GQA query heads of one kv head for one q tile (MXU operands
-  ``(G*BQ, D) x (D, SB)``), with KV streamed from HBM through a two-slot
-  double buffer with exact per-sequence trip counts.
-
-Layout: stacked cache ``[num_layers, num_kv_heads, num_blocks,
-block_size, head_size]``; the layer index is a scalar-prefetch operand.
+* Grid ``(batch, num_q_blocks)``; ALL kv heads of a sequence are
+  processed in one cell from ONE DMA per block-table entry: the cache
+  layout is block-major ``[num_layers, num_blocks, num_kv_heads,
+  block_size, head_size]`` so ``cache[layer, block]`` is a contiguous
+  ``[H, bs, D]`` slab, landed head-major in VMEM
+  (``[H, kblk, bs, D]``) so per-head tiles reshape with zero data
+  movement and the score/attend matmuls batch over heads on the MXU.
+  (The previous head-minor layout needed B*H grid cells with per-head
+  4KB DMAs — DMA-issue overhead dominated decode ~15x over roofline.)
 
 Alignment invariants (validated by the caller):
 * prefill start positions (ctx - qlen) are multiples of block_size, so
@@ -55,23 +57,23 @@ _MERGE_WRITE_MAX = 32
 def _attention_kernel(
     # scalar prefetch
     layer_ref,  # [1] SMEM: layer index into the stacked cache
-    block_tables_ref,  # [B, max_blocks] SMEM
+    block_tables_ref,  # [B, max_blocks] SMEM ([B, Hkv, S] = per-head)
     context_lens_ref,  # [B] SMEM
     query_lens_ref,  # [B] SMEM
     alibi_ref,  # [num_q_heads] SMEM f32 (zeros when has_alibi=False)
     # inputs
-    q_ref,  # [G, BQ, D] VMEM tile
-    k_new_ref,  # [1, 1, L_pad, D] VMEM tile (new K rows for (b, h))
-    v_new_ref,  # [1, 1, L_pad, D] VMEM tile
-    k_in,  # [Lnum, H, N, bs, D] HBM (aliased to k_hbm output)
-    v_in,  # [Lnum, H, N, bs, D] HBM (aliased to v_hbm output)
+    q_ref,  # [Hkv, G, BQ, D] VMEM tile
+    k_new_ref,  # [Hkv, L_pad, D] VMEM tile (new K rows for b)
+    v_new_ref,  # [Hkv, L_pad, D] VMEM tile
+    k_in,  # [Lnum, N, Hkv, bs, D] HBM (aliased to k_hbm output)
+    v_in,  # [Lnum, N, Hkv, bs, D] HBM (aliased to v_hbm output)
     # outputs
-    o_ref,  # [G, BQ, D] VMEM tile
+    o_ref,  # [Hkv, G, BQ, D] VMEM tile
     k_hbm,  # aliased HBM ref — ALL reads+writes go through this
     v_hbm,  # aliased HBM ref
     # scratch
-    k_buf,  # [2, KBLK, bs, D]
-    v_buf,  # [2, KBLK, bs, D]
+    k_buf,  # [2, Hkv, KBLK, bs, D]
+    v_buf,  # [2, Hkv, KBLK, bs, D]
     sem,  # DMA sems [2, 2, KBLK]
     wsem,  # write sems [2, WCH]
     *,
@@ -89,17 +91,18 @@ def _attention_kernel(
     has_alibi: bool = False,
 ):
     b = pl.program_id(0)
-    h = pl.program_id(1)
-    qb = pl.program_id(2)
+    qb = pl.program_id(1)
 
-    def bt(entry):
+    per_head_tables = len(block_tables_ref.shape) == 3
+
+    def bt(entry, h=0):
         # [B, max_blocks] dense tables or [B, Hkv, S] per-head virtual
         # tables (sparse top-k decode, ops/hip_mask.py)
-        if len(block_tables_ref.shape) == 3:
+        if per_head_tables:
             return block_tables_ref[b, h, entry]
         return block_tables_ref[b, entry]
 
-    g, _, d = q_ref.shape
+    hkv, g, _, d = q_ref.shape
     sb = kblk * block_size  # kv positions per super-block
     lyr = layer_ref[0]
     ctx = context_lens_ref[b]
@@ -115,32 +118,34 @@ def _attention_kernel(
     if l_pad > _MERGE_WRITE_MAX:
         @pl.when(jnp.logical_and(qb == 0, qlen > 0))
         def _write():
-            # prefill: q_start is block-aligned; write whole blocks
+            # prefill: q_start is block-aligned; write whole blocks.
+            # Source [Hkv, bs, D] (strided over k_new's L dim) -> dest
+            # cache[lyr, blk] contiguous [Hkv, bs, D].
             first_entry = q_start // block_size
             for c in range(l_pad // block_size):
                 @pl.when(c * block_size < qlen)
                 def _(c=c):
                     blk = bt(first_entry + c)
                     pltpu.make_async_copy(
-                        k_new_ref.at[0, 0,
-                                     pl.ds(c * block_size, block_size)],
-                        k_hbm.at[lyr, h, blk], wsem.at[0, c]).start()
+                        k_new_ref.at[:, pl.ds(c * block_size,
+                                              block_size), :],
+                        k_hbm.at[lyr, blk], wsem.at[0, c]).start()
                     pltpu.make_async_copy(
-                        v_new_ref.at[0, 0,
-                                     pl.ds(c * block_size, block_size)],
-                        v_hbm.at[lyr, h, blk], wsem.at[1, c]).start()
+                        v_new_ref.at[:, pl.ds(c * block_size,
+                                              block_size), :],
+                        v_hbm.at[lyr, blk], wsem.at[1, c]).start()
             for c in range(l_pad // block_size):
                 @pl.when(c * block_size < qlen)
                 def _(c=c):
                     blk = bt(first_entry + c)
                     pltpu.make_async_copy(
-                        k_new_ref.at[0, 0,
-                                     pl.ds(c * block_size, block_size)],
-                        k_hbm.at[lyr, h, blk], wsem.at[0, c]).wait()
+                        k_new_ref.at[:, pl.ds(c * block_size,
+                                              block_size), :],
+                        k_hbm.at[lyr, blk], wsem.at[0, c]).wait()
                     pltpu.make_async_copy(
-                        v_new_ref.at[0, 0,
-                                     pl.ds(c * block_size, block_size)],
-                        v_hbm.at[lyr, h, blk], wsem.at[1, c]).wait()
+                        v_new_ref.at[:, pl.ds(c * block_size,
+                                              block_size), :],
+                        v_hbm.at[lyr, blk], wsem.at[1, c]).wait()
 
     # ---------------- attention over the paged cache --------------------
     q_base = ctx - qlen + qb * bq  # absolute position of q row i=0
@@ -160,13 +165,23 @@ def _attention_kernel(
 
             @pl.when(entry < nb)
             def _():
-                blk = bt(entry)
-                pltpu.make_async_copy(
-                    k_hbm.at[lyr, h, blk], k_buf.at[slot, j],
-                    sem.at[0, slot, j]).start()
-                pltpu.make_async_copy(
-                    v_hbm.at[lyr, h, blk], v_buf.at[slot, j],
-                    sem.at[1, slot, j]).start()
+                if per_head_tables:
+                    for h in range(hkv):
+                        blk = bt(entry, h)
+                        pltpu.make_async_copy(
+                            k_hbm.at[lyr, blk, h], k_buf.at[slot, h, j],
+                            sem.at[0, slot, j]).start()
+                        pltpu.make_async_copy(
+                            v_hbm.at[lyr, blk, h], v_buf.at[slot, h, j],
+                            sem.at[1, slot, j]).start()
+                else:
+                    blk = bt(entry)
+                    pltpu.make_async_copy(
+                        k_hbm.at[lyr, blk], k_buf.at[slot, :, j],
+                        sem.at[0, slot, j]).start()
+                    pltpu.make_async_copy(
+                        v_hbm.at[lyr, blk], v_buf.at[slot, :, j],
+                        sem.at[1, slot, j]).start()
 
     def wait_fetch(sb_idx, slot):
         for j in range(kblk):
@@ -174,13 +189,23 @@ def _attention_kernel(
 
             @pl.when(entry < nb)
             def _():
-                blk = bt(entry)
-                pltpu.make_async_copy(
-                    k_hbm.at[lyr, h, blk], k_buf.at[slot, j],
-                    sem.at[0, slot, j]).wait()
-                pltpu.make_async_copy(
-                    v_hbm.at[lyr, h, blk], v_buf.at[slot, j],
-                    sem.at[1, slot, j]).wait()
+                if per_head_tables:
+                    for h in range(hkv):
+                        blk = bt(entry, h)
+                        pltpu.make_async_copy(
+                            k_hbm.at[lyr, blk, h], k_buf.at[slot, h, j],
+                            sem.at[0, slot, j]).wait()
+                        pltpu.make_async_copy(
+                            v_hbm.at[lyr, blk, h], v_buf.at[slot, h, j],
+                            sem.at[1, slot, j]).wait()
+                else:
+                    blk = bt(entry)
+                    pltpu.make_async_copy(
+                        k_hbm.at[lyr, blk], k_buf.at[slot, :, j],
+                        sem.at[0, slot, j]).wait()
+                    pltpu.make_async_copy(
+                        v_hbm.at[lyr, blk], v_buf.at[slot, :, j],
+                        sem.at[1, slot, j]).wait()
 
     is_live = jnp.logical_and(qb * bq < qlen, nsb > 0)
 
@@ -190,7 +215,7 @@ def _attention_kernel(
 
     @pl.when(is_live)
     def _():
-        q = q_ref[...].reshape(g * bq, d).astype(jnp.float32) * scale
+        q = q_ref[...].reshape(hkv, g * bq, d).astype(jnp.float32) * scale
         row = jax.lax.broadcasted_iota(jnp.int32, (g * bq, 1), 0)
         q_pos = q_base + row % bq  # [G*BQ, 1]
         if self_extend is not None:
@@ -231,17 +256,22 @@ def _attention_kernel(
                 # reads). Works at ANY q_start alignment because the
                 # pre-existing rows of partially-filled blocks come from
                 # the stream itself.
-                k_m = k_buf[slot].reshape(sb, d)
-                v_m = v_buf[slot].reshape(sb, d)
+                k_m = k_buf[slot].reshape(hkv, sb, d)
+                v_m = v_buf[slot].reshape(hkv, sb, d)
+                sel_col = kv_pos_col[None]  # [1, SB, 1]
+                # whole-tile register load: sublane slices of width 1
+                # (k_new_ref[:, r, :]) violate bf16 (2, 128) tiling
+                kn_all = k_new_ref[...]  # [Hkv, l_pad, D]
+                vn_all = v_new_ref[...]
                 for r in range(l_pad):
-                    is_r = kv_pos_col == (q_start + r)
+                    is_r = sel_col == (q_start + r)
                     sel_r = jnp.logical_and(is_r, r < qlen)
-                    k_m = jnp.where(sel_r, k_new_ref[0, 0, r][None, :],
+                    k_m = jnp.where(sel_r, kn_all[:, r, :][:, None, :],
                                     k_m)
-                    v_m = jnp.where(sel_r, v_new_ref[0, 0, r][None, :],
+                    v_m = jnp.where(sel_r, vn_all[:, r, :][:, None, :],
                                     v_m)
-                k_buf[slot] = k_m.reshape(kblk, block_size, d)
-                v_buf[slot] = v_m.reshape(kblk, block_size, d)
+                k_buf[slot] = k_m.reshape(hkv, kblk, block_size, d)
+                v_buf[slot] = v_m.reshape(hkv, kblk, block_size, d)
 
                 # Write back every block this superblock spans that
                 # contains at least one new row.
@@ -255,23 +285,37 @@ def _attention_kernel(
                                             entry <= last_new_blk),
                             jnp.logical_and(entry < nb, qlen > 0)))
                     def _writeback(j=j):
-                        blk = bt(entry)
-                        kw = pltpu.make_async_copy(
-                            k_buf.at[slot, j], k_hbm.at[lyr, h, blk],
-                            wsem.at[0, 0])
-                        vw = pltpu.make_async_copy(
-                            v_buf.at[slot, j], v_hbm.at[lyr, h, blk],
-                            wsem.at[1, 0])
-                        kw.start()
-                        vw.start()
-                        kw.wait()
-                        vw.wait()
+                        if per_head_tables:
+                            for h in range(hkv):
+                                blk = bt(entry, h)
+                                kw = pltpu.make_async_copy(
+                                    k_buf.at[slot, h, j],
+                                    k_hbm.at[lyr, blk, h], wsem.at[0, 0])
+                                vw = pltpu.make_async_copy(
+                                    v_buf.at[slot, h, j],
+                                    v_hbm.at[lyr, blk, h], wsem.at[1, 0])
+                                kw.start()
+                                vw.start()
+                                kw.wait()
+                                vw.wait()
+                        else:
+                            blk = bt(entry)
+                            kw = pltpu.make_async_copy(
+                                k_buf.at[slot, :, j],
+                                k_hbm.at[lyr, blk], wsem.at[0, 0])
+                            vw = pltpu.make_async_copy(
+                                v_buf.at[slot, :, j],
+                                v_hbm.at[lyr, blk], wsem.at[1, 0])
+                            kw.start()
+                            vw.start()
+                            kw.wait()
+                            vw.wait()
 
-            k = k_buf[slot].reshape(sb, d).astype(jnp.float32)
-            v = v_buf[slot].reshape(sb, d).astype(jnp.float32)
+            k = k_buf[slot].reshape(hkv, sb, d).astype(jnp.float32)
+            v = v_buf[slot].reshape(hkv, sb, d).astype(jnp.float32)
             # Rows past the last fetched block hold garbage; zero them
             # so 0-weight columns can't poison the p @ v matmul.
-            valid = kv_pos_col < ctx
+            valid = kv_pos_col[None] < ctx  # [1, SB, 1]
             k = jnp.where(valid, k, 0.0)
             v = jnp.where(valid, v, 0.0)
 
@@ -279,55 +323,56 @@ def _attention_kernel(
                 jnp.int32, (1, sb), 1)  # [1, SB]
             if self_extend is None:
                 s = jax.lax.dot_general(
-                    q, k, (((1, ), (1, )), ((), ())),
-                    preferred_element_type=jnp.float32)  # [G*BQ, SB]
+                    q, k, (((2, ), (2, )), ((0, ), (0, ))),
+                    preferred_element_type=jnp.float32)  # [H, G*BQ, SB]
             else:
                 k_n = rope_rows(k, kv_pos[0], inv, rotary_dim,
                                 rope_neox)
                 k_g = rope_rows(k, kv_pos[0] // g_se, inv, rotary_dim,
                                 rope_neox)
                 s_n = jax.lax.dot_general(
-                    q_n, k_n, (((1, ), (1, )), ((), ())),
+                    q_n, k_n, (((2, ), (2, )), ((0, ), (0, ))),
                     preferred_element_type=jnp.float32)
                 s_g = jax.lax.dot_general(
-                    q_g, k_g, (((1, ), (1, )), ((), ())),
+                    q_g, k_g, (((2, ), (2, )), ((0, ), (0, ))),
                     preferred_element_type=jnp.float32)
-                s = jnp.where(q_pos - kv_pos <= w_se, s_n, s_g)
+                s = jnp.where((q_pos - kv_pos)[None] <= w_se, s_n, s_g)
             if soft_cap is not None:
                 s = soft_cap * jnp.tanh(s / soft_cap)
             if has_alibi:
                 # ALiBi bias slope_head * (kv_pos - q_pos) (reference:
                 # csrc/attention/attention_kernels.cu alibi_slope arg;
                 # q heads are contiguous per kv head: q_head = h*G + g).
-                slope_col = jnp.concatenate([
-                    jnp.full((bq, 1), alibi_ref[h * g + gi], jnp.float32)
+                slope = jnp.concatenate([
+                    jnp.full((1, bq, 1), alibi_ref[h * g + gi],
+                             jnp.float32) for h in range(hkv)
                     for gi in range(g)
-                ], axis=0)  # [G*BQ, 1]
-                s = s + slope_col * (kv_pos - q_pos).astype(jnp.float32)
+                ], axis=1).reshape(hkv, g * bq, 1)
+                s = s + slope * (kv_pos - q_pos)[None].astype(jnp.float32)
 
-            mask = (kv_pos <= q_pos) & (kv_pos < ctx)
+            mask = (kv_pos <= q_pos) & (kv_pos < ctx)  # [G*BQ, SB]
             if sliding_window is not None:
                 mask &= kv_pos > (q_pos - sliding_window)
-            s = jnp.where(mask, s, _NEG_INF)
+            s = jnp.where(mask[None], s, _NEG_INF)
 
-            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_cur = jnp.max(s, axis=2, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
             p = jnp.exp(s - m_new)
-            p = jnp.where(mask, p, 0.0)
+            p = jnp.where(mask[None], p, 0.0)
             alpha = jnp.exp(m_prev - m_new)
-            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            l_new = l_prev * alpha + jnp.sum(p, axis=2, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
-                p, v, (((1, ), (0, )), ((), ())),
+                p, v, (((2, ), (1, )), ((0, ), (0, ))),
                 preferred_element_type=jnp.float32)
             return m_new, l_new, acc
 
-        m0 = jnp.full((g * bq, 1), _NEG_INF, jnp.float32)
-        l0 = jnp.zeros((g * bq, 1), jnp.float32)
-        acc0 = jnp.zeros((g * bq, d), jnp.float32)
+        m0 = jnp.full((hkv, g * bq, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((hkv, g * bq, 1), jnp.float32)
+        acc0 = jnp.zeros((hkv, g * bq, d), jnp.float32)
         _, l, acc = jax.lax.fori_loop(0, nsb, body, (m0, l0, acc0))
 
         out = acc / jnp.where(l == 0.0, 1.0, l)
-        o_ref[...] = out.reshape(g, bq, d).astype(o_ref.dtype)
+        o_ref[...] = out.reshape(hkv, g, bq, d).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -338,8 +383,8 @@ def _attention_kernel(
 def paged_attention(  # noqa: C901
     q: jax.Array,  # [B, L_pad, num_q_heads, head_size]
     k_new: jax.Array,  # [B, L_pad, num_kv_heads, head_size]
-    v_new: jax.Array,  # [B, L_pad, num_kv_heads, head_size]
-    k_cache: jax.Array,  # [Lnum, H, N, bs, D] stacked
+    v_new: jax.Array,
+    k_cache: jax.Array,  # [Lnum, N, Hkv, bs, D] stacked block-major
     v_cache: jax.Array,
     layer_idx: jax.Array,  # [1] int32
     block_tables: jax.Array,  # [B, max_blocks] int32
@@ -361,7 +406,7 @@ def paged_attention(  # noqa: C901
     caches updated in place (input/output aliased).
     """
     batch, l_pad, num_q_heads, head = q.shape
-    _, num_kv_heads, _, block_size, _ = k_cache.shape
+    _, _, num_kv_heads, block_size, _ = k_cache.shape
     assert num_q_heads % num_kv_heads == 0
     assert l_pad <= 32 or l_pad % block_size == 0, (
         f"prefill L_pad ({l_pad}) must be a multiple of block_size "
@@ -369,6 +414,30 @@ def paged_attention(  # noqa: C901
         "use the any-alignment merge path)")
     group = num_q_heads // num_kv_heads
     bq = min(bq, l_pad)
+
+    # ---- VMEM budget: size kblk (superblock width) and bq so tiles +
+    # double-buffered KV stream + f32 flash accumulators fit. ----
+    itm = jnp.dtype(k_cache.dtype).itemsize
+    qitm = jnp.dtype(q.dtype).itemsize
+    # Compiler stack accounting adds cast/reshape copies beyond this
+    # estimate; 8M of 16M VMEM leaves it room.
+    budget = 8 * 1024 * 1024
+
+    def _vmem_est(bq_, kblk_):
+        tiles = 2 * num_kv_heads * group * bq_ * head * qitm  # q + out
+        tiles += 2 * num_kv_heads * l_pad * head * itm  # k_new + v_new
+        acc = num_kv_heads * group * bq_ * head * 4 * 2  # acc + slack
+        sb_ = kblk_ * block_size
+        smat = 2 * num_kv_heads * group * bq_ * sb_ * 4  # s + p
+        kv = 2 * 2 * num_kv_heads * kblk_ * block_size * head * itm
+        kv += 2 * num_kv_heads * sb_ * head * 4  # f32 casts of k, v
+        return tiles + acc + smat + kv
+
+    kblk = max(1, min(kblk, 64 // max(1, num_kv_heads)))
+    while kblk > 1 and _vmem_est(bq, kblk) > budget:
+        kblk //= 2
+    while bq > block_size and _vmem_est(bq, kblk) > budget:
+        bq //= 2
 
     # [B, L, Hq, D] -> [B, Hkv, G, L, D]
     qr = q.reshape(batch, l_pad, num_kv_heads, group, head)
@@ -378,7 +447,7 @@ def paged_attention(  # noqa: C901
     vn = v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype)
 
     num_q_blocks = pl.cdiv(l_pad, bq)
-    grid = (batch, num_kv_heads, num_q_blocks)
+    grid = (batch, num_q_blocks)
     wch = max(l_pad // block_size, 1)
 
     se_kwargs = {}
@@ -409,31 +478,33 @@ def paged_attention(  # noqa: C901
 
     def kernel_5d(lr, bt, cl, ql, al, q5, kn4, vn4, kc, vc, o5, ko, vo,
                   kb, vb, sm, wsm):
-        kernel(lr, bt, cl, ql, al, q5.at[0, 0], kn4, vn4, kc, vc,
-               o5.at[0, 0], ko, vo, kb, vb, sm, wsm)
+        kernel(lr, bt, cl, ql, al, q5.at[0], kn4.at[0], vn4.at[0], kc,
+               vc, o5.at[0], ko, vo, kb, vb, sm, wsm)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, group, bq, head),
-                         lambda b, h, qb, *refs: (b, h, 0, qb, 0)),
-            pl.BlockSpec((1, 1, l_pad, head),
-                         lambda b, h, qb, *refs: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, l_pad, head),
-                         lambda b, h, qb, *refs: (b, h, 0, 0)),
+            pl.BlockSpec((1, num_kv_heads, group, bq, head),
+                         lambda b, qb, *refs: (b, 0, 0, qb, 0)),
+            pl.BlockSpec((1, num_kv_heads, l_pad, head),
+                         lambda b, qb, *refs: (b, 0, 0, 0)),
+            pl.BlockSpec((1, num_kv_heads, l_pad, head),
+                         lambda b, qb, *refs: (b, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, group, bq, head),
-                         lambda b, h, qb, *refs: (b, h, 0, qb, 0)),
+            pl.BlockSpec((1, num_kv_heads, group, bq, head),
+                         lambda b, qb, *refs: (b, 0, 0, qb, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, kblk, block_size, head), k_cache.dtype),
-            pltpu.VMEM((2, kblk, block_size, head), v_cache.dtype),
+            pltpu.VMEM((2, num_kv_heads, kblk, block_size, head),
+                       k_cache.dtype),
+            pltpu.VMEM((2, num_kv_heads, kblk, block_size, head),
+                       v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2, kblk)),
             pltpu.SemaphoreType.DMA((2, wch)),
         ],
@@ -451,10 +522,10 @@ def paged_attention(  # noqa: C901
         # (layer, tables, ctx, qlens, alibi, q, k_new, v_new, k_cache,
         # v_cache)
         input_output_aliases={8: 1, 9: 2},
-        # batch/head cells touch disjoint cache regions, so megacore
-        # may split them; the q-tile dim accumulates and stays ordered.
+        # batch cells touch disjoint cache regions, so megacore may
+        # split them; the q-tile dim accumulates and stays ordered.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(layer_idx.astype(jnp.int32), block_tables,
       context_lens.astype(jnp.int32), query_lens.astype(jnp.int32),

@@ -9,8 +9,8 @@ tests/kernels/test_attention.py).
 Conventions shared with the kernel:
 
 * q/k/v head layout ``[..., num_heads, head_size]``.
-* Stacked cache ``[num_layers, num_kv_heads, num_blocks, block_size,
-  head_size]``; ``layer_idx`` selects the layer.
+* Stacked block-major cache ``[num_layers, num_blocks, num_kv_heads,
+  block_size, head_size]``; ``layer_idx`` selects the layer.
 * ``context_lens[b]`` = total KV length of sequence b INCLUDING the new
   tokens written this call.
 """
@@ -34,38 +34,35 @@ def _write_new_kv(k_new, v_new, k_cache, v_cache, layer_idx,
                   block_tables, query_lens, context_lens):
     """Scatter [B, L, Hkv, D] new rows into the stacked cache."""
     batch, l_pad = k_new.shape[:2]
-    layers, num_heads, num_blocks, block_size, head = k_cache.shape
+    layers, num_blocks, num_heads, block_size, head = k_cache.shape
     pos = (context_lens - query_lens)[:, None] + jnp.arange(l_pad)[None]
     valid = jnp.arange(l_pad)[None] < query_lens[:, None]
     entry = jnp.clip(pos // block_size, 0, block_tables.shape[1] - 1)
     blk = jnp.take_along_axis(block_tables, entry, axis=1)
-    slots = blk * block_size + pos % block_size
-    slots = jnp.where(valid, slots, num_blocks * block_size)  # drop
-
-    k_flat = k_cache.reshape(layers, num_heads, num_blocks * block_size,
-                             head)
-    v_flat = v_cache.reshape(layers, num_heads, num_blocks * block_size,
-                             head)
-    # updates [T, H, D] with T = B * L
+    blk = jnp.where(valid, blk, num_blocks)  # drop pads
+    off = pos % block_size
+    # advanced indices at axes 1 and 3 -> update shape [T, H, D]
     kt = k_new.reshape(batch * l_pad, num_heads, head).astype(
         k_cache.dtype)
     vt = v_new.reshape(batch * l_pad, num_heads, head).astype(
         v_cache.dtype)
-    s = slots.reshape(-1)
+    b_flat = blk.reshape(-1)
+    o_flat = off.reshape(-1)
     lyr = layer_idx[0]
-    k_flat = k_flat.at[lyr, :, s, :].set(kt, mode="drop")
-    v_flat = v_flat.at[lyr, :, s, :].set(vt, mode="drop")
-    return (k_flat.reshape(k_cache.shape), v_flat.reshape(v_cache.shape))
+    k_cache = k_cache.at[lyr, b_flat, :, o_flat, :].set(kt, mode="drop")
+    v_cache = v_cache.at[lyr, b_flat, :, o_flat, :].set(vt, mode="drop")
+    return k_cache, v_cache
 
 
 def _gather_kv(cache4: jax.Array, block_table: jax.Array) -> jax.Array:
-    """[H, N, bs, D] + [max_blocks] (shared) or [H, S] (per-head
+    """[N, H, bs, D] + [max_blocks] (shared) or [H, S] (per-head
     virtual tables, ops/hip_mask.py) -> [H, len*bs, D]."""
-    num_heads, _, block_size, head_size = cache4.shape
+    _, num_heads, block_size, head_size = cache4.shape
     if block_table.ndim == 2:
-        g = cache4[jnp.arange(num_heads)[:, None], block_table]
+        # per-head tables: head h gathers its own block list
+        g = cache4[block_table, jnp.arange(num_heads)[:, None]]
     else:
-        g = cache4[:, block_table]
+        g = cache4[block_table].transpose(1, 0, 2, 3)
     return g.reshape(num_heads, -1, head_size)
 
 
@@ -73,7 +70,7 @@ def paged_attention(
     q: jax.Array,  # [B, L_pad, num_q_heads, head_size]
     k_new: jax.Array,  # [B, L_pad, num_kv_heads, head_size]
     v_new: jax.Array,
-    k_cache: jax.Array,  # [Lnum, H, N, bs, D]
+    k_cache: jax.Array,  # [Lnum, N, H, bs, D]
     v_cache: jax.Array,
     layer_idx: jax.Array,  # [1]
     block_tables: jax.Array,  # [B, max_blocks] int32
@@ -101,7 +98,7 @@ def paged_attention(
                                      layer_idx, write_tables, query_lens,
                                      context_lens)
     _, l_pad, num_q_heads, _ = q.shape
-    num_kv_heads = k_cache.shape[1]
+    num_kv_heads = k_cache.shape[2]
     group = num_q_heads // num_kv_heads
     max_len = block_tables.shape[-1] * k_cache.shape[3]
     k4 = k_cache[layer_idx[0]]

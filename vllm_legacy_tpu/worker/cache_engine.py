@@ -5,11 +5,11 @@ memory is deterministic, so there is no profiling forward pass
 (reference Worker.determine_num_available_blocks, worker.py:136-183):
 block counts are computed arithmetically from the HBM budget.
 
-Layout: ONE stacked pair k/v, each ``[num_layers, num_kv_heads,
-num_blocks, block_size, head_size]``, sharded
-P(None, "model", None, None, None) over the mesh (see ops/kv_cache.py for
-why stacking is load-bearing). The swap tier lives in host RAM as numpy
-arrays.
+Layout: ONE stacked pair k/v, each block-major ``[num_layers,
+num_blocks, num_kv_heads, block_size, head_size]``, sharded
+P(None, None, "model", None, None) over the mesh (see ops/kv_cache.py
+for why stacking and block-major are load-bearing). The swap tier lives
+in host RAM as numpy arrays.
 """
 from __future__ import annotations
 
@@ -102,14 +102,14 @@ class CacheEngine:
         self.head_size = padded_head_size(model_config.get_head_size())
         self.dtype = resolve_cache_dtype(cache_config, model_config)
 
-        spec = P(None, "model", None, None, None)
+        spec = P(None, None, "model", None, None)
         self.cache_sharding = NamedSharding(mesh, spec)
         self.cache_spec = spec
 
         # ONE stacked buffer per k/v for the whole model: many distinct
         # donated HBM buffers feeding Pallas reads degrade XLA/runtime
         # aliasing catastrophically (ops/kv_cache.py docstring).
-        shape = (self.num_layers, self.num_kv_heads, self.num_gpu_blocks,
+        shape = (self.num_layers, self.num_gpu_blocks, self.num_kv_heads,
                  self.block_size, self.head_size)
         self.gpu_cache: Tuple[jax.Array, jax.Array] = (
             jax.device_put(jnp.zeros(shape, self.dtype),
@@ -122,8 +122,8 @@ class CacheEngine:
         if self.num_cpu_blocks > 0:
             host_dtype = (jnp.dtype(self.dtype).name
                           if self.dtype != jnp.bfloat16 else "uint16")
-            cshape = (self.num_layers, self.num_kv_heads,
-                      self.num_cpu_blocks, self.block_size,
+            cshape = (self.num_layers, self.num_cpu_blocks,
+                      self.num_kv_heads, self.block_size,
                       self.head_size)
             self.cpu_cache = (np.zeros(cshape, host_dtype),
                               np.zeros(cshape, host_dtype))
@@ -169,8 +169,8 @@ class CacheEngine:
         if k_host.dtype == np.uint16:
             k_blocks = k_blocks.view(np.uint16)
             v_blocks = v_blocks.view(np.uint16)
-        k_host[:, :, dst] = k_blocks
-        v_host[:, :, dst] = v_blocks
+        k_host[:, dst] = k_blocks
+        v_host[:, dst] = v_blocks
 
     def swap_in(self, mapping: Dict[int, int]) -> None:
         if not mapping:
@@ -181,8 +181,8 @@ class CacheEngine:
         src = list(mapping.keys())
         dst = jnp.asarray(list(mapping.values()), jnp.int32)
         k_host, v_host = self.cpu_cache
-        k_blocks = k_host[:, :, src]
-        v_blocks = v_host[:, :, src]
+        k_blocks = k_host[:, src]
+        v_blocks = v_host[:, src]
         if k_host.dtype == np.uint16:
             k_blocks = k_blocks.view(ml_dtypes.bfloat16)
             v_blocks = v_blocks.view(ml_dtypes.bfloat16)

@@ -49,6 +49,121 @@ def pad_to_bucket(n: int, buckets=_MAX_NUM_SEQS_BUCKETS) -> int:
     return buckets[-1]
 
 
+# ----------------------------------------------------------------------
+# Packed host<->device transfer. The TPU is reached through a tunnel
+# where every individual transfer costs ~20-30ms RTT; a step that ships
+# ~18 small arrays separately spends ~400ms on the wire vs ~20ms of
+# compute. So: ALL host step inputs ride ONE int32 buffer (floats/uints
+# bitcast into it) and one jitted unpack call slices them apart on
+# device; all step outputs are packed on device into one buffer and
+# fetched with ONE device_get.
+# ----------------------------------------------------------------------
+_TAG_TO_JNP = {}
+
+
+def _unpack_fn(spec):
+    """spec: tuple of (shape, tag, size). Returns jitted buf -> leaves."""
+
+    def unpack(buf):
+        outs = []
+        off = 0
+        for shape, tag, size in spec:
+            seg = jax.lax.slice(buf, (off, ), (off + size, ))
+            if tag == "f32":
+                seg = jax.lax.bitcast_convert_type(seg, jnp.float32)
+            elif tag == "u32":
+                seg = jax.lax.bitcast_convert_type(seg, jnp.uint32)
+            elif tag == "bool":
+                seg = seg != 0
+            outs.append(seg.reshape(shape))
+            off += size
+        return outs
+
+    return jax.jit(unpack)
+
+
+_unpack_cache: Dict[Any, Any] = {}
+
+
+def stage_arrays(named: List[Tuple[str, np.ndarray]]) -> Dict[str, Any]:
+    """Ship many small host arrays in one H2D transfer + one dispatch."""
+    specs = []
+    parts = []
+    for name, arr in named:
+        a = np.ascontiguousarray(arr)
+        if a.dtype == np.bool_:
+            a, tag = a.astype(np.int32), "bool"
+        elif a.dtype == np.float32:
+            a, tag = a.view(np.int32), "f32"
+        elif a.dtype == np.uint32:
+            a, tag = a.view(np.int32), "u32"
+        elif a.dtype == np.int32:
+            tag = "i32"
+        else:
+            raise TypeError(f"stage_arrays: {name} has dtype {a.dtype}")
+        specs.append((arr.shape, tag, a.size))
+        parts.append(a.ravel())
+    buf = jnp.asarray(np.concatenate(parts))  # the one H2D
+    key = tuple(specs)
+    if key not in _unpack_cache:
+        _unpack_cache[key] = _unpack_fn(key)
+    leaves = _unpack_cache[key](buf)
+    return {name: leaf for (name, _), leaf in zip(named, leaves)}
+
+
+def _pack_fn(spec):
+    """spec: tuple of (shape, dtype_str). Returns jitted leaves -> buf."""
+
+    def pack(leaves):
+        parts = []
+        for leaf, (shape, dt) in zip(leaves, spec):
+            x = leaf.ravel()
+            if dt in ("int32", "uint32"):
+                x = jax.lax.bitcast_convert_type(x, jnp.float32)
+            elif dt == "bool":
+                x = x.astype(jnp.float32)
+            elif dt == "bfloat16":
+                x = x.astype(jnp.float32)
+            elif dt != "float32":
+                raise TypeError(f"pack: unsupported dtype {dt}")
+            parts.append(x)
+        return jnp.concatenate(parts)
+
+    return jax.jit(pack)
+
+
+_pack_cache: Dict[Any, Any] = {}
+
+
+def fetch_outputs(pytree):
+    """device_get an arbitrary pytree of device arrays with ONE D2H.
+
+    Returns the same-structure pytree with numpy leaves."""
+    leaves, treedef = jax.tree.flatten(pytree)
+    if not leaves:
+        return pytree
+    spec = tuple((tuple(l.shape), str(l.dtype)) for l in leaves)
+    if spec not in _pack_cache:
+        _pack_cache[spec] = _pack_fn(spec)
+    buf = np.asarray(jax.device_get(_pack_cache[spec](leaves)))
+    outs = []
+    off = 0
+    for shape, dt in spec:
+        size = int(np.prod(shape)) if shape else 1
+        seg = buf[off:off + size]
+        if dt == "int32":
+            seg = seg.view(np.int32)
+        elif dt == "uint32":
+            seg = seg.view(np.uint32)
+        elif dt == "bool":
+            seg = seg != 0
+        elif dt == "bfloat16":
+            pass  # upcast to f32 on device; keep f32 host-side
+        outs.append(seg.reshape(shape))
+        off += size
+    return jax.tree.unflatten(treedef, outs)
+
+
 class ModelRunner:
     """Prepares step inputs on host and runs the jitted model step."""
 
@@ -394,7 +509,7 @@ class ModelRunner:
             output_toks.append(list(data.output_token_ids))
         if not do_penalties:
             prompt_toks, output_toks = [], []
-        st = SamplingTensors.from_lists(
+        st_np = SamplingTensors.np_fields(
             temp, top_p, top_k, min_p, pres, freq, rep, greedy, seeds,
             seed_positions=seedpos,
             prompt_tokens=prompt_toks,
@@ -413,7 +528,7 @@ class ModelRunner:
         do_min_p = any((not g) and m > 0.0
                        for g, m in zip(greedy, min_p))
         flags = (do_penalties, do_top_k_p, do_min_p, all_greedy)
-        return st, flags, max_logprobs
+        return st_np, flags, max_logprobs
 
     # ------------------------------------------------------------------
     # Jitted step
@@ -430,7 +545,7 @@ class ModelRunner:
         mesh = self.mesh
         param_specs = self.model.param_specs(
             jax.tree.map(lambda x: None, self.params))
-        cache_spec = P(None, "model", None, None, None)
+        cache_spec = P(None, None, "model", None, None)
         kv_specs = (cache_spec, cache_spec)
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
@@ -517,7 +632,7 @@ class ModelRunner:
         block_size = self.block_size
         param_specs = self.model.param_specs(
             jax.tree.map(lambda x: None, self.params))
-        cache_spec = P(None, "model", None, None, None)
+        cache_spec = P(None, None, "model", None, None)
         kv_specs = (cache_spec, cache_spec)
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
@@ -599,7 +714,7 @@ class ModelRunner:
         mesh = self.mesh
         param_specs = self.model.param_specs(
             jax.tree.map(lambda x: None, self.params))
-        cache_spec = P(None, "model", None, None, None)
+        cache_spec = P(None, None, "model", None, None)
         kv_specs = (cache_spec, cache_spec)
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
@@ -628,19 +743,23 @@ class ModelRunner:
         arrays, rows, is_prefill, b_pad = self._prepare_inputs(
             seq_group_metadata_list)
         assert is_prefill, "embedding models schedule prompts only"
+        staged = stage_arrays([(k, arrays[k]) for k in
+                               ("tokens", "positions", "slot_mapping",
+                                "context_lens", "query_lens",
+                                "block_tables")])
         md = AttentionMetadata(
-            slot_mapping=jnp.asarray(arrays["slot_mapping"]),
-            block_tables=jnp.asarray(arrays["block_tables"]),
-            context_lens=jnp.asarray(arrays["context_lens"]),
-            query_lens=jnp.asarray(arrays["query_lens"]),
+            slot_mapping=staged["slot_mapping"],
+            block_tables=staged["block_tables"],
+            context_lens=staged["context_lens"],
+            query_lens=staged["query_lens"],
         )
         key = "embed"
         if key not in self._jit_step_cache:
             self._jit_step_cache[key] = self._build_embed_fn()
         pooled, kv_caches = self._jit_step_cache[key](
-            self.params, kv_caches, jnp.asarray(arrays["tokens"]),
-            jnp.asarray(arrays["positions"]), md)
-        pooled_np = np.asarray(jax.device_get(pooled))
+            self.params, kv_caches, staged["tokens"],
+            staged["positions"], md)
+        pooled_np = fetch_outputs(pooled)
         outputs = [
             EmbeddingSequenceGroupOutput(
                 embeddings=pooled_np[i].tolist())
@@ -681,7 +800,7 @@ class ModelRunner:
         mesh = self.mesh
         param_specs = self.model.param_specs(
             jax.tree.map(lambda x: None, self.params))
-        cache_spec = P(None, "model", None, None, None)
+        cache_spec = P(None, None, "model", None, None)
         kv_specs = (cache_spec, cache_spec)
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
@@ -758,20 +877,26 @@ class ModelRunner:
             qlen_arr[i] = ql
             tables[i, :len(bt)] = bt
             sel[i] = i * l_pad + ql - 1
+        staged = stage_arrays([
+            ("tokens", tokens), ("positions", positions),
+            ("slot_mapping", np.zeros((b_pad * l_pad, ), np.int32)),
+            ("block_tables", tables), ("context_lens", ctx_arr),
+            ("query_lens", qlen_arr), ("sel", sel)
+        ])
         md = AttentionMetadata(
-            slot_mapping=jnp.zeros((b_pad * l_pad, ), jnp.int32),
-            block_tables=jnp.asarray(tables),
-            context_lens=jnp.asarray(ctx_arr),
-            query_lens=jnp.asarray(qlen_arr),
+            slot_mapping=staged["slot_mapping"],
+            block_tables=staged["block_tables"],
+            context_lens=staged["context_lens"],
+            query_lens=staged["query_lens"],
         )
         cache_key = ("propose", num_spec, b_pad)
         if cache_key not in self._jit_step_cache:
             self._jit_step_cache[cache_key] = self._build_propose_fn(
                 num_spec)
         kv_caches, out = self._jit_step_cache[cache_key](
-            self.params, kv_caches, jnp.asarray(tokens),
-            jnp.asarray(positions), md, jnp.asarray(sel))
-        return np.asarray(jax.device_get(out))[:n], kv_caches
+            self.params, kv_caches, staged["tokens"],
+            staged["positions"], md, staged["sel"])
+        return fetch_outputs(out)[:n], kv_caches
 
     def _build_spec_fn(self, num_spec: int, greedy: bool):
         from vllm_legacy_tpu.spec_decode.rejection_sampler import (
@@ -781,7 +906,7 @@ class ModelRunner:
         l_pad = next_power_of_2(num_spec + 1)
         param_specs = self.model.param_specs(
             jax.tree.map(lambda x: None, self.params))
-        cache_spec = P(None, "model", None, None, None)
+        cache_spec = P(None, None, "model", None, None)
         kv_specs = (cache_spec, cache_spec)
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
@@ -870,11 +995,18 @@ class ModelRunner:
         # clamp selections to valid flat range
         sel = np.minimum(sel, b_pad * l_pad - 1).astype(np.int32)
 
+        staged = stage_arrays([
+            ("tokens", tokens), ("positions", positions),
+            ("slot_mapping", np.zeros((b_pad * l_pad, ), np.int32)),
+            ("block_tables", tables), ("context_lens", ctx_arr),
+            ("query_lens", qlen_arr), ("sel", sel),
+            ("proposals", props_arr)
+        ])
         md = AttentionMetadata(
-            slot_mapping=jnp.zeros((b_pad * l_pad, ), jnp.int32),
-            block_tables=jnp.asarray(tables),
-            context_lens=jnp.asarray(ctx_arr),
-            query_lens=jnp.asarray(qlen_arr),
+            slot_mapping=staged["slot_mapping"],
+            block_tables=staged["block_tables"],
+            context_lens=staged["context_lens"],
+            query_lens=staged["query_lens"],
         )
         greedy = all(
             m.sampling_params.sampling_type.name == "GREEDY"
@@ -887,13 +1019,12 @@ class ModelRunner:
         fn = self._jit_step_cache[cache_key]
         self._step_key, key = jax.random.split(self._step_key)
         kv_caches, out_tokens, num_emitted, tok_lp = fn(
-            self.params, kv_caches, jnp.asarray(tokens),
-            jnp.asarray(positions), md, jnp.asarray(sel),
-            jnp.asarray(props_arr), key)
+            self.params, kv_caches, staged["tokens"],
+            staged["positions"], md, staged["sel"],
+            staged["proposals"], key)
 
-        out_np = np.asarray(jax.device_get(out_tokens))
-        num_np = np.asarray(jax.device_get(num_emitted))
-        lp_np = np.asarray(jax.device_get(tok_lp))
+        out_np, num_np, lp_np = fetch_outputs(
+            (out_tokens, num_emitted, tok_lp))
 
         outs: List[SamplerOutput] = []
         for j in range(num_spec + 1):
@@ -948,7 +1079,7 @@ class ModelRunner:
         t0 = time.perf_counter()
         arrays, rows, is_prefill, b_pad = self._prepare_inputs(
             seq_group_metadata_list)
-        st, flags, max_logprobs = self._prepare_sampling(
+        st_np, flags, max_logprobs = self._prepare_sampling(
             seq_group_metadata_list, rows, b_pad)
         token_mask = self._build_token_mask(seq_group_metadata_list, rows,
                                             b_pad)
@@ -992,30 +1123,28 @@ class ModelRunner:
         num_steps = 1 if (has_lora or token_mask is not None) else \
             self._num_multistep(seq_group_metadata_list, is_prefill, flags)
 
-        md = AttentionMetadata(
-            slot_mapping=jnp.asarray(arrays["slot_mapping"]),
-            block_tables=jnp.asarray(arrays["block_tables"]),
-            context_lens=jnp.asarray(arrays["context_lens"]),
-            query_lens=jnp.asarray(arrays["query_lens"]),
-        )
-        self._step_key, key = jax.random.split(self._step_key)
         step_fn = self._get_step_fn(flags, max_logprobs, num_steps,
                                     prompt_lp_k, n_samples)
-        t_prep = time.perf_counter()
 
+        # ---- pack every host input into ONE H2D transfer ----
+        named: List[Tuple[str, np.ndarray]] = [
+            (k, arrays[k])
+            for k in ("tokens", "positions", "slot_mapping",
+                      "context_lens", "query_lens", "block_tables", "sel")
+        ]
+        named += [("st." + k, v) for k, v in st_np.items()]
         params = self.params
-        extra = {}
         if has_lora:
             params = self._merged_params()
             l_pad = arrays["tokens"].shape[1]
             tok_lora = np.full((b_pad, l_pad), -1, np.int32)
             for i, slot in enumerate(lora_slots):
                 tok_lora[i, :] = slot
-            extra["lora_indices"] = jnp.asarray(tok_lora.reshape(-1))
+            named.append(("lora_indices", tok_lora.reshape(-1)))
         if token_mask is not None:
-            extra["token_mask"] = jnp.asarray(token_mask)
+            named.append(("token_mask", token_mask))
         if "pixel_values" in arrays:
-            extra["pixel_values"] = jnp.asarray(arrays["pixel_values"])
+            named.append(("pixel_values", arrays["pixel_values"]))
         if prompt_lp_k >= 0:
             # target of grid position j = the NEXT prompt token; -1 where
             # the target is not a prompt token (pads / final position)
@@ -1031,12 +1160,29 @@ class ModelRunner:
                     p_next = start + j + 1
                     if p_next < len(all_toks):
                         lp_targets[i, j] = all_toks[p_next]
-            extra["lp_targets"] = jnp.asarray(lp_targets)
+            named.append(("lp_targets", lp_targets))
 
-        out = step_fn(
-            params, kv_caches, jnp.asarray(arrays["tokens"]),
-            jnp.asarray(arrays["positions"]), md,
-            jnp.asarray(arrays["sel"]), st, key, **extra)
+        staged = stage_arrays(named)
+        md = AttentionMetadata(
+            slot_mapping=staged["slot_mapping"],
+            block_tables=staged["block_tables"],
+            context_lens=staged["context_lens"],
+            query_lens=staged["query_lens"],
+        )
+        st = SamplingTensors(
+            **{k[3:]: v
+               for k, v in staged.items() if k.startswith("st.")})
+        extra = {
+            k: staged[k]
+            for k in ("lora_indices", "token_mask", "pixel_values",
+                      "lp_targets") if k in staged
+        }
+        self._step_key, key = jax.random.split(self._step_key)
+        t_prep = time.perf_counter()
+
+        out = step_fn(params, kv_caches, staged["tokens"],
+                      staged["positions"], md, staged["sel"], st, key,
+                      **extra)
         if num_steps > 1:
             kv_caches, sampled, logprob, top = out
             prompt_lp = multi = None
@@ -1044,27 +1190,24 @@ class ModelRunner:
             kv_caches, sampled, logprob, top, prompt_lp, multi = out
         t_dispatch = time.perf_counter()
 
+        # ---- fetch every output with ONE D2H transfer ----
+        sampled_f, logprob_f, top_f, prompt_lp_f, multi_f = fetch_outputs(
+            (sampled, logprob, top, prompt_lp, multi))
         # [B] single-step -> [1, B] so both paths share the fan-out.
-        sampled_np = np.atleast_2d(np.asarray(jax.device_get(sampled)))
-        logprob_np = np.atleast_2d(np.asarray(jax.device_get(logprob)))
+        sampled_np = np.atleast_2d(sampled_f)
+        logprob_np = np.atleast_2d(logprob_f)
         top_np = None
-        if top is not None:
-            tv = np.asarray(jax.device_get(top[0]))
-            ti = np.asarray(jax.device_get(top[1]))
+        if top_f is not None:
+            tv, ti = top_f
             if tv.ndim == 2:
                 tv, ti = tv[None], ti[None]
             top_np = (tv, ti)
-        multi_np = None
-        if multi is not None:
-            multi_np = (np.asarray(jax.device_get(multi[0])),
-                        np.asarray(jax.device_get(multi[1])))
+        multi_np = multi_f
         prompt_lp_np = None
-        if prompt_lp is not None:
-            tok_lp = np.asarray(jax.device_get(prompt_lp[0]))
-            tv = ti = None
-            if prompt_lp[1] is not None:
-                tv = np.asarray(jax.device_get(prompt_lp[1]))
-                ti = np.asarray(jax.device_get(prompt_lp[2]))
+        if prompt_lp_f is not None:
+            tok_lp, tv, ti = (prompt_lp_f + (None, None))[:3] \
+                if isinstance(prompt_lp_f, tuple) else (prompt_lp_f, None,
+                                                        None)
             prompt_lp_np = (tok_lp, tv, ti)
         t_done = time.perf_counter()
         if envs.VLT_BENCHMARK_RUNNER:
