@@ -25,8 +25,9 @@ def main() -> None:
 
     input_len = int(os.getenv("BENCH_INPUT_LEN", "256"))
     output_len = int(os.getenv("BENCH_OUTPUT_LEN", "256"))
-    num_seqs = int(os.getenv("BENCH_NUM_SEQS", "64"))
-    num_steps = int(os.getenv("BENCH_SCHEDULER_STEPS", "16"))
+    num_seqs = int(os.getenv("BENCH_NUM_SEQS", "256"))
+    num_steps = int(os.getenv("BENCH_SCHEDULER_STEPS", "32"))
+    batched = int(os.getenv("BENCH_MAX_BATCHED_TOKENS", "8192"))
 
     cfg = make_dummy_engine_config(
         tinyllama_1_1b_hf_config(),
@@ -35,6 +36,7 @@ def main() -> None:
         max_num_seqs=num_seqs,
         hbm_utilization=0.85,
         num_scheduler_steps=num_steps,
+        max_num_batched_tokens=batched,
     )
     engine = LLMEngine(cfg, log_stats=False)
 

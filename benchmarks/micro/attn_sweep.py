@@ -1,4 +1,6 @@
 """Sweep kernel params: 22 chained attention calls in ONE jit."""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import time, functools, sys
 import jax, jax.numpy as jnp, numpy as np
 from vllm_legacy_tpu.ops.pallas import paged_attention as pk

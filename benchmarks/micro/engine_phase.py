@@ -1,4 +1,6 @@
 """Time the engine step phases (schedule / execute / process) on real TPU."""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import time
 
 from vllm_legacy_tpu.engine.llm_engine import LLMEngine

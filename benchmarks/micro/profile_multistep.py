@@ -1,4 +1,6 @@
 import glob
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import jax, jax.numpy as jnp, numpy as np
 from vllm_legacy_tpu.testing_utils import (make_dummy_engine_config,
                                            tinyllama_1_1b_hf_config)

@@ -1,4 +1,6 @@
 """Validate new-layout pallas kernel vs XLA fallback on the REAL chip."""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import numpy as np
 import jax, jax.numpy as jnp
 from vllm_legacy_tpu.ops.pallas import paged_attention as pk

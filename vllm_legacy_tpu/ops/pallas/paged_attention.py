@@ -416,22 +416,24 @@ def paged_attention(  # noqa: C901
     bq = min(bq, l_pad)
 
     # ---- VMEM budget: size kblk (superblock width) and bq so tiles +
-    # double-buffered KV stream + f32 flash accumulators fit. ----
+    # double-buffered KV stream + f32 flash intermediates fit. ----
     itm = jnp.dtype(k_cache.dtype).itemsize
     qitm = jnp.dtype(q.dtype).itemsize
-    # Compiler stack accounting adds cast/reshape copies beyond this
-    # estimate; 8M of 16M VMEM leaves it room.
-    budget = 8 * 1024 * 1024
+    # Leave the compiler slack for semaphores/masks/grid machinery.
+    budget = 9 * 1024 * 1024
 
     def _vmem_est(bq_, kblk_):
-        tiles = 2 * num_kv_heads * group * bq_ * head * qitm  # q + out
-        tiles += 2 * num_kv_heads * l_pad * head * itm  # k_new + v_new
-        acc = num_kv_heads * group * bq_ * head * 4 * 2  # acc + slack
+        gb = num_kv_heads * group * bq_ * head
+        # pallas double-buffers every windowed io tile (q, out, kn, vn)
+        tiles = 2 * 2 * gb * qitm
+        tiles += 2 * 2 * num_kv_heads * l_pad * head * itm
+        f32c = 2 * gb * 4  # q*scale and out f32 copies
+        acc = gb * 4
         sb_ = kblk_ * block_size
         smat = 2 * num_kv_heads * group * bq_ * sb_ * 4  # s + p
         kv = 2 * 2 * num_kv_heads * kblk_ * block_size * head * itm
         kv += 2 * num_kv_heads * sb_ * head * 4  # f32 casts of k, v
-        return tiles + acc + smat + kv
+        return tiles + f32c + acc + smat + kv
 
     kblk = max(1, min(kblk, 64 // max(1, num_kv_heads)))
     while kblk > 1 and _vmem_est(bq, kblk) > budget:

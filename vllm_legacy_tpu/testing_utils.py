@@ -77,6 +77,7 @@ def make_dummy_engine_config(
     enable_prefix_caching: bool = False,
     kv_cache_dtype: str = "auto",
     num_scheduler_steps: int = 1,
+    max_num_batched_tokens: Optional[int] = None,
     sparse_attention=None,
 ) -> EngineConfig:
     if hf_config is None:
@@ -100,7 +101,8 @@ def make_dummy_engine_config(
     parallel_config = ParallelConfig(
         tensor_parallel_size=tensor_parallel_size)
     scheduler_config = SchedulerConfig(
-        max_num_batched_tokens=max(max_model_len or 2048, 2048),
+        max_num_batched_tokens=max_num_batched_tokens
+        or max(max_model_len or 2048, 2048),
         max_num_seqs=max_num_seqs,
         max_model_len=model_config.max_model_len,
         enable_chunked_prefill=enable_chunked_prefill,
