@@ -28,6 +28,7 @@ def main() -> None:
     num_seqs = int(os.getenv("BENCH_NUM_SEQS", "256"))
     num_steps = int(os.getenv("BENCH_SCHEDULER_STEPS", "32"))
     batched = int(os.getenv("BENCH_MAX_BATCHED_TOKENS", "8192"))
+    block_size = int(os.getenv("BENCH_BLOCK_SIZE", "16"))
 
     cfg = make_dummy_engine_config(
         tinyllama_1_1b_hf_config(),
@@ -37,6 +38,7 @@ def main() -> None:
         hbm_utilization=0.85,
         num_scheduler_steps=num_steps,
         max_num_batched_tokens=batched,
+        block_size=block_size,
     )
     engine = LLMEngine(cfg, log_stats=False)
 

@@ -8,13 +8,16 @@ from vllm_legacy_tpu.sampling_params import SamplingParams
 from vllm_legacy_tpu.testing_utils import (make_dummy_engine_config,
                                            tinyllama_1_1b_hf_config)
 
-NUM_SEQS = 64
+import os
+NUM_SEQS = int(os.getenv('NS', '256'))
 IN, OUT = 256, 256
+K = int(os.getenv('K', '32'))
 
 cfg = make_dummy_engine_config(
     tinyllama_1_1b_hf_config(), dtype="bfloat16",
     max_model_len=IN + OUT + 16, max_num_seqs=NUM_SEQS,
-    hbm_utilization=0.85, num_scheduler_steps=16)
+    hbm_utilization=0.85, num_scheduler_steps=K,
+    max_num_batched_tokens=8192)
 engine = LLMEngine(cfg, log_stats=False)
 
 sp = SamplingParams(temperature=0.0, max_tokens=OUT, ignore_eos=True)

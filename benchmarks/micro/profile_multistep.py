@@ -8,7 +8,9 @@ from vllm_legacy_tpu.worker.worker import Worker
 from vllm_legacy_tpu.models.attention import AttentionMetadata
 from vllm_legacy_tpu.layers.sampler import SamplingTensors
 
-BATCH, K = 64, 16
+import os
+BATCH = int(os.getenv('NS', '256'))
+K = int(os.getenv('K', '32'))
 cfg = make_dummy_engine_config(
     tinyllama_1_1b_hf_config(), dtype="bfloat16", max_model_len=528,
     max_num_seqs=BATCH, hbm_utilization=0.85, num_scheduler_steps=K)

@@ -12,16 +12,26 @@ from typing import Dict, Type
 
 from vllm_legacy_tpu.layers.quantization.base_config import (
     QuantizationConfig)
+from vllm_legacy_tpu.layers.quantization.aqlm import AQLMConfig
 from vllm_legacy_tpu.layers.quantization.awq import AWQConfig
+from vllm_legacy_tpu.layers.quantization.compressed_tensors import (
+    CompressedTensorsConfig)
+from vllm_legacy_tpu.layers.quantization.deepspeedfp import (
+    DeepSpeedFPConfig)
 from vllm_legacy_tpu.layers.quantization.fp8 import Fp8Config
 from vllm_legacy_tpu.layers.quantization.gptq import GPTQConfig
 from vllm_legacy_tpu.layers.quantization.squeezellm import SqueezeLLMConfig
 
 QUANTIZATION_METHODS: Dict[str, Type[QuantizationConfig]] = {
+    "aqlm": AQLMConfig,
     "gptq": GPTQConfig,
     "awq": AWQConfig,
     "squeezellm": SqueezeLLMConfig,
     "fp8": Fp8Config,
+    "deepspeedfp": DeepSpeedFPConfig,
+    # sparseml / compressed-tensors int8 w8a8
+    "sparseml": CompressedTensorsConfig,
+    "compressed-tensors": CompressedTensorsConfig,
     # CUDA-layout aliases: same checkpoints, repacked to the TPU layout.
     "marlin": GPTQConfig,
     "gptq_marlin": GPTQConfig,

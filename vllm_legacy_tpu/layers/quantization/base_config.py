@@ -37,3 +37,21 @@ class QuantizationConfig(ABC):
 
     def get_scaled_act_names(self) -> List[str]:
         return []
+
+    # -- load-time conversion protocol ----------------------------------
+    # Model loaders call wants() on each per-projection tensor dict and
+    # replace it with convert_layer_params() when it matches (replaces
+    # the reference's per-method create_weights/process_weights_after_
+    # loading pairs).
+
+    def wants(self, tensors: Dict[str, Any]) -> bool:
+        """Does this projection's checkpoint tensor dict need
+        conversion? Default: groupwise packed checkpoints (GPTQ/AWQ
+        qweight)."""
+        return "qweight" in tensors
+
+    def convert_layer_params(self, tensors: Dict[str, Any],
+                             np_dtype) -> Dict[str, Any]:
+        """Repack one projection's tensors into device-ready params.
+        Default: the common TPU packed-groupwise layout."""
+        return self.convert_layer(tensors).as_params()

@@ -68,6 +68,22 @@ class Fp8Config(QuantizationConfig):
     def get_linear_method(self) -> Fp8LinearMethod:
         return Fp8LinearMethod()
 
+    # -- load-time conversion -------------------------------------------
+    def wants(self, tensors: Dict[str, np.ndarray]) -> bool:
+        w = tensors.get("weight")
+        return w is not None and getattr(w, "ndim", 0) == 2
+
+    def convert_layer_params(self, tensors: Dict[str, np.ndarray],
+                             np_dtype) -> Dict[str, np.ndarray]:
+        import ml_dtypes
+        w = tensors["weight"]
+        if w.dtype == ml_dtypes.float8_e4m3fn:  # fp8-serialized ckpt
+            scale = np.float32(
+                np.asarray(tensors.get("weight_scale",
+                                       1.0)).reshape(-1)[0])
+            return {"weight": w, "weight_scale": scale}
+        return self.quantize_weight(w)
+
     def quantize_weight(
             self, w: np.ndarray) -> Dict[str, np.ndarray]:
         """Per-tensor symmetric quantization of a bf16/f16 weight at

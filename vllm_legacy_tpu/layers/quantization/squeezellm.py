@@ -41,6 +41,10 @@ class SqueezeLLMConfig(QuantizationConfig):
     def get_linear_method(self) -> LinearMethod:
         return LinearMethod()  # dense after load-time dequant
 
+    def convert_layer_params(self, tensors: Dict[str, np.ndarray],
+                             np_dtype) -> Dict[str, np.ndarray]:
+        return self.convert_layer(tensors, dtype=np_dtype)
+
     def convert_layer(self, tensors: Dict[str, np.ndarray],
                       dtype=None) -> Dict[str, np.ndarray]:
         import ml_dtypes

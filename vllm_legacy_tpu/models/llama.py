@@ -134,6 +134,13 @@ class LlamaForCausalLM:
                                                                None)
         if key == "bias":
             return P("model") if mode == "column" else P()
+        # Partial-LoRA (XComposer2): A shards on the contraction dim for
+        # row layers, B on the output dim for column layers; the rank dim
+        # stays replicated either way.
+        if key == "plora_a":
+            return P() if mode == "column" else P("model", None)
+        if key == "plora_b":
+            return P(None, "model") if mode == "column" else P()
         return P()  # in_perm, weight_scale: replicated
 
     def param_specs(self,
@@ -208,9 +215,7 @@ class LlamaForCausalLM:
             layer_idx=layer_idx, sliding_window=self.sliding_window,
             sparse=getattr(self, "sparse_config", None),
             self_extend=se_spec, alibi_slopes=alibi)
-        o = row_parallel_linear(attn_out.reshape(b * l, -1), p["o_proj"],
-                                tp_size=self.tp_size,
-                                lora_indices=lora_indices)
+        o = self._o_proj(p, attn_out.reshape(b * l, -1), lora_indices)
         hidden = o.reshape(b, l, h)
 
         x, residual = self._norm(hidden, p["post_attention_layernorm"],
@@ -219,6 +224,13 @@ class LlamaForCausalLM:
                          lora_indices=lora_indices)
         hidden = down.reshape(b, l, h)
         return hidden, residual, kv_caches
+
+    def _o_proj(self, p, attn_flat, lora_indices=None):
+        """Attention output projection hook; XComposer2 overrides to add
+        its partial-LoRA delta."""
+        return row_parallel_linear(attn_flat, p["o_proj"],
+                                   tp_size=self.tp_size,
+                                   lora_indices=lora_indices)
 
     def _project_qkv(self, p, xf, lora_indices=None):
         """QKV projection hook ([T, Hq/Hkv, D] each); OLMo overrides to

@@ -45,6 +45,8 @@ _MODELS: Dict[str, Tuple[str, str]] = {
     "MiniCPMForCausalLM": ("minicpm", "MiniCPMForCausalLM"),
     "JAISLMHeadModel": ("jais", "JAISLMHeadModel"),
     "DbrxForCausalLM": ("dbrx", "DbrxForCausalLM"),
+    "ArcticForCausalLM": ("arctic", "ArcticForCausalLM"),
+    "DeciLMForCausalLM": ("decilm", "DeciLMForCausalLM"),
     "LlavaForConditionalGeneration": ("llava",
                                       "LlavaForConditionalGeneration"),
     # llama-architecture aliases (reference registers these separately:

@@ -1,0 +1,15 @@
+"""In-tree HF config shims for architectures whose configs are not in
+transformers (reference: vllm/transformers_utils/configs/ — dbrx, jais,
+arctic, mpt, falcon, chatglm; most of those now ship in transformers, so
+only the still-missing ones live here)."""
+from __future__ import annotations
+
+from vllm_legacy_tpu.transformers_utils.configs.arctic import ArcticConfig
+
+# model_type -> config class, consulted by get_hf_config before
+# AutoConfig so these checkpoints load without trust_remote_code.
+CONFIG_REGISTRY = {
+    "arctic": ArcticConfig,
+}
+
+__all__ = ["ArcticConfig", "CONFIG_REGISTRY"]
