@@ -280,11 +280,20 @@ class LlamaForCausalLM:
         positions: jax.Array,  # [B, L] int32
         md: AttentionMetadata,
         lora_indices=None,
+        prompt_embeds=None,  # [B, L, H] f32, rows where embeds_mask
+        embeds_mask=None,  # [B, L] bool
     ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
         b, l = token_ids.shape
         hidden = embedding.embed(params["embed"], token_ids.reshape(-1),
                                  tp_size=self.tp_size)
         hidden = hidden.reshape(b, l, self.hidden_size)
+        if prompt_embeds is not None:
+            # precomputed-embedding substitution (reference capability:
+            # Sequence.prompt_embeds, vllm/sequence.py:125; XComposer2
+            # overrides this to also gate its PLoRA on the mask)
+            hidden = jnp.where(embeds_mask[:, :, None],
+                               prompt_embeds.astype(hidden.dtype),
+                               hidden)
         return self.forward_embedded(params, kv_caches, hidden,
                                      positions, md,
                                      lora_indices=lora_indices)

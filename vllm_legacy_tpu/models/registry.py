@@ -46,6 +46,8 @@ _MODELS: Dict[str, Tuple[str, str]] = {
     "JAISLMHeadModel": ("jais", "JAISLMHeadModel"),
     "DbrxForCausalLM": ("dbrx", "DbrxForCausalLM"),
     "ArcticForCausalLM": ("arctic", "ArcticForCausalLM"),
+    "InternLMXComposer2ForCausalLM": (
+        "internlm_xcomposer2", "InternLMXComposer2ForCausalLM"),
     "DeciLMForCausalLM": ("decilm", "DeciLMForCausalLM"),
     "LlavaForConditionalGeneration": ("llava",
                                       "LlavaForConditionalGeneration"),

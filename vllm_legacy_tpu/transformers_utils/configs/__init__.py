@@ -5,11 +5,15 @@ only the still-missing ones live here)."""
 from __future__ import annotations
 
 from vllm_legacy_tpu.transformers_utils.configs.arctic import ArcticConfig
+from vllm_legacy_tpu.transformers_utils.configs.internlm_xcomposer2 import (
+    InternLMXComposer2Config)
 
 # model_type -> config class, consulted by get_hf_config before
 # AutoConfig so these checkpoints load without trust_remote_code.
 CONFIG_REGISTRY = {
     "arctic": ArcticConfig,
+    "internlmxcomposer2": InternLMXComposer2Config,
 }
 
-__all__ = ["ArcticConfig", "CONFIG_REGISTRY"]
+__all__ = ["ArcticConfig", "InternLMXComposer2Config",
+           "CONFIG_REGISTRY"]

@@ -299,6 +299,8 @@ class ModelRunner:
         context_lens: List[int] = []
         block_tables: List[List[int]] = []
         mm_rows: List[Optional[np.ndarray]] = []
+        emb_rows: List[Optional[Tuple[np.ndarray,
+                                      Optional[np.ndarray]]]] = []
 
         for meta in seq_group_metadata_list:
             if is_prefill:
@@ -325,15 +327,29 @@ class ModelRunner:
                 context_lens.append(ctx + len(new_tokens))
                 block_tables.append(meta.block_tables[seq_id])
                 mm = getattr(meta, "multi_modal_data", None)
+                emb = None
                 if mm is not None:
-                    if isinstance(mm, dict):
-                        mm = mm.get("pixel_values", mm.get("image"))
-                    mm = np.asarray(mm, np.float32)
-                    if mm.ndim == 4:
-                        mm = mm[0]
                     assert len(new_tokens) == len(all_tokens), (
                         "multimodal prompts must prefill in one chunk")
+                    if isinstance(mm, dict) and "prompt_embeds" in mm:
+                        # precomputed embedding substitution (XComposer2
+                        # image encoder path; reference:
+                        # Sequence.prompt_embeds/prompt_im_masks,
+                        # vllm/sequence.py:125-126)
+                        mask = mm.get("embeds_mask")
+                        emb = (np.asarray(mm["prompt_embeds"],
+                                          np.float32),
+                               None if mask is None else
+                               np.asarray(mask, bool))
+                        mm = None
+                    else:
+                        if isinstance(mm, dict):
+                            mm = mm.get("pixel_values", mm.get("image"))
+                        mm = np.asarray(mm, np.float32)
+                        if mm.ndim == 4:
+                            mm = mm[0]
                 mm_rows.append(mm)
+                emb_rows.append(emb)
             else:
                 for seq_id, data in meta.seq_data.items():
                     rows.append((meta.request_id, seq_id))
@@ -402,6 +418,20 @@ class ModelRunner:
                 if m is not None:
                     pixels[i] = m
             arrays["pixel_values"] = pixels
+        if is_prefill and any(e is not None for e in emb_rows):
+            hdim = next(e[0].shape[-1] for e in emb_rows
+                        if e is not None)
+            pe = np.zeros((b_pad, l_pad, hdim), np.float32)
+            em = np.zeros((b_pad, l_pad), bool)
+            for i, e in enumerate(emb_rows):
+                if e is None:
+                    continue
+                arr, mask = e
+                ql = query_lens[i]
+                pe[i, :ql] = arr[:ql]
+                em[i, :ql] = True if mask is None else mask[:ql]
+            arrays["prompt_embeds"] = pe
+            arrays["embeds_mask"] = em
         return arrays, rows, is_prefill, b_pad
 
     def _guided_state(self, seq_id: int, fsm, output_tokens) -> int:
@@ -551,10 +581,14 @@ class ModelRunner:
         md_specs = AttentionMetadata(rep, rep, rep, rep)
 
         def sharded_fwd(params, kv_caches, tokens, positions, md, sel,
-                        lora_indices, lp_targets, pixel_values):
+                        lora_indices, lp_targets, pixel_values,
+                        prompt_embeds, embeds_mask):
             kwargs = {}
             if pixel_values is not None:
                 kwargs["pixel_values"] = pixel_values
+            if prompt_embeds is not None:
+                kwargs["prompt_embeds"] = prompt_embeds
+                kwargs["embeds_mask"] = embeds_mask
             hidden, kv_caches = model.forward(params, kv_caches, tokens,
                                               positions, md,
                                               lora_indices=lora_indices,
@@ -589,7 +623,7 @@ class ModelRunner:
                 sharded_fwd,
                 mesh=mesh,
                 in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep,
-                          rep, rep, rep),
+                          rep, rep, rep, rep, rep),
                 out_specs=(rep, kv_specs, lp_out_spec), check_vma=False,
             )
         else:
@@ -600,11 +634,14 @@ class ModelRunner:
 
         def step(params, kv_caches, tokens, positions, md, sel, st,
                  step_key, lora_indices=None, token_mask=None,
-                 lp_targets=None, pixel_values=None):
+                 lp_targets=None, pixel_values=None, prompt_embeds=None,
+                 embeds_mask=None):
             logits, kv_caches, prompt_lp = fwd(params, kv_caches, tokens,
                                                positions, md, sel,
                                                lora_indices, lp_targets,
-                                               pixel_values)
+                                               pixel_values,
+                                               prompt_embeds,
+                                               embeds_mask)
             sampled, logprob, top, multi = sample(
                 logits, st, step_key, do_penalties=do_penalties,
                 do_top_k_p=do_top_k_p, do_min_p=do_min_p,
@@ -1145,6 +1182,9 @@ class ModelRunner:
             named.append(("token_mask", token_mask))
         if "pixel_values" in arrays:
             named.append(("pixel_values", arrays["pixel_values"]))
+        if "prompt_embeds" in arrays:
+            named.append(("prompt_embeds", arrays["prompt_embeds"]))
+            named.append(("embeds_mask", arrays["embeds_mask"]))
         if prompt_lp_k >= 0:
             # target of grid position j = the NEXT prompt token; -1 where
             # the target is not a prompt token (pads / final position)
@@ -1175,7 +1215,8 @@ class ModelRunner:
         extra = {
             k: staged[k]
             for k in ("lora_indices", "token_mask", "pixel_values",
-                      "lp_targets") if k in staged
+                      "lp_targets", "prompt_embeds", "embeds_mask")
+            if k in staged
         }
         self._step_key, key = jax.random.split(self._step_key)
         t_prep = time.perf_counter()
