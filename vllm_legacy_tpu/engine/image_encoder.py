@@ -79,7 +79,7 @@ class ImageEncoder:
     """
 
     def __init__(self, vision_config: Any, lm_hidden: int = 4096,
-                 hd_num: int = 25):
+                 hd_num: int = 25, select_layer: int = -1):
         self.tower = CLIPVisionTower(vision_config, dtype=jnp.float32)
         self.tile = vision_config.image_size
         self.grid = vision_config.image_size // vision_config.patch_size
@@ -88,6 +88,9 @@ class ImageEncoder:
         self.c4 = 4 * self.tower.hidden_size
         self.lm_hidden = lm_hidden
         self.hd_num = hd_num
+        # XComposer2 selects the last hidden state (-1); Phi-3-Vision
+        # the penultimate (-2, reference models/phi3v.py layer_idx)
+        self.select_layer = select_layer
         self.params: Optional[Dict[str, Any]] = None
         self._feat_fns: Dict[int, Any] = {}
         self._proj_fns: Dict[int, Any] = {}
@@ -125,24 +128,28 @@ class ImageEncoder:
         return self.params
 
     def load_weights(self, weights) -> Dict[str, Any]:
-        """Names from the XComposer2 checkpoint: ``vit.vision_tower.
-        vision_model.*``, ``vision_proj.{0,2}.{weight,bias}``,
-        ``plora_glb_GN`` / ``plora_sub_GN`` [1, 1(,1), 4C]."""
+        """XComposer2 names (``vit.vision_tower.vision_model.*``,
+        ``vision_proj.{0,2}.*``, ``plora_glb_GN``/``plora_sub_GN``) and
+        Phi-3-Vision names (``[model.]vision_embed_tokens.
+        img_processor.vision_model.*``, ``img_projection.{0,2}.*``,
+        ``glb_GN``/``sub_GN`` — reference models/phi3v.py:120-135)."""
         vt, proj = [], {"0": {}, "2": {}}
         gn: Dict[str, np.ndarray] = {}
         for name, w in weights:
             w = np.asarray(w, np.float32)
-            if name.startswith("vit."):
-                sub = name.removeprefix("vit.")
+            name = name.removeprefix("model.")
+            name = name.removeprefix("vision_embed_tokens.")
+            if name.startswith(("vit.", "img_processor.")):
+                sub = name.split(".", 1)[1]
                 sub = sub.removeprefix("vision_tower.")
                 sub = sub.removeprefix("vision_model.")
                 vt.append((sub, w))
-            elif name.startswith("vision_proj."):
+            elif name.startswith(("vision_proj.", "img_projection.")):
                 _, idx, kind = name.split(".")
                 proj[idx][kind] = w.T if kind == "weight" else w
-            elif name == "plora_glb_GN":
+            elif name in ("plora_glb_GN", "glb_GN"):
                 gn["glb_GN"] = w.reshape(1, -1)
-            elif name == "plora_sub_GN":
+            elif name in ("plora_sub_GN", "sub_GN"):
                 gn["sub_GN"] = w.reshape(1, -1)
         self.params = {
             "vit": self.tower.load_weights(iter(vt)),
@@ -161,7 +168,7 @@ class ImageEncoder:
 
             def run(params, x):
                 states = self.tower.forward(params, x)
-                feats = states[-1][:, 1:]  # select_layer -1, drop CLS
+                feats = states[self.select_layer][:, 1:]  # drop CLS
                 f = feats.reshape(n, g, g, -1)
                 f = f.reshape(n, m, 2, m, 2, -1).transpose(
                     0, 1, 3, 2, 4, 5).reshape(n, m * m, -1)

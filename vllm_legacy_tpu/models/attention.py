@@ -8,7 +8,7 @@ here are per-shard (heads already divided by the "model" axis size).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,23 @@ class SparseAttentionConfig(NamedTuple):
     num_recent: int = 2  # always-attended trailing blocks
 
 
+class BlocksparseSpec(NamedTuple):
+    """Phi-3-Small blocksparse pattern (reference:
+    attention/backends/blocksparse_attn.py + ops/blocksparse_attention/
+    utils.py:180-192): token (q, k) attends iff causal AND
+    (q_blk - k_blk < local_blocks OR
+     (k_blk + head*sliding_step + 1) % vert_stride == 0).
+
+    ``phases`` carries head*sliding_step per LOCAL q head (computed from
+    the global head index by the model layer, so TP shards mask their
+    own stripe offsets; zeros for homo_head patterns).
+    """
+    block_size: int
+    local_blocks: int
+    vert_stride: int
+    phases: Any  # jax.Array [num_q_heads local] int32
+
+
 class AttentionMetadata(NamedTuple):
     """Per-step device metadata (reference: attention/backends/abstract.py
     AttentionMetadata :102, built by model_runner._prepare_model_input).
@@ -76,6 +93,7 @@ def attention(
     sparse: Optional[SparseAttentionConfig] = None,
     self_extend=None,  # Optional[SelfExtendSpec]; q/k arrive UNROTATED
     alibi_slopes: Optional[jax.Array] = None,  # [Hq(local)] f32
+    blocksparse: Optional[BlocksparseSpec] = None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Returns (attn output [B, L, Hq, D], updated kv cache).
 
@@ -96,6 +114,16 @@ def attention(
     if self_extend is not None:
         assert sparse is None and sliding_window is None, (
             "self-extend composes with dense global attention only")
+    bs_args = {}
+    if blocksparse is not None:
+        assert sparse is None and sliding_window is None, (
+            "blocksparse does not compose with HiP top-k or sliding "
+            "window")
+        bs_args = dict(
+            blocksparse=(blocksparse.block_size,
+                         blocksparse.local_blocks,
+                         blocksparse.vert_stride),
+            bs_phases=blocksparse.phases)
     if l == 1:
         tables, ctx = md.block_tables, md.context_lens
         use_sparse = (sparse is not None and sliding_window is None
@@ -114,14 +142,16 @@ def attention(
             q[:, 0], k[:, 0], v[:, 0], k_cache, v_cache, lidx,
             tables, ctx, scale=scale,
             sliding_window=sliding_window, soft_cap=soft_cap,
-            self_extend=self_extend, alibi_slopes=alibi_slopes)
+            self_extend=self_extend, alibi_slopes=alibi_slopes,
+            **bs_args)
         out = out[:, None]
     else:
         out, k_cache, v_cache = attn_ops.paged_attention_prefill(
             q, k, v, k_cache, v_cache, lidx, md.block_tables,
             md.query_lens, md.context_lens, scale=scale,
             sliding_window=sliding_window, soft_cap=soft_cap,
-            self_extend=self_extend, alibi_slopes=alibi_slopes)
+            self_extend=self_extend, alibi_slopes=alibi_slopes,
+            **bs_args)
     if d_pad != d:
         out = out[..., :d]
     return out, (k_cache, v_cache)

@@ -214,7 +214,8 @@ class LlamaForCausalLM:
             q, k, v, kv_caches, md, scale=self.scale,
             layer_idx=layer_idx, sliding_window=self.sliding_window,
             sparse=getattr(self, "sparse_config", None),
-            self_extend=se_spec, alibi_slopes=alibi)
+            self_extend=se_spec, alibi_slopes=alibi,
+            blocksparse=self._blocksparse(layer_idx))
         o = self._o_proj(p, attn_out.reshape(b * l, -1), lora_indices)
         hidden = o.reshape(b, l, h)
 
@@ -243,6 +244,11 @@ class LlamaForCausalLM:
         v = linear(xf, p["v_proj"], lora_indices=li).reshape(
             xf.shape[0], -1, self.head_dim)
         return q, k, v
+
+    def _blocksparse(self, layer_idx):
+        """Per-layer blocksparse mask spec; Phi-3-Small overrides
+        (models/phi3_small.py)."""
+        return None
 
     def _self_extend_spec(self):
         """Self-extend RoPE config (fork SE_SCALE/SE_WINDOW,

@@ -23,6 +23,8 @@ _MODELS: Dict[str, Tuple[str, str]] = {
     "GPTBigCodeForCausalLM": ("gpt_bigcode", "GPTBigCodeForCausalLM"),
     "PhiForCausalLM": ("phi", "PhiForCausalLM"),
     "Phi3ForCausalLM": ("phi3", "Phi3ForCausalLM"),
+    "Phi3SmallForCausalLM": ("phi3_small", "Phi3SmallForCausalLM"),
+    "Phi3VForCausalLM": ("phi3v", "Phi3VForCausalLM"),
     "BloomForCausalLM": ("bloom", "BloomForCausalLM"),
     "MPTForCausalLM": ("mpt", "MPTForCausalLM"),
     "MptForCausalLM": ("mpt", "MPTForCausalLM"),

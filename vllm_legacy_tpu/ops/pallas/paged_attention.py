@@ -61,6 +61,7 @@ def _attention_kernel(
     context_lens_ref,  # [B] SMEM
     query_lens_ref,  # [B] SMEM
     alibi_ref,  # [num_q_heads] SMEM f32 (zeros when has_alibi=False)
+    bs_phase_ref,  # [num_q_heads] SMEM int32 (zeros unless blocksparse)
     # inputs
     q_ref,  # [Hkv, G, BQ, D] VMEM tile
     k_new_ref,  # [Hkv, L_pad, D] VMEM tile (new K rows for b)
@@ -89,6 +90,7 @@ def _attention_kernel(
     rotary_dim: int = 0,
     rope_neox: bool = True,
     has_alibi: bool = False,
+    blocksparse: Optional[Tuple[int, int, int]] = None,
 ):
     b = pl.program_id(0)
     qb = pl.program_id(1)
@@ -353,12 +355,31 @@ def _attention_kernel(
             mask = (kv_pos <= q_pos) & (kv_pos < ctx)  # [G*BQ, SB]
             if sliding_window is not None:
                 mask &= kv_pos > (q_pos - sliding_window)
-            s = jnp.where(mask[None], s, _NEG_INF)
+            if blocksparse is None:
+                fmask = mask[None]  # [1, G*BQ, SB]
+            else:
+                # Phi-3-Small blocksparse: local blocks + per-head
+                # vertically-strided blocks (reference: attention/ops/
+                # blocksparse_attention/utils.py:180-192); the per-head
+                # stripe phase (global_head * sliding_step) arrives via
+                # scalar prefetch so TP shards mask their own heads.
+                bs_blk, lblk, vs = blocksparse
+                q_blk = q_pos // bs_blk  # [G*BQ, 1]
+                k_blk = kv_pos // bs_blk  # [1, SB]
+                local_ok = (q_blk - k_blk) < lblk  # [G*BQ, SB]
+                phase = jnp.concatenate([
+                    jnp.full((1, bq, 1), bs_phase_ref[h * g + gi],
+                             jnp.int32) for h in range(hkv)
+                    for gi in range(g)
+                ], axis=1).reshape(hkv, g * bq, 1)
+                vert_ok = ((k_blk[None] + phase + 1) % vs) == 0
+                fmask = mask[None] & (local_ok[None] | vert_ok)
+            s = jnp.where(fmask, s, _NEG_INF)
 
             m_cur = jnp.max(s, axis=2, keepdims=True)
             m_new = jnp.maximum(m_prev, m_cur)
             p = jnp.exp(s - m_new)
-            p = jnp.where(mask[None], p, 0.0)
+            p = jnp.where(fmask, p, 0.0)
             alpha = jnp.exp(m_prev - m_new)
             l_new = l_prev * alpha + jnp.sum(p, axis=2, keepdims=True)
             acc = acc * alpha + jax.lax.dot_general(
@@ -378,7 +399,7 @@ def _attention_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "sliding_window", "soft_cap", "bq", "kblk",
-                     "interpret", "self_extend"),
+                     "interpret", "self_extend", "blocksparse"),
 )
 def paged_attention(  # noqa: C901
     q: jax.Array,  # [B, L_pad, num_q_heads, head_size]
@@ -399,6 +420,8 @@ def paged_attention(  # noqa: C901
     interpret: bool = False,
     self_extend=None,  # Optional[SelfExtendSpec]; q/k_new UNROTATED
     alibi_slopes: Optional[jax.Array] = None,  # [num_q_heads] f32
+    blocksparse: Optional[Tuple[int, int, int]] = None,
+    bs_phases: Optional[jax.Array] = None,  # [num_q_heads] int32
 ):
     """Fused cache-write + attention.
 
@@ -430,7 +453,9 @@ def paged_attention(  # noqa: C901
         f32c = 2 * gb * 4  # q*scale and out f32 copies
         acc = gb * 4
         sb_ = kblk_ * block_size
-        smat = 2 * num_kv_heads * group * bq_ * sb_ * 4  # s + p
+        # s + p (+ the per-head blocksparse masks when enabled)
+        smat = ((4 if blocksparse is not None else 2) *
+                num_kv_heads * group * bq_ * sb_ * 4)
         kv = 2 * 2 * num_kv_heads * kblk_ * block_size * head * itm
         kv += 2 * num_kv_heads * sb_ * head * 4  # f32 casts of k, v
         return tiles + f32c + acc + smat + kv
@@ -465,6 +490,10 @@ def paged_attention(  # noqa: C901
         alibi_arr = jnp.zeros((1, ), jnp.float32)
     else:
         alibi_arr = alibi_slopes.astype(jnp.float32)
+    if bs_phases is None:
+        phase_arr = jnp.zeros((1, ), jnp.int32)
+    else:
+        phase_arr = bs_phases.astype(jnp.int32)
     kernel = functools.partial(
         _attention_kernel,
         scale=scale,
@@ -475,16 +504,17 @@ def paged_attention(  # noqa: C901
         sliding_window=sliding_window,
         soft_cap=soft_cap,
         has_alibi=has_alibi,
+        blocksparse=blocksparse,
         **se_kwargs,
     )
 
-    def kernel_5d(lr, bt, cl, ql, al, q5, kn4, vn4, kc, vc, o5, ko, vo,
-                  kb, vb, sm, wsm):
-        kernel(lr, bt, cl, ql, al, q5.at[0], kn4.at[0], vn4.at[0], kc,
-               vc, o5.at[0], ko, vo, kb, vb, sm, wsm)
+    def kernel_5d(lr, bt, cl, ql, al, ph, q5, kn4, vn4, kc, vc, o5, ko,
+                  vo, kb, vb, sm, wsm):
+        kernel(lr, bt, cl, ql, al, ph, q5.at[0], kn4.at[0], vn4.at[0],
+               kc, vc, o5.at[0], ko, vo, kb, vb, sm, wsm)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, num_kv_heads, group, bq, head),
@@ -521,9 +551,9 @@ def paged_attention(  # noqa: C901
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
         # scalar-prefetch args count toward input positions: inputs are
-        # (layer, tables, ctx, qlens, alibi, q, k_new, v_new, k_cache,
-        # v_cache)
-        input_output_aliases={8: 1, 9: 2},
+        # (layer, tables, ctx, qlens, alibi, phases, q, k_new, v_new,
+        # k_cache, v_cache)
+        input_output_aliases={9: 1, 10: 2},
         # batch cells touch disjoint cache regions, so megacore may
         # split them; the q-tile dim accumulates and stays ordered.
         compiler_params=pltpu.CompilerParams(
@@ -531,7 +561,7 @@ def paged_attention(  # noqa: C901
         interpret=interpret,
     )(layer_idx.astype(jnp.int32), block_tables,
       context_lens.astype(jnp.int32), query_lens.astype(jnp.int32),
-      alibi_arr, qr, kn, vn, k_cache, v_cache)
+      alibi_arr, phase_arr, qr, kn, vn, k_cache, v_cache)
 
     # [B, Hkv, G, L, D] -> [B, L, Hq, D]
     out = out.transpose(0, 3, 1, 2, 4)
@@ -555,6 +585,8 @@ def paged_attention_decode(
     interpret: bool = False,
     self_extend=None,
     alibi_slopes: Optional[jax.Array] = None,
+    blocksparse: Optional[Tuple[int, int, int]] = None,
+    bs_phases: Optional[jax.Array] = None,
 ):
     """Decode = the unified kernel with one new token per sequence."""
     batch = q.shape[0]
@@ -575,6 +607,8 @@ def paged_attention_decode(
         interpret=interpret,
         self_extend=self_extend,
         alibi_slopes=alibi_slopes,
+        blocksparse=blocksparse,
+        bs_phases=bs_phases,
     )
     return out[:, 0], k_cache, v_cache
 

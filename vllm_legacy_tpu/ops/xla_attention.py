@@ -82,6 +82,8 @@ def paged_attention(
     soft_cap: Optional[float] = None,
     self_extend=None,  # Optional[SelfExtendSpec]; q/k arrive UNROTATED
     alibi_slopes: Optional[jax.Array] = None,  # [num_q_heads] f32
+    blocksparse: Optional[Tuple[int, int, int]] = None,
+    bs_phases: Optional[jax.Array] = None,  # [num_q_heads] int32
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Causal prefill/decode attention reading KV from the paged cache
     after writing the new rows (capability of paged_attention_v1/v2 +
@@ -142,7 +144,21 @@ def paged_attention(
         if sliding_window is not None:
             mask &= kv_pos[None, :] >= (q_pos[:, None] - sliding_window +
                                         1)
-        s = jnp.where(mask[None, None, :, :], s, _NEG_INF)
+        if blocksparse is not None:
+            # Phi-3-Small local + per-head vertically-strided block
+            # pattern (reference: attention/ops/blocksparse_attention/
+            # utils.py:180-192)
+            bs_blk, lblk, vs = blocksparse
+            qb_ = q_pos[:, None] // bs_blk  # [L, max_len]
+            kb_ = kv_pos[None, :] // bs_blk
+            local_ok = (qb_ - kb_) < lblk
+            ph = bs_phases.reshape(num_kv_heads, group)
+            vert_ok = ((kb_[None, None] + ph[:, :, None, None] + 1)
+                       % vs) == 0
+            mask4 = mask[None, None] & (local_ok[None, None] | vert_ok)
+        else:
+            mask4 = mask[None, None, :, :]
+        s = jnp.where(mask4, s, _NEG_INF)
         p = jax.nn.softmax(s, axis=-1)
         o = jnp.einsum("hgil,hld->ihgd", p, v)
         valid_q = (jnp.arange(l_pad) < qlen_b)[:, None, None, None]
@@ -156,14 +172,16 @@ def paged_attention(
 def paged_attention_decode(q, k_new, v_new, k_cache, v_cache, layer_idx,
                            block_tables, context_lens, *, scale,
                            sliding_window=None, soft_cap=None,
-                           self_extend=None, alibi_slopes=None):
+                           self_extend=None, alibi_slopes=None,
+                           blocksparse=None, bs_phases=None):
     batch = q.shape[0]
     out, k_cache, v_cache = paged_attention(
         q[:, None], k_new[:, None], v_new[:, None], k_cache, v_cache,
         layer_idx, block_tables, jnp.ones((batch, ), jnp.int32),
         context_lens, scale=scale, sliding_window=sliding_window,
         soft_cap=soft_cap, self_extend=self_extend,
-        alibi_slopes=alibi_slopes)
+        alibi_slopes=alibi_slopes, blocksparse=blocksparse,
+        bs_phases=bs_phases)
     return out[:, 0], k_cache, v_cache
 
 
