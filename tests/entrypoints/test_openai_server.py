@@ -36,6 +36,11 @@ def test_openai_server_endpoints(tiny_llama_path):
             assert "version" in await r.json()
             r = await client.get("/metrics")
             assert r.status == 200
+            r = await client.get("/dev/debug/envs")
+            assert "VLT_PALLAS_INTERPRET" in await r.json()
+            r = await client.get("/dev/metrics/runner")
+            rm = await r.json()
+            assert {"steps", "prepare_ms", "dispatch_ms"} <= set(rm)
 
             # completion
             r = await client.post("/v1/completions", json={

@@ -49,6 +49,7 @@ class LoadFormat(str, enum.Enum):
     NPCACHE = "npcache"
     DUMMY = "dummy"
     SHARDED_STATE = "sharded_state"
+    TENSORIZER = "tensorizer"
 
 
 def _get_and_verify_dtype(config_dtype: Any, dtype: Union[str, Any]) -> str:

@@ -86,6 +86,20 @@ class LLMEngine:
             labels=dict(model_name=self.model_config.served_model_name)
         ) if log_stats else None
 
+        # opt-out anonymous usage record (reference: llm_engine.py
+        # usage_message.report_usage; local-file variant, usage/)
+        from vllm_legacy_tpu.usage import UsageContext, usage_message
+        archs = getattr(self.model_config.hf_config, "architectures",
+                        None) or ["unknown"]
+        usage_message.report_usage(
+            archs[0], UsageContext.ENGINE_CONTEXT,
+            extra_kvs=dict(
+                dtype=str(self.model_config.dtype),
+                tensor_parallel_size=self.parallel_config.
+                tensor_parallel_size,
+                block_size=self.cache_config.block_size,
+                quantization=self.model_config.quantization))
+
     # ------------------------------------------------------------------
     @classmethod
     def from_engine_args(cls, engine_args,
@@ -294,5 +308,10 @@ class LLMEngine:
             request_outputs.append(RequestOutputFactory.create(seq_group))
 
         if self.stat_logger is not None:
-            self.stat_logger.log_step(scheduler_outputs, now)
+            runner = getattr(
+                getattr(self.model_executor, "worker", None),
+                "model_runner", None)
+            self.stat_logger.log_step(
+                scheduler_outputs, now,
+                spec_metrics=getattr(runner, "runner_metrics", None))
         return request_outputs

@@ -33,6 +33,12 @@ class Stats:
     time_to_first_tokens: List[float] = field(default_factory=list)
     time_per_output_tokens: List[float] = field(default_factory=list)
     time_e2e_requests: List[float] = field(default_factory=list)
+    # cumulative spec-decode counters (reference: spec_decode/metrics.py
+    # AsyncMetricsCollector; logged as acceptance rate + system
+    # efficiency, metrics.py:316-375)
+    spec_proposed: int = 0
+    spec_accepted: int = 0
+    spec_emitted: int = 0
 
 
 class PrometheusMetrics:
@@ -137,19 +143,28 @@ class StatLogger:
             elapsed = now - self.last_local_log
             prompt_tput = sum(self.num_prompt_tokens) / elapsed
             gen_tput = sum(self.num_generation_tokens) / elapsed
+            spec_msg = ""
+            if stats.spec_proposed:
+                # draft acceptance + system efficiency (reference
+                # StatLogger spec summary, metrics.py:358-375)
+                acc = stats.spec_accepted / max(stats.spec_proposed, 1)
+                spec_msg = (f", Spec acceptance rate: {acc:.2f} "
+                            f"({stats.spec_accepted}/"
+                            f"{stats.spec_proposed} draft tokens)")
             logger.info(
                 "Avg prompt throughput: %.1f tokens/s, "
                 "Avg generation throughput: %.1f tokens/s, "
                 "Running: %d reqs, Swapped: %d reqs, Pending: %d reqs, "
-                "TPU KV cache usage: %.1f%%",
+                "TPU KV cache usage: %.1f%%%s",
                 prompt_tput, gen_tput, stats.num_running,
                 stats.num_swapped, stats.num_waiting,
-                stats.gpu_cache_usage * 100)
+                stats.gpu_cache_usage * 100, spec_msg)
             self.num_prompt_tokens = []
             self.num_generation_tokens = []
             self.last_local_log = now
 
-    def log_step(self, scheduler_outputs, now: float) -> None:
+    def log_step(self, scheduler_outputs, now: float,
+                 spec_metrics=None) -> None:
         """Cheap per-step hook used by LLMEngine."""
         num_prompt = 0
         num_gen = 0
@@ -158,8 +173,12 @@ class StatLogger:
                 num_prompt += sched.token_chunk_size
             else:
                 num_gen += sched.token_chunk_size
+        sm = spec_metrics or {}
         self.log(Stats(now=now,
                        num_prompt_tokens=num_prompt,
                        num_generation_tokens=num_gen,
                        num_preempted=scheduler_outputs.preempted,
-                       num_running=scheduler_outputs.running_queue_size))
+                       num_running=scheduler_outputs.running_queue_size,
+                       spec_proposed=sm.get("spec_proposed", 0),
+                       spec_accepted=sm.get("spec_accepted", 0),
+                       spec_emitted=sm.get("spec_emitted", 0)))

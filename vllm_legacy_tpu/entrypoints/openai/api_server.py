@@ -70,6 +70,16 @@ async def debug_envs(request: web.Request) -> web.Response:
         {name: str(getattr(envs, name)) for name in dir(envs)})
 
 
+async def runner_metrics(request: web.Request) -> web.Response:
+    """Fork-parity per-step runner timing (/dev/metrics/runner :88-99):
+    rolling prepare/dispatch/fetch averages past a 10-step warmup."""
+    try:
+        runner = engine.engine.model_executor.worker.model_runner
+        return web.json_response(dict(runner.runner_metrics))
+    except AttributeError:
+        return web.json_response({}, status=503)
+
+
 async def _sse_response(request: web.Request,
                         gen: AsyncGenerator[str, None]) -> web.Response:
     resp = web.StreamResponse(headers={
@@ -144,6 +154,7 @@ def build_app() -> web.Application:
     app.router.add_get("/v1/models", show_available_models)
     app.router.add_get("/metrics", metrics)
     app.router.add_get("/dev/debug/envs", debug_envs)
+    app.router.add_get("/dev/metrics/runner", runner_metrics)
     app.router.add_post("/v1/completions", create_completion)
     app.router.add_post("/v1/chat/completions", create_chat_completion)
     app.router.add_post("/v1/embeddings", create_embedding)

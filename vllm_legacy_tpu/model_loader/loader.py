@@ -77,6 +77,11 @@ def get_model(model_config: ModelConfig, parallel_config: ParallelConfig,
     from vllm_legacy_tpu.model_loader import sharded_state
     if load_format == LoadFormat.DUMMY:
         params = model.init_dummy_params(seed=model_config.seed or 0)
+    elif load_format == LoadFormat.TENSORIZER:
+        from vllm_legacy_tpu.model_loader.tensorizer import (
+            load_tensorized_params)
+        params = model.load_weights(
+            load_tensorized_params(model_config.model))
     elif (load_format == LoadFormat.SHARDED_STATE
           or (load_format == LoadFormat.AUTO
               and sharded_state.is_sharded_state_checkpoint(

@@ -186,6 +186,10 @@ class ModelRunner:
 
         self.model: Any = None
         self.params: Any = None
+        # rolling phase averages served at /dev/metrics/runner
+        self.runner_metrics: Dict[str, float] = dict(
+            steps=0, measured_steps=0, prepare_ms=0.0, dispatch_ms=0.0,
+            fetch_ms=0.0, step_ms=0.0, tokens_per_step=0.0)
         self._step_key = jax.random.PRNGKey(model_config.seed or 0)
         self._jit_step_cache: Dict[Any, Any] = {}
         # guided decoding: seq_id -> (consumed_out_len, fsm_state, fsm)
@@ -1063,6 +1067,18 @@ class ModelRunner:
         out_np, num_np, lp_np = fetch_outputs(
             (out_tokens, num_emitted, tok_lp))
 
+        # acceptance accounting (reference: spec_decode/metrics.py
+        # AsyncMetricsCollector — draft_acceptance_rate and system
+        # efficiency surfaced by StatLogger, engine/metrics.py:316-375)
+        rm = self.runner_metrics
+        rm["spec_proposed"] = rm.get("spec_proposed", 0) + sum(
+            q - 1 for q in qlens)
+        rm["spec_accepted"] = rm.get("spec_accepted", 0) + int(
+            sum(max(0, int(num_np[i]) - 1) for i in range(n)))
+        rm["spec_emitted"] = rm.get("spec_emitted", 0) + int(
+            sum(int(num_np[i]) for i in range(n)))
+        rm["spec_steps"] = rm.get("spec_steps", 0) + n
+
         outs: List[SamplerOutput] = []
         for j in range(num_spec + 1):
             outputs = []
@@ -1258,6 +1274,22 @@ class ModelRunner:
                 "step timing (k=%d): prep %.1fms dispatch %.1fms "
                 "fetch %.1fms", num_steps, (t_prep - t0) * 1e3,
                 (t_dispatch - t_prep) * 1e3, (t_done - t_dispatch) * 1e3)
+        # rolling per-phase averages for /dev/metrics/runner (reference:
+        # MetricTracer model_runner.py:75-93 + api_server.py:88-99);
+        # 10-step warmup excludes compile time from the averages.
+        rm = self.runner_metrics
+        rm["steps"] += 1
+        if rm["steps"] > 10:
+            rm["measured_steps"] += 1
+            n = rm["measured_steps"]
+            for key, val in (("prepare_ms", (t_prep - t0) * 1e3),
+                             ("dispatch_ms",
+                              (t_dispatch - t_prep) * 1e3),
+                             ("fetch_ms", (t_done - t_dispatch) * 1e3),
+                             ("step_ms", (t_done - t0) * 1e3),
+                             ("tokens_per_step",
+                              float(sampled_np.size))):
+                rm[key] += (val - rm[key]) / n
 
         outs: List[SamplerOutput] = []
         for k in range(sampled_np.shape[0]):
