@@ -311,7 +311,15 @@ class LLMEngine:
             runner = getattr(
                 getattr(self.model_executor, "worker", None),
                 "model_runner", None)
+            # exact generated-token count: multi-step / spec decode
+            # emit a variable number of tokens per engine step, so the
+            # schedule-time chunk sizes under-/over-count
+            num_gen = sum(
+                len(group_output.samples)
+                for sampler_output in (outputs or [])
+                for group_output in sampler_output.outputs)
             self.stat_logger.log_step(
                 scheduler_outputs, now,
-                spec_metrics=getattr(runner, "runner_metrics", None))
+                spec_metrics=getattr(runner, "runner_metrics", None),
+                num_generation_tokens=num_gen or None)
         return request_outputs

@@ -87,6 +87,9 @@ class PrometheusMetrics:
                      60.0])
 
 
+_PROM_CACHE: Dict[tuple, "PrometheusMetrics"] = {}
+
+
 class StatLogger:
     """Aggregates per-step stats; logs locally every 5s and exports to
     Prometheus when available (reference: StatLogger :209)."""
@@ -97,8 +100,14 @@ class StatLogger:
         self.num_prompt_tokens: List[int] = []
         self.num_generation_tokens: List[int] = []
         self._prom: Optional[PrometheusMetrics] = None
+        # prometheus collectors are registry-global: share one
+        # PrometheusMetrics per label schema so a second engine in the
+        # same process (tests, multi-model servers) doesn't collide
+        key = tuple(sorted(labels.keys()))
         try:
-            self._prom = PrometheusMetrics(list(labels.keys()))
+            if key not in _PROM_CACHE:
+                _PROM_CACHE[key] = PrometheusMetrics(list(labels.keys()))
+            self._prom = _PROM_CACHE[key]
         except Exception:
             self._prom = None
 
@@ -164,15 +173,30 @@ class StatLogger:
             self.last_local_log = now
 
     def log_step(self, scheduler_outputs, now: float,
-                 spec_metrics=None) -> None:
-        """Cheap per-step hook used by LLMEngine."""
+                 spec_metrics=None,
+                 num_generation_tokens=None) -> None:
+        """Cheap per-step hook used by LLMEngine.
+
+        ``num_generation_tokens`` is the exact emitted count when the
+        engine knows it (multi-step / spec decode emit a variable
+        number per step); otherwise fall back to schedule-time chunks.
+        """
+        # log_step runs AFTER output processing, so is_prefill() has
+        # already flipped — use the schedule-time prefill-group count
+        # (prefill groups are ordered first in scheduled_seq_groups)
         num_prompt = 0
         num_gen = 0
-        for sched in scheduler_outputs.scheduled_seq_groups:
-            if sched.seq_group.is_prefill():
+        npf = scheduler_outputs.num_prefill_groups
+        for i, sched in enumerate(
+                scheduler_outputs.scheduled_seq_groups):
+            if i < npf:
                 num_prompt += sched.token_chunk_size
             else:
                 num_gen += sched.token_chunk_size
+        if num_generation_tokens is not None:
+            # exact emitted tokens == the user-visible completion
+            # tokens (a prefill step emits each sequence's first one)
+            num_gen = num_generation_tokens
         sm = spec_metrics or {}
         self.log(Stats(now=now,
                        num_prompt_tokens=num_prompt,
