@@ -47,6 +47,11 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # Use the pure-XLA reference attention instead of Pallas kernels.
     "VLT_USE_XLA_OPS":
     lambda: int(os.getenv("VLT_USE_XLA_OPS", "0")),
+
+    # flat-packed KV rows for head_size < 128 (halves KV HBM); off
+    # until on-chip perf is validated (models/attention.use_packed_kv)
+    "VLT_PACKED_KV":
+    lambda: int(os.getenv("VLT_PACKED_KV", "0")),
 }
 
 

@@ -27,9 +27,31 @@ def padded_head_size(head_size: int) -> int:
     cache allocated at head_size < 128 wastes the same HBM anyway while
     making Mosaic DMA slices misaligned. Padding is explicit instead:
     zero cost for head 128/256 models (Llama-2/3, Mistral, Qwen2);
-    head-64 models spend 2x KV HBM until the packed-layout kernel lands.
+    head-64 models can instead use the flat-packed layout below.
     """
     return ((head_size + LANE - 1) // LANE) * LANE
+
+
+def use_packed_kv(head_size: int, *, sparse=None,
+                  cache_dtype=None) -> bool:
+    """Flat-packed KV rows ([L, N, Hkv, bs*d], no lane padding) —
+    halves KV HBM bytes and decode DMA traffic for head_size < 128.
+    Gated on VLT_PACKED_KV while on-chip perf is being validated;
+    the HiP per-head-table path still assumes the 5-D layout."""
+    from vllm_legacy_tpu import envs
+    if not envs.VLT_PACKED_KV:
+        return False
+    return padded_head_size(head_size) != head_size and sparse is None
+
+
+def kv_cache_shape(num_layers: int, num_blocks: int, num_kv_heads: int,
+                   block_size: int, head_size: int, *,
+                   packed: bool) -> tuple:
+    if packed:
+        return (num_layers, num_blocks, num_kv_heads,
+                block_size * head_size)
+    return (num_layers, num_blocks, num_kv_heads, block_size,
+            padded_head_size(head_size))
 
 
 class SparseAttentionConfig(NamedTuple):
@@ -103,7 +125,8 @@ def attention(
     """
     b, l, hq, d = q.shape
     k_cache, v_cache = kv_cache
-    d_pad = k_cache.shape[-1]
+    packed = k_cache.ndim == 4
+    d_pad = d if packed else k_cache.shape[-1]
     if d_pad != d:
         pad = [(0, 0)] * 3 + [(0, d_pad - d)]
         q = jnp.pad(q, pad)
@@ -127,6 +150,7 @@ def attention(
     if l == 1:
         tables, ctx = md.block_tables, md.context_lens
         use_sparse = (sparse is not None and sliding_window is None
+                      and not packed
                       and layer_idx >= sparse.dense_layers)
         if use_sparse:
             from vllm_legacy_tpu.ops.hip_mask import select_kv_blocks

@@ -95,6 +95,13 @@ def _attention_kernel(
     b = pl.program_id(0)
     qb = pl.program_id(1)
 
+    # packed layout: caches + scratch are [.., bs*d] flat rows (no
+    # 128-lane head padding; halves KV HBM bytes for head_size < 128).
+    # All whole-block DMA slicing below is shape-agnostic: `.at[...]`
+    # yields [Hkv, bs, D] tiles unpacked and [Hkv, bs*d] flat packed,
+    # and src/dst shapes agree on both sides.
+    packed = len(k_buf.shape) == 4  # [2, Hkv, KBLK, bs*d]
+
     per_head_tables = len(block_tables_ref.shape) == 3
 
     def bt(entry, h=0):
@@ -118,35 +125,42 @@ def _attention_kernel(
     # without any HBM read-after-write) and the updated block is DMA'd
     # back once from the scratch slot — see `body` below.
     if l_pad > _MERGE_WRITE_MAX:
+        # packed large-chunk prefill: k_new/v_new arrive FLAT
+        # [Hkv, l_pad*d] (the 3-D form is only read by the merge path,
+        # which large chunks never take), so block slices match the
+        # flat cache rows.
+        def new_slice(ref, c):
+            if packed:
+                d_real = k_buf.shape[-1] // block_size
+                return ref.at[:, pl.ds(c * block_size * d_real,
+                                       block_size * d_real)]
+            return ref.at[:, pl.ds(c * block_size, block_size), :]
+
         @pl.when(jnp.logical_and(qb == 0, qlen > 0))
         def _write():
             # prefill: q_start is block-aligned; write whole blocks.
-            # Source [Hkv, bs, D] (strided over k_new's L dim) -> dest
-            # cache[lyr, blk] contiguous [Hkv, bs, D].
+            # Source (strided over k_new's L dim) -> dest
+            # cache[lyr, blk] contiguous.
             first_entry = q_start // block_size
             for c in range(l_pad // block_size):
                 @pl.when(c * block_size < qlen)
                 def _(c=c):
                     blk = bt(first_entry + c)
                     pltpu.make_async_copy(
-                        k_new_ref.at[:, pl.ds(c * block_size,
-                                              block_size), :],
+                        new_slice(k_new_ref, c),
                         k_hbm.at[lyr, blk], wsem.at[0, c]).start()
                     pltpu.make_async_copy(
-                        v_new_ref.at[:, pl.ds(c * block_size,
-                                              block_size), :],
+                        new_slice(v_new_ref, c),
                         v_hbm.at[lyr, blk], wsem.at[1, c]).start()
             for c in range(l_pad // block_size):
                 @pl.when(c * block_size < qlen)
                 def _(c=c):
                     blk = bt(first_entry + c)
                     pltpu.make_async_copy(
-                        k_new_ref.at[:, pl.ds(c * block_size,
-                                              block_size), :],
+                        new_slice(k_new_ref, c),
                         k_hbm.at[lyr, blk], wsem.at[0, c]).wait()
                     pltpu.make_async_copy(
-                        v_new_ref.at[:, pl.ds(c * block_size,
-                                              block_size), :],
+                        new_slice(v_new_ref, c),
                         v_hbm.at[lyr, blk], wsem.at[1, c]).wait()
 
     # ---------------- attention over the paged cache --------------------
@@ -272,8 +286,8 @@ def _attention_kernel(
                                     k_m)
                     v_m = jnp.where(sel_r, vn_all[:, r, :][:, None, :],
                                     v_m)
-                k_buf[slot] = k_m.reshape(hkv, kblk, block_size, d)
-                v_buf[slot] = v_m.reshape(hkv, kblk, block_size, d)
+                k_buf[slot] = k_m.reshape(k_buf.shape[1:])
+                v_buf[slot] = v_m.reshape(v_buf.shape[1:])
 
                 # Write back every block this superblock spans that
                 # contains at least one new row.
@@ -429,7 +443,13 @@ def paged_attention(  # noqa: C901
     caches updated in place (input/output aliased).
     """
     batch, l_pad, num_q_heads, head = q.shape
-    _, _, num_kv_heads, block_size, _ = k_cache.shape
+    packed = k_cache.ndim == 4  # [L, N, Hkv, bs*d] flat rows
+    if packed:
+        num_kv_heads = k_cache.shape[2]
+        block_size = k_cache.shape[3] // head
+        assert k_cache.shape[3] == block_size * head
+    else:
+        _, _, num_kv_heads, block_size, _ = k_cache.shape
     assert num_q_heads % num_kv_heads == 0
     assert l_pad <= 32 or l_pad % block_size == 0, (
         f"prefill L_pad ({l_pad}) must be a multiple of block_size "
@@ -472,6 +492,11 @@ def paged_attention(  # noqa: C901
     # [B, L, Hkv, D] -> [B, Hkv, L, D]
     kn = k_new.transpose(0, 2, 1, 3).astype(k_cache.dtype)
     vn = v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+    if packed and l_pad > _MERGE_WRITE_MAX:
+        # flat form feeds the whole-block writes (see kernel); the 3-D
+        # form is only read by the merge path, never taken here
+        kn = kn.reshape(batch, num_kv_heads, l_pad * head)
+        vn = vn.reshape(batch, num_kv_heads, l_pad * head)
 
     num_q_blocks = pl.cdiv(l_pad, bq)
     grid = (batch, num_q_blocks)
@@ -513,16 +538,24 @@ def paged_attention(  # noqa: C901
         kernel(lr, bt, cl, ql, al, ph, q5.at[0], kn4.at[0], vn4.at[0],
                kc, vc, o5.at[0], ko, vo, kb, vb, sm, wsm)
 
+    if packed and l_pad > _MERGE_WRITE_MAX:
+        new_spec = pl.BlockSpec((1, num_kv_heads, l_pad * head),
+                                lambda b, qb, *refs: (b, 0, 0))
+    else:
+        new_spec = pl.BlockSpec((1, num_kv_heads, l_pad, head),
+                                lambda b, qb, *refs: (b, 0, 0, 0))
+    if packed:
+        buf_shape = (2, num_kv_heads, kblk, block_size * head)
+    else:
+        buf_shape = (2, num_kv_heads, kblk, block_size, head)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, num_kv_heads, group, bq, head),
                          lambda b, qb, *refs: (b, 0, 0, qb, 0)),
-            pl.BlockSpec((1, num_kv_heads, l_pad, head),
-                         lambda b, qb, *refs: (b, 0, 0, 0)),
-            pl.BlockSpec((1, num_kv_heads, l_pad, head),
-                         lambda b, qb, *refs: (b, 0, 0, 0)),
+            new_spec,
+            new_spec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -533,10 +566,8 @@ def paged_attention(  # noqa: C901
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, num_kv_heads, kblk, block_size, head),
-                       k_cache.dtype),
-            pltpu.VMEM((2, num_kv_heads, kblk, block_size, head),
-                       v_cache.dtype),
+            pltpu.VMEM(buf_shape, k_cache.dtype),
+            pltpu.VMEM(buf_shape, v_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2, kblk)),
             pltpu.SemaphoreType.DMA((2, wch)),
         ],

@@ -94,6 +94,17 @@ def paged_attention(
     table ends with the true last block at the same offset, so the new
     row's slot is head-independent and head 0's table can do the write.
     """
+    packed_shape = None
+    if k_cache.ndim == 4:
+        # flat-packed [L, N, Hkv, bs*d] rows (see pallas kernel);
+        # operate on a 5-D view — this debug/reference path tolerates
+        # the reshape copies
+        packed_shape = k_cache.shape
+        head = q.shape[-1]
+        bs = k_cache.shape[3] // head
+        shape5 = packed_shape[:3] + (bs, head)
+        k_cache = k_cache.reshape(shape5)
+        v_cache = v_cache.reshape(shape5)
     write_tables = (block_tables[:, 0]
                     if block_tables.ndim == 3 else block_tables)
     k_cache, v_cache = _write_new_kv(k_new, v_new, k_cache, v_cache,
@@ -166,6 +177,9 @@ def paged_attention(
         return o.reshape(l_pad, num_q_heads, -1)
 
     out = jax.vmap(one_seq)(q, block_tables, query_lens, context_lens)
+    if packed_shape is not None:
+        k_cache = k_cache.reshape(packed_shape)
+        v_cache = v_cache.reshape(packed_shape)
     return jnp.nan_to_num(out).astype(q.dtype), k_cache, v_cache
 
 

@@ -53,6 +53,8 @@ class DraftModelProposer:
                                         self.model_config,
                                         self.parallel_config,
                                         self.runner.mesh)
+        self.runner.kv_cache_ndim = \
+            self.cache_engine.gpu_cache[0].ndim
 
     # -- draft KV maintenance --------------------------------------------
     def _run_prefill(self, items: List[Tuple[SequenceGroupMetadata, int,

@@ -44,8 +44,13 @@ def get_cache_block_size(cache_config: CacheConfig,
                          parallel_config: ParallelConfig) -> int:
     """Bytes per KV block across all layers (reference:
     cache_engine.py:102-120), for the WHOLE model (all shards)."""
-    from vllm_legacy_tpu.models.attention import padded_head_size
-    head_size = padded_head_size(model_config.get_head_size())
+    from vllm_legacy_tpu.models.attention import (padded_head_size,
+                                                  use_packed_kv)
+    if use_packed_kv(model_config.get_head_size(),
+                     sparse=model_config.sparse_attention):
+        head_size = model_config.get_head_size()  # flat rows, no pad
+    else:
+        head_size = padded_head_size(model_config.get_head_size())
     num_heads = model_config.get_total_num_kv_heads()
     num_layers = model_config.get_num_layers(parallel_config)
     kv_dtype = resolve_cache_dtype(cache_config, model_config)
@@ -97,20 +102,32 @@ class CacheEngine:
         self.num_gpu_blocks = cache_config.num_gpu_blocks
         self.num_cpu_blocks = cache_config.num_cpu_blocks or 0
         self.num_layers = model_config.get_num_layers(parallel_config)
-        from vllm_legacy_tpu.models.attention import padded_head_size
+        from vllm_legacy_tpu.models.attention import (kv_cache_shape,
+                                                      padded_head_size,
+                                                      use_packed_kv)
         self.num_kv_heads = model_config.get_total_num_kv_heads()
-        self.head_size = padded_head_size(model_config.get_head_size())
+        self.packed = use_packed_kv(
+            model_config.get_head_size(),
+            sparse=model_config.sparse_attention)
+        self.head_size = (model_config.get_head_size() if self.packed
+                          else padded_head_size(
+                              model_config.get_head_size()))
         self.dtype = resolve_cache_dtype(cache_config, model_config)
 
-        spec = P(None, None, "model", None, None)
+        spec = P(None, None, "model", None) if self.packed else \
+            P(None, None, "model", None, None)
         self.cache_sharding = NamedSharding(mesh, spec)
         self.cache_spec = spec
 
         # ONE stacked buffer per k/v for the whole model: many distinct
         # donated HBM buffers feeding Pallas reads degrade XLA/runtime
         # aliasing catastrophically (ops/kv_cache.py docstring).
-        shape = (self.num_layers, self.num_gpu_blocks, self.num_kv_heads,
-                 self.block_size, self.head_size)
+        shape = kv_cache_shape(self.num_layers, self.num_gpu_blocks,
+                               self.num_kv_heads, self.block_size,
+                               model_config.get_head_size(),
+                               packed=self.packed) if self.packed else (
+            self.num_layers, self.num_gpu_blocks, self.num_kv_heads,
+            self.block_size, self.head_size)
         self.gpu_cache: Tuple[jax.Array, jax.Array] = (
             jax.device_put(jnp.zeros(shape, self.dtype),
                            self.cache_sharding),
@@ -122,9 +139,7 @@ class CacheEngine:
         if self.num_cpu_blocks > 0:
             host_dtype = (jnp.dtype(self.dtype).name
                           if self.dtype != jnp.bfloat16 else "uint16")
-            cshape = (self.num_layers, self.num_cpu_blocks,
-                      self.num_kv_heads, self.block_size,
-                      self.head_size)
+            cshape = (self.num_layers, self.num_cpu_blocks) + shape[2:]
             self.cpu_cache = (np.zeros(cshape, host_dtype),
                               np.zeros(cshape, host_dtype))
 

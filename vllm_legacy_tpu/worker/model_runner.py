@@ -186,6 +186,9 @@ class ModelRunner:
 
         self.model: Any = None
         self.params: Any = None
+        # 5 normally, 4 for the flat-packed head<128 layout (set by the
+        # worker from the cache engine; models/attention.use_packed_kv)
+        self.kv_cache_ndim = 5
         # rolling phase averages served at /dev/metrics/runner
         self.runner_metrics: Dict[str, float] = dict(
             steps=0, measured_steps=0, prepare_ms=0.0, dispatch_ms=0.0,
@@ -197,6 +200,11 @@ class ModelRunner:
         # Stacked LoRA arrays (merged into params per call; structure
         # changes only when an adapter first occupies a (layer, proj)).
         self.lora_params: Optional[Dict[str, Any]] = None
+
+    def _kv_specs(self):
+        spec = P(None, None, "model", None) if self.kv_cache_ndim == 4 \
+            else P(None, None, "model", None, None)
+        return (spec, spec)
 
     # ------------------------------------------------------------------
     # Model loading
@@ -579,8 +587,7 @@ class ModelRunner:
         mesh = self.mesh
         param_specs = self.model.param_specs(
             jax.tree.map(lambda x: None, self.params))
-        cache_spec = P(None, None, "model", None, None)
-        kv_specs = (cache_spec, cache_spec)
+        kv_specs = self._kv_specs()
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
 
@@ -673,8 +680,7 @@ class ModelRunner:
         block_size = self.block_size
         param_specs = self.model.param_specs(
             jax.tree.map(lambda x: None, self.params))
-        cache_spec = P(None, None, "model", None, None)
-        kv_specs = (cache_spec, cache_spec)
+        kv_specs = self._kv_specs()
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
 
@@ -755,8 +761,7 @@ class ModelRunner:
         mesh = self.mesh
         param_specs = self.model.param_specs(
             jax.tree.map(lambda x: None, self.params))
-        cache_spec = P(None, None, "model", None, None)
-        kv_specs = (cache_spec, cache_spec)
+        kv_specs = self._kv_specs()
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
 
@@ -841,8 +846,7 @@ class ModelRunner:
         mesh = self.mesh
         param_specs = self.model.param_specs(
             jax.tree.map(lambda x: None, self.params))
-        cache_spec = P(None, None, "model", None, None)
-        kv_specs = (cache_spec, cache_spec)
+        kv_specs = self._kv_specs()
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
 
@@ -947,8 +951,7 @@ class ModelRunner:
         l_pad = next_power_of_2(num_spec + 1)
         param_specs = self.model.param_specs(
             jax.tree.map(lambda x: None, self.params))
-        cache_spec = P(None, None, "model", None, None)
-        kv_specs = (cache_spec, cache_spec)
+        kv_specs = self._kv_specs()
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
 

@@ -150,6 +150,8 @@ class Worker:
         self.cache_engine = CacheEngine(self.cache_config,
                                         self.model_config,
                                         self.parallel_config, self.mesh)
+        self.model_runner.kv_cache_ndim = \
+            self.cache_engine.gpu_cache[0].ndim
 
     # -- steady state ----------------------------------------------------
     def execute_model(
