@@ -126,12 +126,27 @@ def test_openai_server_endpoints(tiny_llama_path):
             n_prompt = body["usage"]["prompt_tokens"]
             assert len(lp["tokens"]) == n_prompt + 3
 
-            # guided grammar is rejected with a clear error
+            # guided grammar compiles through the regex pipeline
+            r = await client.post("/v1/completions", json={
+                "model": tiny_llama_path,
+                "prompt": "Hello",
+                "max_tokens": 8,
+                "temperature": 1.0,
+                "seed": 3,
+                "guided_grammar":
+                "root ::= greeting\ngreeting ::= 'the' | 'fox'",
+            })
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            text = body["choices"][0]["text"].replace(" ", "")
+            assert text in ("the", "fox"), text
+
+            # an invalid grammar is rejected with a clear error
             r = await client.post("/v1/completions", json={
                 "model": tiny_llama_path,
                 "prompt": "x",
                 "max_tokens": 2,
-                "guided_grammar": "root ::= 'a'",
+                "guided_grammar": "root ::= '(' root ')'",
             })
             assert r.status == 400
 

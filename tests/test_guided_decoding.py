@@ -185,9 +185,55 @@ def test_get_guided_fsm_validation():
     tok = FakeTokenizer({"a": 0, "</s>": 1})
     with pytest.raises(ValueError):
         get_guided_fsm(tok, guided_regex="a", guided_choice=["a"])
-    with pytest.raises(ValueError):
-        get_guided_fsm(tok, guided_grammar="root ::= 'a'")
     assert get_guided_fsm(tok) is None
+
+
+def test_guided_grammar_fsm():
+    """EBNF grammar compiles through the regex pipeline: only strings
+    the grammar derives are accepted (GBNF + lark syntaxes)."""
+    tok = FakeTokenizer({"a": 0, "b": 1, "</s>": 2})
+    fsm = get_guided_fsm(tok, guided_grammar="root ::= 'a' 'b'*")
+    s = fsm.next_state(0, 0)  # a
+    assert s >= 0 and fsm.allowed(s)[2]  # can stop after 'a'
+    s2 = fsm.next_state(s, 1)  # ab
+    assert s2 >= 0 and fsm.allowed(s2)[1]  # more b's
+    assert fsm.next_state(s2, 0) < 0  # 'aba' not derivable
+
+
+def test_grammar_to_regex():
+    import re
+
+    from vllm_legacy_tpu.guided_decoding.grammar import (GrammarError,
+                                                         grammar_to_regex)
+
+    # lark style with %ignore + %import
+    g = """
+    %import common.NUMBER
+    %ignore WS
+    WS: /[ ]+/
+    start: NUMBER (OP NUMBER)*
+    OP: "+" | "-"
+    """
+    rx = grammar_to_regex(g)
+    assert re.fullmatch(rx, "1 + 2 - 30")
+    assert re.fullmatch(rx, "42")
+    assert not re.fullmatch(rx, "1 +")
+
+    # recursion: bounded expansion accepts nesting up to max_depth
+    g2 = """
+    root ::= item
+    item ::= "x" | "(" item ")"
+    """
+    rx2 = grammar_to_regex(g2, max_depth=3)
+    assert re.fullmatch(rx2, "x")
+    assert re.fullmatch(rx2, "((x))")
+    assert not re.fullmatch(rx2, "((((x))))")
+
+    # unbounded recursion with no escape alternative -> clear error
+    with pytest.raises(GrammarError, match="recurses"):
+        grammar_to_regex("root ::= '(' root ')'")
+    with pytest.raises(GrammarError, match="undefined"):
+        grammar_to_regex("root ::= missing")
 
 
 # ---------------------------------------------------------------------------

@@ -59,10 +59,10 @@ def get_guided_fsm(
         raise ValueError(
             "at most one guided-decoding mode may be set per request")
     if guided_grammar is not None:
-        raise ValueError(
-            "guided_grammar (EBNF) is not supported on the TPU backend; "
-            "use guided_json / guided_regex / guided_choice")
-    if guided_regex is not None:
+        from vllm_legacy_tpu.guided_decoding.grammar import (
+            grammar_to_regex)
+        pattern = grammar_to_regex(guided_grammar)
+    elif guided_regex is not None:
         pattern = guided_regex
     elif guided_choice is not None:
         if not guided_choice:
