@@ -56,6 +56,14 @@ def fused_moe(
     expert_w = jnp.sum(jnp.where(match, top_w[:, :, None], 0.0),
                        axis=1)  # [T, E_local]
 
+    if tp_size == 1:
+        # single chip: grouped GEMM over expert-sorted tokens
+        # (jax.lax.ragged_dot == the Triton grouped kernel's role,
+        # fused_moe.py:18) — computes exactly top_k experts per token
+        # instead of all E (the dense form's E/top_k-fold waste).
+        return _grouped_moe(x, w1, w2, top_w, top_ids,
+                            num_experts).astype(x.dtype)
+
     # dense expert compute: [E_local, T, 2I] -> act -> [E_local, T, H]
     h1 = jnp.einsum("th,ehi->eti", x, w1,
                     preferred_element_type=jnp.float32).astype(x.dtype)
@@ -68,3 +76,29 @@ def fused_moe(
     if tp_size > 1:
         out = jax.lax.psum(out, MODEL_AXIS)
     return out.astype(x.dtype)
+
+
+def _grouped_moe(x, w1, w2, top_w, top_ids, num_experts):
+    """Expert-sorted grouped GEMM: [T, H] -> [T, H].
+
+    Stable-sorts the (token, expert) pairs by expert id, runs both
+    expert matmuls as ragged group GEMMs, and scatter-adds the weighted
+    results back per token.
+    """
+    t, h = x.shape
+    k = top_ids.shape[1]
+    flat_e = top_ids.reshape(-1)  # [T*k]
+    order = jnp.argsort(flat_e, stable=True)
+    tok_idx = order // k
+    xs = x[tok_idx]  # [T*k, H] gathered per pair
+    group_sizes = jnp.bincount(flat_e, length=num_experts)
+
+    h1 = jax.lax.ragged_dot(xs, w1, group_sizes,
+                            preferred_element_type=jnp.float32)
+    gate, up = jnp.split(h1.astype(x.dtype), 2, axis=-1)
+    act = jax.nn.silu(gate) * up
+    h2 = jax.lax.ragged_dot(act, w2, group_sizes,
+                            preferred_element_type=jnp.float32)
+    w_flat = top_w.reshape(-1)[order].astype(jnp.float32)
+    out = jnp.zeros((t, h), jnp.float32)
+    return out.at[tok_idx].add(h2 * w_flat[:, None])
