@@ -62,6 +62,7 @@ class EngineArgs:
     enable_lora: bool = False
     max_loras: int = 1
     max_lora_rank: int = 16
+    long_lora_scaling_factors: Optional[tuple] = None
 
     # Spec decode
     speculative_model: Optional[str] = None
@@ -165,9 +166,15 @@ class EngineArgs:
             preemption_mode=self.preemption_mode,
             delay_factor=self.delay_factor,
         )
+        long_factors = self.long_lora_scaling_factors
+        if isinstance(long_factors, str):  # CLI: "2.0,4.0"
+            long_factors = tuple(
+                float(x) for x in long_factors.split(",") if x)
         lora_config = LoRAConfig(
             max_lora_rank=self.max_lora_rank,
-            max_loras=self.max_loras) if self.enable_lora else None
+            max_loras=self.max_loras,
+            long_lora_scaling_factors=long_factors
+        ) if self.enable_lora else None
         speculative_config = SpeculativeConfig.maybe_create_spec_config(
             model_config,
             speculative_model=self.speculative_model,

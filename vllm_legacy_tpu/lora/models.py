@@ -53,6 +53,14 @@ class LoRAModel:
         rank = cfg["r"]
         alpha = cfg.get("lora_alpha", rank)
         scaling = alpha / rank
+        # long-context adapters carry their rope scaling (reference:
+        # LongContextLoRAContext, lora/models.py:29 + lora/layers.py
+        # LinearScalingRotaryEmbeddingWithLora)
+        rs = cfg.get("rope_scaling") or {}
+        scaling_factor = (float(rs["factor"])
+                          if isinstance(rs, dict) and rs.get("factor")
+                          else None)
+        context_length = cfg.get("context_length")
 
         tensor_file = None
         for name in ("adapter_model.safetensors", "adapter_model.bin"):
@@ -97,7 +105,10 @@ class LoRAModel:
         for key, ab in partial.items():
             if "a" in ab and "b" in ab:
                 tensors[key] = (ab["a"].T, ab["b"].T)  # [in,r], [r,out]
-        return cls(lora_id, rank, scaling, tensors)
+        model = cls(lora_id, rank, scaling, tensors)
+        model.scaling_factor = scaling_factor
+        model.context_length = context_length
+        return model
 
 
 class LoRAManager:
@@ -105,7 +116,8 @@ class LoRAManager:
     :367 / worker_manager.py)."""
 
     def __init__(self, model, max_loras: int, max_rank: int,
-                 dtype=jnp.bfloat16) -> None:
+                 dtype=jnp.bfloat16,
+                 long_scaling_factors=None) -> None:
         self.model = model
         self.max_loras = max_loras
         self.max_rank = max_rank
@@ -116,6 +128,36 @@ class LoRAManager:
         # stacked arrays, built lazily per (layer, proj)
         self.stacks: Dict[Tuple[int, str], Dict[str, Any]] = {}
         self.scaling = np.zeros((max_loras, ), np.float32)
+
+        # long-context LoRA: a multi-segment rope cache (one segment per
+        # declared scaling factor, reference: LinearScalingRotary-
+        # Embedding multi-offset, rotary_embedding.py:192) + per-slot
+        # position offsets into it.
+        self.max_position = getattr(model, "max_position", None)
+        self.slot_rope_offset = np.zeros((max_loras, ), np.int64)
+        self.rope_offset_of: Dict[float, int] = {1.0: 0}
+        self.extended_rope_cache = None
+        if long_scaling_factors:
+            if getattr(model, "rope_scaling", None):
+                raise ValueError(
+                    "long_lora_scaling_factors compose with an unscaled "
+                    "base rope only (the adapter brings the scaling)")
+            from vllm_legacy_tpu.layers.rotary import build_cos_sin_cache
+            segs = [model.make_rope_cache()]
+            off = segs[0].shape[0]
+            for f in sorted({float(x) for x in long_scaling_factors}):
+                if f == 1.0:
+                    continue
+                # the linear branch sizes the cache to max_position * f
+                # itself (layers/rotary.py:51-53)
+                seg = build_cos_sin_cache(
+                    model.head_dim, model.rotary_dim,
+                    self.max_position, model.rope_theta,
+                    {"type": "linear", "factor": f})
+                self.rope_offset_of[round(f, 4)] = off
+                off += seg.shape[0]
+                segs.append(seg)
+            self.extended_rope_cache = np.concatenate(segs, axis=0)
 
     def _ensure_stack(self, layer: int, proj: str, in_dim: int,
                       out_dim: int) -> Dict[str, Any]:
@@ -152,6 +194,20 @@ class LoRAManager:
         self._slot_of[lid] = slot
         self._slot_lru.append(lid)
         self.scaling[slot] = lora.scaling
+        factor = getattr(lora, "scaling_factor", None)
+        if factor is None and getattr(lora, "context_length", None) \
+                and self.max_position:
+            factor = lora.context_length / self.max_position
+        factor = round(factor or 1.0, 4)
+        if factor != 1.0:
+            off = self.rope_offset_of.get(factor)
+            if off is None:
+                raise ValueError(
+                    f"adapter {lid} needs rope scaling factor {factor} "
+                    "— declare it in --long-lora-scaling-factors")
+            self.slot_rope_offset[slot] = off
+        else:
+            self.slot_rope_offset[slot] = 0
 
         for (layer, proj), (a, b) in lora.tensors.items():
             stack = self._ensure_stack(layer, proj, a.shape[0],
@@ -180,4 +236,14 @@ class LoRAManager:
                 "lora_b": jnp.asarray(stack["b"], self.dtype),
                 "lora_scale": jnp.asarray(self.scaling),
             }
-        return {"layers": layers}
+        out = {"layers": layers}
+        if self.extended_rope_cache is not None:
+            out["rope_cache"] = jnp.asarray(self.extended_rope_cache)
+        return out
+
+    def rope_offsets_for(self, slots: List[int]) -> List[int]:
+        """Per-row rope-cache position offsets (0 for base / no lora)."""
+        return [
+            int(self.slot_rope_offset[s]) if s >= 0 else 0
+            for s in slots
+        ]

@@ -292,6 +292,10 @@ class ModelRunner:
             for proj, extra in lora_lp.items():
                 new_lp[proj] = {**base_lp[proj], **extra}
             merged["layers"].append(new_lp)
+        if "rope_cache" in self.lora_params:
+            # long-context LoRA: multi-segment cache; per-row position
+            # offsets select the adapter's scaling segment
+            merged["rope_cache"] = self.lora_params["rope_cache"]
         return merged
 
     def _prepare_inputs(
@@ -1125,6 +1129,7 @@ class ModelRunner:
         seq_group_metadata_list: List[SequenceGroupMetadata],
         kv_caches: Tuple[jax.Array, jax.Array],
         lora_slots: Optional[List[int]] = None,
+        lora_rope_offsets: Optional[List[int]] = None,
     ) -> Tuple[List[SamplerOutput], Tuple[jax.Array, jax.Array]]:
         """Run one (possibly multi-)step; returns one SamplerOutput per
         executed decode step (len 1 for prefill / single-step)."""
@@ -1221,6 +1226,15 @@ class ModelRunner:
                         lp_targets[i, j] = all_toks[p_next]
             named.append(("lp_targets", lp_targets))
 
+        if lora_rope_offsets is not None and any(lora_rope_offsets):
+            # long-context LoRA: shift each row's rope positions into
+            # its adapter's scaling segment of the multi-segment cache.
+            # Applied LAST: lp_targets/slot mappings above read the
+            # true positions. Attention masks derive from context_lens,
+            # not this array, so only the rope gather is affected.
+            for i, off in enumerate(lora_rope_offsets):
+                if off:
+                    arrays["positions"][i, :] += off
         staged = stage_arrays(named)
         md = AttentionMetadata(
             slot_mapping=staged["slot_mapping"],

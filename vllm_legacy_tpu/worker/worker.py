@@ -115,7 +115,9 @@ class Worker:
             self.lora_manager = LoRAManager(
                 self.model_runner.model,
                 max_loras=self._lora_config.max_loras,
-                max_rank=self._lora_config.max_lora_rank)
+                max_rank=self._lora_config.max_lora_rank,
+                long_scaling_factors=self._lora_config.
+                long_lora_scaling_factors)
 
     def determine_num_available_blocks(self) -> Tuple[int, int]:
         """Deterministic HBM budgeting (replaces the reference's
@@ -222,9 +224,14 @@ class Worker:
                     self.num_spec_tokens)
                 self.cache_engine.gpu_cache = new_caches
                 return outputs
+        rope_offsets = None
+        if self.lora_manager is not None and \
+                self.lora_manager.extended_rope_cache is not None:
+            rope_offsets = self.lora_manager.rope_offsets_for(lora_slots)
         outputs, new_caches = self.model_runner.execute_model(
             metas, self.cache_engine.gpu_cache,
-            lora_slots=lora_slots if self.lora_manager else None)
+            lora_slots=lora_slots if self.lora_manager else None,
+            lora_rope_offsets=rope_offsets)
         self.cache_engine.gpu_cache = new_caches
         return outputs
 
