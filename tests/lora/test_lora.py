@@ -134,3 +134,52 @@ def test_mixed_lora_batch(base_model_path, tmp_path):
     assert mixed[0] == only1[0]
     assert mixed[1] == only2[0]
     assert mixed[2] == none[0]
+
+
+def run_engine_tp(path, prompts, lora_requests=None, max_tokens=8,
+                  tp=2):
+    from vllm_legacy_tpu.engine.arg_utils import EngineArgs
+    from vllm_legacy_tpu.engine.llm_engine import LLMEngine
+    from vllm_legacy_tpu.sampling_params import SamplingParams
+    args = EngineArgs(model=path, dtype="float32", max_model_len=128,
+                      num_tpu_blocks_override=64,
+                      enable_lora=lora_requests is not None,
+                      max_loras=2, max_lora_rank=8,
+                      tensor_parallel_size=tp,
+                      skip_tokenizer_init=True, disable_log_stats=True)
+    engine = LLMEngine.from_engine_args(args)
+    p = SamplingParams(temperature=0.0, max_tokens=max_tokens,
+                       detokenize=False, ignore_eos=True)
+    for i, t in enumerate(prompts):
+        lr = lora_requests[i] if lora_requests else None
+        engine.add_request(str(i), {"prompt_token_ids": t}, p,
+                           lora_request=lr)
+    outs = {}
+    while engine.has_unfinished_requests():
+        for o in engine.step():
+            if o.finished:
+                outs[o.request_id] = list(o.outputs[0].token_ids)
+    return [outs[str(i)] for i in range(len(prompts))]
+
+
+def test_lora_under_tensor_parallelism(base_model_path, tmp_path):
+    """TP=2 with adapters == baked-weights TP=2 == TP=1 with adapters
+    (reference: tests/lora 4-GPU job; here the virtual CPU mesh).
+    Adapters shard with the base weight: B on the output dim for
+    column layers, A on the contraction dim (+psum) for row layers."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    from vllm_legacy_tpu.lora import LoRARequest
+    adapter = make_adapter(tmp_path, seed=11,
+                           targets=("q_proj", "v_proj", "o_proj"))
+    baked = bake_adapter_into(base_model_path, adapter,
+                              tmp_path / "baked_tp")
+    prompts = [[9, 4, 7, 11], [100, 101, 102]]
+    lr = LoRARequest("a11", 1, adapter)
+    want = run_engine_tp(baked, prompts, tp=2)
+    got = run_engine_tp(base_model_path, prompts, [lr, lr], tp=2)
+    assert got == want
+    got_tp1 = run_engine(base_model_path, prompts, [lr, lr])
+    assert got_tp1 == want

@@ -65,7 +65,8 @@ def linear(x: jax.Array,
     if lora_indices is not None and "lora_a" in params:
         from vllm_legacy_tpu.lora.layers import apply_lora
         out = apply_lora(x, out, params["lora_a"], params["lora_b"],
-                         params["lora_scale"], lora_indices)
+                         params["lora_scale"], lora_indices,
+                         mode="column")
     return out
 
 
@@ -107,11 +108,12 @@ def row_parallel_linear(x: jax.Array,
     if tp_size > 1:
         out = jax.lax.psum(out, axis)
     if lora_indices is not None and "lora_a" in params:
-        # LoRA on row-parallel layers needs the full activation; only
-        # the tp=1 path is wired (multi-shard LoRA in a later round).
+        # row layers shard A on the contraction dim; the rank-space
+        # activations psum inside apply_lora
         from vllm_legacy_tpu.lora.layers import apply_lora
         out = apply_lora(x, out, params["lora_a"], params["lora_b"],
-                         params["lora_scale"], lora_indices)
+                         params["lora_scale"], lora_indices,
+                         mode="row", tp_size=tp_size, axis=axis)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

@@ -141,7 +141,13 @@ class LlamaForCausalLM:
             return P() if mode == "column" else P("model", None)
         if key == "plora_b":
             return P(None, "model") if mode == "column" else P()
-        return P()  # in_perm, weight_scale: replicated
+        # stacked multi-LoRA [S, in, r] / [S, r, out]: shard like the
+        # base weight (A on contraction for row, B on output for column)
+        if key == "lora_a":
+            return P() if mode == "column" else P(None, "model", None)
+        if key == "lora_b":
+            return P(None, None, "model") if mode == "column" else P()
+        return P()  # in_perm, weight_scale, lora_scale: replicated
 
     def param_specs(self,
                     params: Optional[Dict[str, Any]] = None

@@ -195,6 +195,7 @@ class ModelRunner:
             fetch_ms=0.0, step_ms=0.0, tokens_per_step=0.0)
         self._step_key = jax.random.PRNGKey(model_config.seed or 0)
         self._jit_step_cache: Dict[Any, Any] = {}
+        self._lora_struct_ver = 0
         # guided decoding: seq_id -> (consumed_out_len, fsm_state, fsm)
         self._guided_cache: Dict[int, Tuple[int, int, Any]] = {}
         # Stacked LoRA arrays (merged into params per call; structure
@@ -277,7 +278,17 @@ class ModelRunner:
     # ------------------------------------------------------------------
     def set_lora_params(self, lora_params: Optional[Dict[str, Any]]
                         ) -> None:
+        # structure version keys the jit/shard_map cache: under TP the
+        # shard_map in_specs must match the merged param structure
+        old = self.lora_params
         self.lora_params = lora_params
+
+        def struct(x):
+            return (str(jax.tree.structure(x))
+                    if x is not None else None)
+
+        if struct(old) != struct(lora_params):
+            self._lora_struct_ver += 1
 
     def _merged_params(self):
         """Overlay stacked LoRA entries onto the param pytree (dict
@@ -590,7 +601,7 @@ class ModelRunner:
         model = self.model
         mesh = self.mesh
         param_specs = self.model.param_specs(
-            jax.tree.map(lambda x: None, self.params))
+            jax.tree.map(lambda x: None, self._merged_params()))
         kv_specs = self._kv_specs()
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
@@ -683,7 +694,7 @@ class ModelRunner:
         mesh = self.mesh
         block_size = self.block_size
         param_specs = self.model.param_specs(
-            jax.tree.map(lambda x: None, self.params))
+            jax.tree.map(lambda x: None, self._merged_params()))
         kv_specs = self._kv_specs()
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
@@ -764,7 +775,7 @@ class ModelRunner:
         model = self.model
         mesh = self.mesh
         param_specs = self.model.param_specs(
-            jax.tree.map(lambda x: None, self.params))
+            jax.tree.map(lambda x: None, self._merged_params()))
         kv_specs = self._kv_specs()
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
@@ -820,7 +831,9 @@ class ModelRunner:
     def _get_step_fn(self, flags: Tuple[bool, bool, bool, bool],
                      max_logprobs: int, num_steps: int = 1,
                      prompt_lp_k: int = -1, n_samples: int = 1):
-        key = (flags, max_logprobs, num_steps, prompt_lp_k, n_samples)
+        key = (flags, max_logprobs, num_steps, prompt_lp_k, n_samples,
+               self._lora_struct_ver if self.lora_params is not None
+               else -1)
         if key not in self._jit_step_cache:
             if num_steps > 1:
                 self._jit_step_cache[key] = self._build_multistep_fn(
@@ -849,7 +862,7 @@ class ModelRunner:
         model = self.model
         mesh = self.mesh
         param_specs = self.model.param_specs(
-            jax.tree.map(lambda x: None, self.params))
+            jax.tree.map(lambda x: None, self._merged_params()))
         kv_specs = self._kv_specs()
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)
@@ -954,7 +967,7 @@ class ModelRunner:
         mesh = self.mesh
         l_pad = next_power_of_2(num_spec + 1)
         param_specs = self.model.param_specs(
-            jax.tree.map(lambda x: None, self.params))
+            jax.tree.map(lambda x: None, self._merged_params()))
         kv_specs = self._kv_specs()
         rep = P()
         md_specs = AttentionMetadata(rep, rep, rep, rep)

@@ -108,10 +108,6 @@ class Worker:
             self.draft_proposer.load_model(self.load_config.load_format)
         if getattr(self, "_lora_config", None) is not None:
             from vllm_legacy_tpu.lora.models import LoRAManager
-            if len(self.mesh.devices.flatten()) > 1:
-                raise NotImplementedError(
-                    "LoRA with tensor_parallel_size > 1 is not wired "
-                    "yet (row-parallel LoRA needs the full activation)")
             self.lora_manager = LoRAManager(
                 self.model_runner.model,
                 max_loras=self._lora_config.max_loras,
