@@ -183,3 +183,45 @@ def test_lora_under_tensor_parallelism(base_model_path, tmp_path):
     assert got == want
     got_tp1 = run_engine(base_model_path, prompts, [lr, lr])
     assert got_tp1 == want
+
+
+def test_lora_then_plain_batch_under_tp(base_model_path, tmp_path):
+    """Regression: once an adapter is loaded, a later adapter-FREE
+    batch must still run under TP (the shard_map specs are built from
+    the merged param structure, so the merged tree must be passed even
+    when no row uses an adapter)."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    from vllm_legacy_tpu.engine.arg_utils import EngineArgs
+    from vllm_legacy_tpu.engine.llm_engine import LLMEngine
+    from vllm_legacy_tpu.lora import LoRARequest
+    from vllm_legacy_tpu.sampling_params import SamplingParams
+    adapter = make_adapter(tmp_path, seed=13)
+    args = EngineArgs(model=base_model_path, dtype="float32",
+                      max_model_len=128, num_tpu_blocks_override=64,
+                      enable_lora=True, max_loras=2, max_lora_rank=8,
+                      tensor_parallel_size=2,
+                      skip_tokenizer_init=True, disable_log_stats=True)
+    engine = LLMEngine.from_engine_args(args)
+    p = SamplingParams(temperature=0.0, max_tokens=4, detokenize=False,
+                       ignore_eos=True)
+
+    def drain():
+        outs = {}
+        while engine.has_unfinished_requests():
+            for o in engine.step():
+                if o.finished:
+                    outs[o.request_id] = list(o.outputs[0].token_ids)
+        return outs
+
+    engine.add_request("with", {"prompt_token_ids": [9, 4, 7]}, p,
+                       lora_request=LoRARequest("a13", 1, adapter))
+    with_lora = drain()
+    engine.add_request("plain", {"prompt_token_ids": [9, 4, 7]}, p)
+    plain = drain()  # previously: pytree structure mismatch crash
+    assert len(plain["plain"]) == 4
+    base = run_engine(base_model_path, [[9, 4, 7]], max_tokens=4)
+    assert plain["plain"] == base[0]
+    assert with_lora["with"] != plain["plain"]

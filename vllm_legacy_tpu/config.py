@@ -32,13 +32,19 @@ _GB = 1 << 30
 # weight-only groupwise methods share one packed TPU layout + one Pallas
 # fused dequant-GEMM family (see layers/quantization/).
 QUANTIZATION_METHODS = [
+    "aqlm",
     "gptq",
     "awq",
     "squeezellm",
     "fp8",
     "int8",
-    "marlin",  # accepted as alias; repacked to the common int4 layout
+    "deepspeedfp",
+    "sparseml",
+    "compressed-tensors",
+    # CUDA-layout aliases; repacked to the common int4 layout
+    "marlin",
     "gptq_marlin",
+    "gptq_marlin_24",
 ]
 
 

@@ -128,9 +128,10 @@ def _find_outside_strings(s: str, marker: str) -> int:
             if c == "\\":
                 i += 2
                 continue
-            if c == in_q or (in_q == "/" and c == "/"):
+            if (c == in_q or (in_q == "/" and c == "/")
+                    or (in_q == "[" and c == "]")):
                 in_q = None
-        elif c in "\"'/":
+        elif c in "\"'/[":  # strings, regexes, char classes
             in_q = c
         elif s.startswith(marker, i):
             return i
@@ -146,10 +147,19 @@ def _looks_like_continuation(line: str) -> bool:
 
 class _Converter:
 
+    # user-supplied grammars are a request input: bound the regularized
+    # pattern so recursive grammars fail fast instead of expanding into
+    # multi-megabyte regexes (remote-DoS guard)
+    MAX_PATTERN_CHARS = 256_000
+
     def __init__(self, rules: Dict[str, str], ignores: List[str],
                  max_depth: int):
         self.rules = rules
         self.max_depth = max_depth
+        self._emitted = 0
+        # memo: identical (rule, active-recursion profile) conversions
+        # repeat heavily for common terminals (NUMBER, WS, ...)
+        self._memo: Dict[tuple, str] = {}
         # ignore terminals convert with self.ignores still empty (no
         # separator interleaving inside the separators themselves)
         self.ignores: List[str] = []
@@ -175,7 +185,26 @@ class _Converter:
             # branch (regular approximation to max_depth nesting)
             raise _DepthExceeded(name)
         is_terminal = name.isupper() or top_terminal
-        return self._convert_body(body, stack + (name, ), is_terminal)
+        # memo key: the rule plus the counts of every rule active on
+        # the stack (those determine where inner cutoffs land)
+        counts = tuple(sorted(
+            (r, stack.count(r)) for r in set(stack)))
+        key = (name, is_terminal, counts)
+        if key in self._memo:
+            out = self._memo[key]
+            self._bump(len(out))
+            return out
+        out = self._convert_body(body, stack + (name, ), is_terminal)
+        self._memo[key] = out
+        return out
+
+    def _bump(self, n: int) -> None:
+        self._emitted += n
+        if self._emitted > self.MAX_PATTERN_CHARS:
+            raise GrammarError(
+                "grammar expands beyond the supported pattern size "
+                f"({self.MAX_PATTERN_CHARS} chars) — reduce recursion "
+                "depth or simplify the grammar")
 
     def _convert_body(self, body: str, stack: tuple,
                       is_terminal: bool) -> str:
@@ -211,6 +240,7 @@ class _Converter:
             # semantics: ignored terminals may appear anywhere)
             if sep:
                 atom = "(?:" + sep + atom + ")"
+            self._bump(len(atom))
             out.append(atom)
             atoms += 1
 
@@ -305,11 +335,26 @@ def _split_alternatives(body: str) -> List[str]:
 
 def grammar_to_regex(grammar: str, *, max_depth: int = 8) -> str:
     """Convert an EBNF grammar to an equivalent (or depth-bounded)
-    regex for the in-tree compiler."""
+    regex for the in-tree compiler.
+
+    Recursive grammars whose expansion exceeds the size budget retry at
+    decreasing depth (the nesting bound degrades gracefully instead of
+    rejecting the request)."""
     rules, start, ignores = _split_rules(grammar)
-    conv = _Converter(rules, ignores, max_depth)
-    pattern = conv.convert(start, ())
-    if conv.ignores:
-        ws = "(?:" + "|".join(conv.ignores) + ")*"
-        pattern = ws + "(?:" + pattern + ")" + ws
-    return pattern
+    last: Optional[GrammarError] = None
+    for depth in range(max_depth, 1, -1):
+        conv = _Converter(rules, ignores, depth)
+        try:
+            pattern = conv.convert(start, ())
+        except _DepthExceeded:
+            raise  # no alternative escapes recursion at any depth
+        except GrammarError as e:
+            if "pattern size" in str(e):
+                last = e  # shallower retry
+                continue
+            raise
+        if conv.ignores:
+            ws = "(?:" + "|".join(conv.ignores) + ")*"
+            pattern = ws + "(?:" + pattern + ")" + ws
+        return pattern
+    raise last or GrammarError("grammar too complex")

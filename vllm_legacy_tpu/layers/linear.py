@@ -72,13 +72,26 @@ def linear(x: jax.Array,
 
 def _dispatch(params: Params) -> "LinearMethod":
     """Pick the method from the param structure (static under jit):
-    packed quant params carry qweight/scales/szeros, fp8 carries
-    weight_scale; bits and group size are inferred from shapes so model
-    code needs no quantization plumbing at all."""
+    packed quant params carry qweight/scales/szeros, AQLM carries
+    codes/codebooks, DeepSpeedFP fpq/fplut, int8 w8a8 an input_scale,
+    fp8 a weight_scale; bits and group size are inferred from shapes so
+    model code needs no quantization plumbing at all."""
     if "qweight" in params:
         from vllm_legacy_tpu.layers.quantization.common import (
             infer_quant_method)
         return infer_quant_method(params)
+    if "codes" in params:
+        from vllm_legacy_tpu.layers.quantization.aqlm import (
+            AQLMLinearMethod)
+        return AQLMLinearMethod()
+    if "fpq" in params:
+        from vllm_legacy_tpu.layers.quantization.deepspeedfp import (
+            DeepSpeedFPLinearMethod)
+        return DeepSpeedFPLinearMethod()
+    if "input_scale" in params:
+        from vllm_legacy_tpu.layers.quantization.compressed_tensors \
+            import W8A8LinearMethod
+        return W8A8LinearMethod()
     if "weight_scale" in params:
         from vllm_legacy_tpu.layers.quantization.fp8 import Fp8LinearMethod
         return Fp8LinearMethod()

@@ -28,16 +28,18 @@ def apply_lora(
     the output dim (delta lands shard-local), row layers shard A on the
     contraction dim — the rank-space activations psum before B.
     """
-    num_slots = lora_a.shape[0]
-    out = base_out
-    for s in range(num_slots):
-        mask = (indices == s)[:, None]
-        rank_act = jnp.dot(x, lora_a[s],
-                           preferred_element_type=jnp.float32)
-        if mode == "row" and tp_size > 1:
-            rank_act = jax.lax.psum(rank_act, axis)
-        delta = jnp.dot(rank_act, lora_b[s],
+    # batched over slots: [S, T, r] rank activations need only ONE
+    # psum for row layers (not one per slot on the decode critical
+    # path); the per-token slot select is a masked sum at the end.
+    rank_act = jnp.einsum("ti,sir->str", x, lora_a,
+                          preferred_element_type=jnp.float32)
+    if mode == "row" and tp_size > 1:
+        rank_act = jax.lax.psum(rank_act, axis)
+    deltas = jnp.einsum("str,sro->sto", rank_act, lora_b,
                         preferred_element_type=jnp.float32)
-        out = out + (jnp.where(mask, delta, 0.0) *
-                     scaling[s]).astype(out.dtype)
-    return out
+    deltas = deltas * scaling[:, None, None]
+    num_slots = lora_a.shape[0]
+    onehot = (indices[None, :] == jnp.arange(num_slots)[:, None]
+              ).astype(jnp.float32)  # [S, T]
+    delta = jnp.einsum("st,sto->to", onehot, deltas)
+    return base_out + delta.astype(base_out.dtype)

@@ -209,6 +209,12 @@ class LoRAManager:
         else:
             self.slot_rope_offset[slot] = 0
 
+        # clear the ENTIRE slot first: an evicted adapter may have
+        # occupied (layer, proj) stacks the new one doesn't touch, and
+        # stale rows would be applied with the new adapter's scaling
+        for stack in self.stacks.values():
+            stack["a"][slot] = 0.0
+            stack["b"][slot] = 0.0
         for (layer, proj), (a, b) in lora.tensors.items():
             stack = self._ensure_stack(layer, proj, a.shape[0],
                                        b.shape[1])

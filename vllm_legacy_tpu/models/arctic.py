@@ -51,8 +51,9 @@ class ArcticForCausalLM(LlamaForCausalLM):
         self.use_residual = bool(getattr(c, "use_residual", True))
         if self.num_experts % tp_size != 0:
             raise ValueError(
-                f"num_experts={self.num_experts} must divide tp_size"
-                f"={tp_size} (experts are expert-parallel)")
+                f"tensor_parallel_size={tp_size} must divide "
+                f"num_experts={self.num_experts} (experts are "
+                "expert-parallel)")
 
     def _is_moe_layer(self, idx: int) -> bool:
         return (idx + 1) % self.moe_layer_frequency == 0

@@ -32,8 +32,7 @@ def padded_head_size(head_size: int) -> int:
     return ((head_size + LANE - 1) // LANE) * LANE
 
 
-def use_packed_kv(head_size: int, *, sparse=None,
-                  cache_dtype=None) -> bool:
+def use_packed_kv(head_size: int, *, sparse=None) -> bool:
     """Flat-packed KV rows ([L, N, Hkv, bs*d], no lane padding) —
     halves KV HBM bytes and decode DMA traffic for head_size < 128.
     Gated on VLT_PACKED_KV while on-chip perf is being validated;

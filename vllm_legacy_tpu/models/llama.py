@@ -129,9 +129,15 @@ class LlamaForCausalLM:
     def _proj_entry_spec(mode: str, key: str) -> P:
         """Spec for one tensor of a linear, dense or quantized
         (qweight/scales/szeros share the weight's sharding axis)."""
-        if key in ("weight", "qweight", "scales", "szeros"):
+        if key in ("weight", "qweight", "scales", "szeros", "fpq",
+                   "fpscales"):
             return P(None, "model") if mode == "column" else P("model",
                                                                None)
+        if key == "codes":  # AQLM out-major [NO, NI, CB]
+            return P("model", None, None) if mode == "column" else \
+                P(None, "model", None)
+        if key == "oscales":  # per-out-channel scales
+            return P("model") if mode == "column" else P()
         if key == "bias":
             return P("model") if mode == "column" else P()
         # Partial-LoRA (XComposer2): A shards on the contraction dim for
@@ -364,10 +370,14 @@ class LlamaForCausalLM:
             "lm_head": {},
         }
 
-        # Quantized checkpoints carry qweight/qzeros/scales/g_idx per
-        # projection; collect raw tensors first, convert per-layer after.
+        # Quantized checkpoints carry qweight/qzeros/scales/g_idx (or
+        # codes/codebooks for AQLM) per projection; collect raw tensors
+        # first, convert per-layer after. These kinds keep their
+        # checkpoint dtype (the converters cast as needed).
         quant_kinds = ("qweight", "qzeros", "scales", "g_idx",
-                       "lookup_table")
+                       "lookup_table", "codes", "codebooks",
+                       "weight_scale", "input_scale",
+                       "weight_zero_point", "input_zero_point")
 
         for name, w in weights:
             if name.endswith("rotary_emb.inv_freq"):
@@ -411,21 +421,21 @@ class LlamaForCausalLM:
 
     def _convert_quant_layers(self, params: Dict[str, Any],
                               np_dtype) -> None:
-        """Repack checkpoint quant tensors into the common TPU layout
-        (layers/quantization/common.py)."""
-        from vllm_legacy_tpu.layers.quantization.squeezellm import (
-            SqueezeLLMConfig)
+        """Repack checkpoint quant tensors into device-ready layouts via
+        the config's conversion protocol (base_config.wants /
+        convert_layer_params — GPTQ/AWQ/SqueezeLLM repack to the common
+        packed layout, AQLM/DeepSpeedFP/compressed-tensors to their own
+        LinearMethod params)."""
+        cfg = self.quant_config
         for lp in params["layers"]:
             for proj, tensors in lp.items():
-                if "qweight" not in tensors:
+                if not isinstance(tensors, dict) or "norm" in proj \
+                        or proj.endswith("norm"):
+                    continue
+                if not cfg.wants(tensors):
                     continue
                 bias = tensors.pop("bias", None)
-                if isinstance(self.quant_config, SqueezeLLMConfig):
-                    new = self.quant_config.convert_layer(
-                        tensors, dtype=np_dtype)
-                else:
-                    new = self.quant_config.convert_layer(
-                        tensors).as_params()
+                new = cfg.convert_layer_params(tensors, np_dtype)
                 tensors.clear()
                 tensors.update(new)
                 if bias is not None:

@@ -125,9 +125,7 @@ class CacheEngine:
         shape = kv_cache_shape(self.num_layers, self.num_gpu_blocks,
                                self.num_kv_heads, self.block_size,
                                model_config.get_head_size(),
-                               packed=self.packed) if self.packed else (
-            self.num_layers, self.num_gpu_blocks, self.num_kv_heads,
-            self.block_size, self.head_size)
+                               packed=self.packed)
         self.gpu_cache: Tuple[jax.Array, jax.Array] = (
             jax.device_put(jnp.zeros(shape, self.dtype),
                            self.cache_sharding),

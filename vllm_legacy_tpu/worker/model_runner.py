@@ -818,7 +818,7 @@ class ModelRunner:
         if key not in self._jit_step_cache:
             self._jit_step_cache[key] = self._build_embed_fn()
         pooled, kv_caches = self._jit_step_cache[key](
-            self.params, kv_caches, staged["tokens"],
+            self._merged_params(), kv_caches, staged["tokens"],
             staged["positions"], md)
         pooled_np = fetch_outputs(pooled)
         outputs = [
@@ -951,12 +951,14 @@ class ModelRunner:
             context_lens=staged["context_lens"],
             query_lens=staged["query_lens"],
         )
-        cache_key = ("propose", num_spec, b_pad)
+        cache_key = ("propose", num_spec, b_pad,
+                     self._lora_struct_ver
+                     if self.lora_params is not None else -1)
         if cache_key not in self._jit_step_cache:
             self._jit_step_cache[cache_key] = self._build_propose_fn(
                 num_spec)
         kv_caches, out = self._jit_step_cache[cache_key](
-            self.params, kv_caches, staged["tokens"],
+            self._merged_params(), kv_caches, staged["tokens"],
             staged["positions"], md, staged["sel"])
         return fetch_outputs(out)[:n], kv_caches
 
@@ -1073,14 +1075,16 @@ class ModelRunner:
             m.sampling_params.sampling_type.name == "GREEDY"
             for m in seq_group_metadata_list)
         key_fn = (num_spec, greedy, b_pad)
-        cache_key = ("spec", key_fn)
+        cache_key = ("spec", key_fn,
+                     self._lora_struct_ver
+                     if self.lora_params is not None else -1)
         if cache_key not in self._jit_step_cache:
             self._jit_step_cache[cache_key] = self._build_spec_fn(
                 num_spec, greedy)
         fn = self._jit_step_cache[cache_key]
         self._step_key, key = jax.random.split(self._step_key)
         kv_caches, out_tokens, num_emitted, tok_lp = fn(
-            self.params, kv_caches, staged["tokens"],
+            self._merged_params(), kv_caches, staged["tokens"],
             staged["positions"], md, staged["sel"],
             staged["proposals"], key)
 
@@ -1207,9 +1211,12 @@ class ModelRunner:
                       "context_lens", "query_lens", "block_tables", "sel")
         ]
         named += [("st." + k, v) for k, v in st_np.items()]
-        params = self.params
+        # ALWAYS use the merged tree once any adapter is loaded: the
+        # shard_map in_specs are built from the merged structure, so a
+        # lora-free batch passing bare params would be a pytree
+        # structure mismatch under TP
+        params = self._merged_params()
         if has_lora:
-            params = self._merged_params()
             l_pad = arrays["tokens"].shape[1]
             tok_lora = np.full((b_pad, l_pad), -1, np.int32)
             for i, slot in enumerate(lora_slots):
