@@ -44,3 +44,28 @@ def test_tp4_matches_tp1(tiny_ckpt):
     want = _generate(tiny_ckpt, 1)
     got = _generate(tiny_ckpt, 4)
     assert got == want
+
+
+def test_chunked_prefill_tp2(tiny_ckpt):
+    """Chunked prefill under TP == plain run (reference:
+    tests/distributed/test_chunked_prefill_distributed.py)."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    from vllm_legacy_tpu import LLM, SamplingParams
+    long_prompts = ["Hello, my name is " + "the quick brown fox " * 6,
+                    "The quick brown fox"]
+    sp = SamplingParams(temperature=0.0, max_tokens=MAX_TOKENS,
+                        ignore_eos=True, detokenize=False)
+
+    def gen(**kw):
+        llm = LLM(model=tiny_ckpt, dtype="float32", max_model_len=128,
+                  num_tpu_blocks_override=64, disable_log_stats=True,
+                  tensor_parallel_size=2, **kw)
+        outs = llm.generate(long_prompts, sp, use_tqdm=False)
+        return [list(o.outputs[0].token_ids) for o in outs]
+
+    plain = gen()
+    chunked = gen(enable_chunked_prefill=True,
+                  max_num_batched_tokens=32, max_num_seqs=16)
+    assert chunked == plain

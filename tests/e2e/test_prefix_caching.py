@@ -85,3 +85,31 @@ def test_identical_prompt_rerun(model_path):
     cached = make_engine(model_path, prefix_caching=True)
     assert run_one(cached, "a", prompt) == want
     assert run_one(cached, "b", prompt) == want
+
+
+def test_mixed_prefill_decode_batches(tmp_path):
+    """Chunked prefill with a budget small enough that decode rows and
+    prompt chunks share engine steps (the decode-first policy's whole
+    point, reference scheduler.py:824): output must equal unchunked."""
+    from tests.models.test_families import build_checkpoint
+    path, _ = build_checkpoint("gpt_neox_seq", tmp_path)
+    from vllm_legacy_tpu import LLM, SamplingParams
+    prompts = ["Hello, my name is " + "the quick brown fox " * 8,
+               "The quick brown fox",
+               "Hello, my name is"]
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True,
+                        detokenize=False)
+
+    def gen(**kw):
+        llm = LLM(model=path, dtype="float32", max_model_len=160,
+                  num_tpu_blocks_override=96, disable_log_stats=True,
+                  **kw)
+        outs = llm.generate(prompts, sp, use_tqdm=False)
+        return [list(o.outputs[0].token_ids) for o in outs]
+
+    want = gen()
+    # budget 24 < long prompt length: the short prompts finish and
+    # decode while the long prompt is still chunking
+    got = gen(enable_chunked_prefill=True, max_num_batched_tokens=24,
+              max_num_seqs=8)
+    assert got == want

@@ -136,7 +136,14 @@ def _attention_kernel(
                                        block_size * d_real)]
             return ref.at[:, pl.ds(c * block_size, block_size), :]
 
-        @pl.when(jnp.logical_and(qb == 0, qlen > 0))
+        # Mixed chunked-prefill batches carry decode rows (qlen == 1,
+        # q_start unaligned) in the prefill grid; those write through
+        # the merge path in `body` below — whole-block DMAs would
+        # clobber the earlier rows of their partially-filled block.
+        aligned = q_start % block_size == 0
+
+        @pl.when(jnp.logical_and(jnp.logical_and(qb == 0, qlen > 0),
+                                 aligned))
         def _write():
             # prefill: q_start is block-aligned; write whole blocks.
             # Source (strided over k_new's L dim) -> dest
@@ -265,6 +272,18 @@ def _attention_kernel(
             kv_pos_col = sb_idx * sb + jax.lax.broadcasted_iota(
                 jnp.int32, (sb, 1), 0)
             if l_pad <= _MERGE_WRITE_MAX:
+                merge_rows = l_pad
+                merge_gate = qlen > 0
+            else:
+                # mixed chunked-prefill batches: decode rows (single
+                # new token, unaligned start) write through the stream
+                # — the whole-block path skipped them
+                merge_rows = 1
+                merge_gate = jnp.logical_and(
+                    qlen == 1, q_start % block_size != 0)
+
+            @pl.when(merge_gate)
+            def _merge():
                 # Fused decode / small-chunk write (spec-decode scoring):
                 # merge the new row(s) into the streamed tile, store it
                 # back to scratch and DMA the spanned block(s) out
@@ -277,14 +296,20 @@ def _attention_kernel(
                 sel_col = kv_pos_col[None]  # [1, SB, 1]
                 # whole-tile register load: sublane slices of width 1
                 # (k_new_ref[:, r, :]) violate bf16 (2, 128) tiling
-                kn_all = k_new_ref[...]  # [Hkv, l_pad, D]
+                kn_all = k_new_ref[...]  # [Hkv, l_pad, D] or flat
                 vn_all = v_new_ref[...]
-                for r in range(l_pad):
+
+                def row(arr, r):
+                    if arr.ndim == 2:  # packed-flat [Hkv, l_pad*d]
+                        return arr[:, r * d:(r + 1) * d]
+                    return arr[:, r, :]
+
+                for r in range(merge_rows):
                     is_r = sel_col == (q_start + r)
                     sel_r = jnp.logical_and(is_r, r < qlen)
-                    k_m = jnp.where(sel_r, kn_all[:, r, :][:, None, :],
+                    k_m = jnp.where(sel_r, row(kn_all, r)[:, None, :],
                                     k_m)
-                    v_m = jnp.where(sel_r, vn_all[:, r, :][:, None, :],
+                    v_m = jnp.where(sel_r, row(vn_all, r)[:, None, :],
                                     v_m)
                 k_buf[slot] = k_m.reshape(k_buf.shape[1:])
                 v_buf[slot] = v_m.reshape(v_buf.shape[1:])
@@ -299,7 +324,7 @@ def _attention_kernel(
                     @pl.when(jnp.logical_and(
                             jnp.logical_and(entry >= first_new_blk,
                                             entry <= last_new_blk),
-                            jnp.logical_and(entry < nb, qlen > 0)))
+                            entry < nb))
                     def _writeback(j=j):
                         if per_head_tables:
                             for h in range(hkv):

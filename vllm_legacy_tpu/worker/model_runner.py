@@ -317,7 +317,13 @@ class ModelRunner:
         Returns (arrays dict, rows = [(request_id, seq_id)] per batch row,
         is_prefill, padded batch size).
         """
-        is_prefill = seq_group_metadata_list[0].is_prompt
+        # A batch may MIX prefill chunks with decode rows (the chunked-
+        # prefill policy schedules decodes first, then fills leftover
+        # budget with prompt chunks — scheduler._schedule_chunked_
+        # prefill). The unified kernel runs both in one [B, L_pad] grid:
+        # decode rows are simply qlen == 1 (their write uses the
+        # kernel's unaligned merge path).
+        is_prefill = any(m.is_prompt for m in seq_group_metadata_list)
 
         rows: List[Tuple[str, int]] = []
         token_rows: List[List[int]] = []
@@ -330,7 +336,7 @@ class ModelRunner:
                                       Optional[np.ndarray]]]] = []
 
         for meta in seq_group_metadata_list:
-            if is_prefill:
+            if meta.is_prompt:
                 assert len(meta.seq_data) == 1
                 seq_id = next(iter(meta.seq_data))
                 data = meta.seq_data[seq_id]
@@ -386,6 +392,8 @@ class ModelRunner:
                     query_lens.append(1)
                     context_lens.append(data.get_len())
                     block_tables.append(meta.block_tables[seq_id])
+                    mm_rows.append(None)
+                    emb_rows.append(None)
 
         # observability: tokens actually computed in prefill steps
         # (prefix-cache hits shrink this below the prompt length)
