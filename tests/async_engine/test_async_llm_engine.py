@@ -1,0 +1,100 @@
+"""AsyncLLMEngine direct tests (reference: tests/async_engine/ —
+streaming generation, abort, concurrent requests, dead-engine
+propagation)."""
+import asyncio
+
+import pytest
+
+from tests.e2e.test_greedy_equality import tiny_llama_path  # fixture
+
+
+def _make_engine(path):
+    from vllm_legacy_tpu.engine.arg_utils import AsyncEngineArgs
+    from vllm_legacy_tpu.engine.async_llm_engine import AsyncLLMEngine
+    args = AsyncEngineArgs(model=path, dtype="float32",
+                           max_model_len=128, max_num_seqs=8,
+                           num_tpu_blocks_override=64,
+                           disable_log_stats=True)
+    return AsyncLLMEngine.from_engine_args(args)
+
+
+def test_streaming_generation_and_concurrency(tiny_llama_path):
+    from vllm_legacy_tpu.sampling_params import SamplingParams
+
+    async def main():
+        engine = _make_engine(tiny_llama_path)
+        sp = SamplingParams(temperature=0.0, max_tokens=6,
+                            ignore_eos=True)
+
+        async def consume(rid, prompt):
+            chunks = []
+            async for out in engine.generate(prompt, sp, rid):
+                chunks.append(out)
+            return chunks
+
+        a, b = await asyncio.gather(
+            consume("r1", "Hello, my name is"),
+            consume("r2", "The quick brown fox"))
+        # streaming: multiple partial outputs, monotone token growth
+        for chunks in (a, b):
+            assert len(chunks) >= 2
+            lens = [len(c.outputs[0].token_ids) for c in chunks]
+            assert lens == sorted(lens)
+            assert chunks[-1].finished
+            assert lens[-1] == 6
+        return engine
+
+    engine = asyncio.new_event_loop().run_until_complete(main())
+    del engine
+
+
+def test_abort_stops_stream(tiny_llama_path):
+    from vllm_legacy_tpu.sampling_params import SamplingParams
+
+    async def main():
+        engine = _make_engine(tiny_llama_path)
+        sp = SamplingParams(temperature=0.0, max_tokens=64,
+                            ignore_eos=True)
+        stream = engine.generate("Hello, my name is", sp, "kill")
+        got = 0
+        async for out in stream:
+            got += 1
+            if got == 2:
+                await engine.abort("kill")
+        # the stream terminated early (well under 64 tokens)
+        assert got < 30
+        # the engine keeps serving other requests afterwards
+        sp2 = SamplingParams(temperature=0.0, max_tokens=4,
+                             ignore_eos=True)
+        outs = [o async for o in engine.generate(
+            "The quick", sp2, "next")]
+        assert outs[-1].finished
+
+    asyncio.new_event_loop().run_until_complete(main())
+
+
+def test_dead_engine_propagates(tiny_llama_path):
+    from vllm_legacy_tpu.engine.async_llm_engine import (
+        AsyncEngineDeadError)
+    from vllm_legacy_tpu.sampling_params import SamplingParams
+
+    async def main():
+        engine = _make_engine(tiny_llama_path)
+
+        # poison the engine: make step_async raise
+        async def boom():
+            raise RuntimeError("injected failure")
+
+        engine.engine.step_async = lambda: boom()
+        sp = SamplingParams(temperature=0.0, max_tokens=4,
+                            ignore_eos=True)
+        with pytest.raises((AsyncEngineDeadError, RuntimeError)):
+            async for _ in engine.generate("Hello", sp, "doomed"):
+                pass
+        assert engine.errored
+        # subsequent requests fail fast with the dead-engine error
+        with pytest.raises(AsyncEngineDeadError):
+            async for _ in engine.generate("Hi", sp, "after"):
+                pass
+
+    asyncio.new_event_loop().run_until_complete(main())
