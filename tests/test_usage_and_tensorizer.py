@@ -24,9 +24,10 @@ def test_usage_stats_opt_in_writes_local_record(tmp_path, monkeypatch):
     msg = ul.UsageMessage()
     msg.report_usage("LlamaForCausalLM", ul.UsageContext.LLM_CLASS,
                      extra_kvs={"dtype": "bfloat16"})
+    assert msg._thread is not None, "report_usage did not start"
     path = os.path.join(str(tmp_path), "vllm_legacy_tpu",
                         "usage_stats.json")
-    for _ in range(100):
+    for _ in range(600):  # generous under full-suite CPU contention
         if os.path.exists(path):
             break
         time.sleep(0.05)

@@ -271,6 +271,7 @@ class CacheConfig:
         num_tpu_blocks_override: Optional[int] = None,
         sliding_window: Optional[int] = None,
         enable_prefix_caching: bool = False,
+        v_offload_window: Optional[int] = None,
     ) -> None:
         self.block_size = block_size
         self.hbm_utilization = hbm_utilization
@@ -279,6 +280,11 @@ class CacheConfig:
         self.num_tpu_blocks_override = num_tpu_blocks_override
         self.sliding_window = sliding_window
         self.enable_prefix_caching = enable_prefix_caching
+        # V-offload (capability of the fork's CACHE_ENGINE=offload_v,
+        # worker/cache_engine/map_cache_engine.py): V HBM bounded to a
+        # per-sequence ring of sink + window blocks; K stays full so
+        # the sparse top-k scores exactly within the window. Tokens.
+        self.v_offload_window = v_offload_window
         self._verify_args()
 
         # Set after cache-size computation (worker/cache_engine.py).

@@ -77,6 +77,8 @@ class EngineArgs:
     # HIP_K / HIP_DENSE_LAYERS, attention/backends/hip.py:106-110)
     hip_attention: bool = False
     hip_k: int = 1024
+    # fork CACHE_ENGINE=offload_v equivalent; tokens of resident V
+    v_offload_window: Optional[int] = None
     hip_dense_layers: int = 3
 
     # Self-extend RoPE (reference env SE_WINDOW / SE_SCALE)
@@ -109,6 +111,16 @@ class EngineArgs:
         attrs = [f.name for f in dataclasses.fields(cls)]
         return cls(**{a: getattr(args, a) for a in attrs
                       if hasattr(args, a)})
+
+    def _v_offload_window(self):
+        """Explicit arg, or the fork-parity env pair
+        VLT_CACHE_ENGINE=offload_v (+ VLT_V_WINDOW tokens)."""
+        import os
+        if self.v_offload_window is not None:
+            return int(self.v_offload_window)
+        if os.getenv("VLT_CACHE_ENGINE", "") == "offload_v":
+            return int(os.getenv("VLT_V_WINDOW", "8192"))
+        return None
 
     def _sparse_attention_config(self):
         if not self.hip_attention:
@@ -144,6 +156,7 @@ class EngineArgs:
             num_tpu_blocks_override=self.num_tpu_blocks_override,
             sliding_window=model_config.get_sliding_window(),
             enable_prefix_caching=self.enable_prefix_caching,
+            v_offload_window=self._v_offload_window(),
         )
         parallel_config = ParallelConfig(
             pipeline_parallel_size=self.pipeline_parallel_size,
@@ -156,6 +169,11 @@ class EngineArgs:
                 max_batched = 512
             else:
                 max_batched = max(model_config.max_model_len, 2048)
+        preemption_mode = self.preemption_mode
+        if self._v_offload_window():
+            # ring V slots are per-sequence and cannot swap; recompute
+            # rebuilds them on return
+            preemption_mode = "recompute"
         scheduler_config = SchedulerConfig(
             max_num_batched_tokens=max_batched,
             max_num_seqs=self.max_num_seqs,
@@ -163,7 +181,7 @@ class EngineArgs:
             enable_chunked_prefill=self.enable_chunked_prefill,
             num_scheduler_steps=self.num_scheduler_steps,
             num_lookahead_slots=self.num_speculative_tokens or 0,
-            preemption_mode=self.preemption_mode,
+            preemption_mode=preemption_mode,
             delay_factor=self.delay_factor,
         )
         long_factors = self.long_lora_scaling_factors

@@ -151,6 +151,16 @@ class LLMEngine:
                          prompt=inputs.get("prompt"),
                          multi_modal_data=inputs.get("multi_modal_data"))
 
+    def _check_v_offload_request(self, params) -> None:
+        if not self.cache_config.v_offload_window:
+            return
+        if params is not None and getattr(params, "best_of", 1) and \
+                (params.best_of > 1
+                 or getattr(params, "use_beam_search", False)):
+            raise ValueError(
+                "best_of > 1 / beam search need copy-on-write KV "
+                "blocks, which the V-offload ring does not support")
+
     def add_request(
         self,
         request_id: str,
@@ -161,6 +171,7 @@ class LLMEngine:
     ) -> None:
         if arrival_time is None:
             arrival_time = time.time()
+        self._check_v_offload_request(params)
         processed = self.process_model_inputs(request_id, inputs,
                                               lora_request)
         if len(processed["prompt_token_ids"]) > \

@@ -64,6 +64,11 @@ class SparseAttentionConfig(NamedTuple):
     dense_layers: int = 3  # first layers stay dense (HIP_DENSE_LAYERS)
     num_sink: int = 1  # always-attended leading blocks
     num_recent: int = 2  # always-attended trailing blocks
+    # V-offload residency (fork CACHE_ENGINE=offload_v): selection is
+    # restricted to sink + the last v_window_blocks entries, whose V
+    # lives in the HBM ring pool (0 = no restriction). Set by the
+    # worker from CacheConfig.v_offload_window.
+    v_window_blocks: int = 0
 
 
 class BlocksparseSpec(NamedTuple):
@@ -98,6 +103,9 @@ class AttentionMetadata(NamedTuple):
     block_tables: jax.Array
     context_lens: jax.Array
     query_lens: jax.Array
+    # V-offload ring-slot table [B, max_blocks] (None = V shares the
+    # physical table)
+    v_block_tables: Any = None
 
 
 def attention(
@@ -146,35 +154,57 @@ def attention(
                          blocksparse.local_blocks,
                          blocksparse.vert_stride),
             bs_phases=blocksparse.phases)
+    offload = md.v_block_tables is not None
+    if offload:
+        assert not packed, "V-offload requires the 5-D cache layout"
+        assert sparse is not None and sparse.v_window_blocks > 0, (
+            "V-offload needs sparse attention with v_window_blocks set "
+            "(worker validates the pairing)")
     if l == 1:
         tables, ctx = md.block_tables, md.context_lens
+        v_tables = md.v_block_tables
+        # under offload EVERY layer must restrict to resident V, so the
+        # dense-layers carve-out does not apply
         use_sparse = (sparse is not None and sliding_window is None
                       and not packed
-                      and layer_idx >= sparse.dense_layers)
+                      and (offload or layer_idx >= sparse.dense_layers))
         if use_sparse:
             from vllm_legacy_tpu.ops.hip_mask import select_kv_blocks
             block_size = k_cache.shape[3]
             num_sel = max(sparse.top_k // block_size,
                           sparse.num_sink + sparse.num_recent + 1)
             if num_sel < tables.shape[1]:  # else dense is never pruned
-                tables, ctx = select_kv_blocks(
+                sel = select_kv_blocks(
                     q[:, 0], k_cache, lidx, tables, ctx,
                     num_sel=num_sel, num_sink=sparse.num_sink,
-                    num_recent=sparse.num_recent)
+                    num_recent=sparse.num_recent,
+                    window_blocks=sparse.v_window_blocks,
+                    v_block_tables=v_tables)
+                if offload:
+                    tables, v_tables, ctx = sel
+                else:
+                    tables, ctx = sel
         out, k_cache, v_cache = attn_ops.paged_attention_decode(
             q[:, 0], k[:, 0], v[:, 0], k_cache, v_cache, lidx,
             tables, ctx, scale=scale,
             sliding_window=sliding_window, soft_cap=soft_cap,
             self_extend=self_extend, alibi_slopes=alibi_slopes,
-            **bs_args)
+            v_block_tables=v_tables, **bs_args)
         out = out[:, None]
     else:
+        eff_window = sliding_window
+        if offload:
+            # prefill exactness is bounded by V residency: mask to the
+            # ring window (sink blocks additionally survive for decode)
+            block_size = k_cache.shape[3]
+            w = sparse.v_window_blocks * block_size
+            eff_window = w if eff_window is None else min(eff_window, w)
         out, k_cache, v_cache = attn_ops.paged_attention_prefill(
             q, k, v, k_cache, v_cache, lidx, md.block_tables,
             md.query_lens, md.context_lens, scale=scale,
-            sliding_window=sliding_window, soft_cap=soft_cap,
+            sliding_window=eff_window, soft_cap=soft_cap,
             self_extend=self_extend, alibi_slopes=alibi_slopes,
-            **bs_args)
+            v_block_tables=md.v_block_tables, **bs_args)
     if d_pad != d:
         out = out[..., :d]
     return out, (k_cache, v_cache)

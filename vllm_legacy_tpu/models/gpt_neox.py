@@ -131,8 +131,9 @@ class GPTNeoXForCausalLM(ModelBase):
             q = q.reshape(b, l, -1, self.head_dim)
             k = k.reshape(b, l, -1, self.head_dim)
             v = v.reshape(b, l, -1, self.head_dim)
-            attn_out, kv_caches = attention(q, k, v, kv_caches, md,
-                                            scale=self.scale, layer_idx=i)
+            attn_out, kv_caches = attention(
+                q, k, v, kv_caches, md, scale=self.scale, layer_idx=i,
+                sparse=getattr(self, "sparse_config", None))
             attn_out = row_parallel_linear(
                 attn_out.reshape(b * l, -1), p["dense"],
                 tp_size=self.tp_size).reshape(b, l, h)

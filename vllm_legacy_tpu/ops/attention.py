@@ -34,20 +34,22 @@ def paged_attention_decode(q, k_new, v_new, k_cache, v_cache, layer_idx,
                            sliding_window: Optional[int] = None,
                            soft_cap: Optional[float] = None,
                            self_extend=None, alibi_slopes=None,
-                           blocksparse=None, bs_phases=None):
+                           blocksparse=None, bs_phases=None,
+                           v_block_tables=None):
     if _use_xla():
         return xla_attention.paged_attention_decode(
             q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
             context_lens, scale=scale, sliding_window=sliding_window,
             soft_cap=soft_cap, self_extend=self_extend,
             alibi_slopes=alibi_slopes, blocksparse=blocksparse,
-            bs_phases=bs_phases)
+            bs_phases=bs_phases, v_block_tables=v_block_tables)
     return pallas_attn.paged_attention_decode(
         q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
         context_lens, scale=scale, sliding_window=sliding_window,
         soft_cap=soft_cap, interpret=_interpret(),
         self_extend=self_extend, alibi_slopes=alibi_slopes,
-        blocksparse=blocksparse, bs_phases=bs_phases)
+        blocksparse=blocksparse, bs_phases=bs_phases,
+        v_block_tables=v_block_tables)
 
 
 def paged_attention_prefill(q, k_new, v_new, k_cache, v_cache, layer_idx,
@@ -56,18 +58,20 @@ def paged_attention_prefill(q, k_new, v_new, k_cache, v_cache, layer_idx,
                             sliding_window: Optional[int] = None,
                             soft_cap: Optional[float] = None,
                             self_extend=None, alibi_slopes=None,
-                            blocksparse=None, bs_phases=None):
+                            blocksparse=None, bs_phases=None,
+                            v_block_tables=None):
     if _use_xla():
         return xla_attention.paged_attention(
             q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
             query_lens, context_lens, scale=scale,
             sliding_window=sliding_window, soft_cap=soft_cap,
             self_extend=self_extend, alibi_slopes=alibi_slopes,
-            blocksparse=blocksparse, bs_phases=bs_phases)
+            blocksparse=blocksparse, bs_phases=bs_phases,
+            v_block_tables=v_block_tables)
     return pallas_attn.paged_attention(
         q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
         query_lens, context_lens, scale=scale,
         sliding_window=sliding_window, soft_cap=soft_cap,
         interpret=_interpret(), self_extend=self_extend,
         alibi_slopes=alibi_slopes, blocksparse=blocksparse,
-        bs_phases=bs_phases)
+        bs_phases=bs_phases, v_block_tables=v_block_tables)

@@ -48,9 +48,17 @@ def select_kv_blocks(
     num_sink: int = 1,
     num_recent: int = 2,
     reps_per_block: int = 3,
+    window_blocks: int = 0,
+    v_block_tables: jax.Array = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (virtual_tables [B, Hkv, num_sel] physical ids,
-    virtual_ctx [B] int32)."""
+    virtual_ctx [B] int32) — or with ``v_block_tables`` given,
+    (k_tables, v_tables, virtual_ctx) where v_tables carries the
+    V-offload ring slots of the SAME selected entries.
+
+    ``window_blocks > 0`` restricts candidates to the resident set
+    (sink + last ``window_blocks`` entries): V-offload rings only keep
+    those, so non-resident blocks must never be selected."""
     batch, num_q_heads, d = q.shape
     _, num_blocks, num_kv_heads, bs, _ = k_cache.shape
     group = num_q_heads // num_kv_heads
@@ -82,19 +90,29 @@ def select_kv_blocks(
     force = entry < num_sink  # sink blocks
     force |= entry >= (nb[:, None] - num_recent)  # recent + last block
     s = jnp.where(valid[:, None, :], s, _NEG)
+    if window_blocks > 0:
+        resident = force | (entry >= (nb[:, None] - window_blocks))
+        s = jnp.where(resident[:, None, :], s, _NEG)
     s = jnp.where((force & valid)[:, None, :], _FORCE, s)
 
     # --- top-k + ascending position sort -------------------------------
     _, idx = jax.lax.top_k(s, num_sel)  # [B, Hkv, S] logical entries
     idx = jnp.sort(idx, axis=-1)
-    vtables = jnp.take_along_axis(
-        jnp.broadcast_to(block_tables[:, None, :],
-                         (batch, num_kv_heads, max_entries)), idx,
-        axis=2)
+
+    def gather_tables(tables):
+        return jnp.take_along_axis(
+            jnp.broadcast_to(tables[:, None, :],
+                             (batch, num_kv_heads, max_entries)), idx,
+            axis=2).astype(jnp.int32)
+
+    vtables = gather_tables(block_tables)
 
     # --- virtual context length ----------------------------------------
     # last-block fill r_last = ctx - (nb-1)*bs  (in 1..bs for ctx >= 1)
     r_last = context_lens - (nb - 1) * bs
     vctx = jnp.where(nb <= num_sel, context_lens,
                      (num_sel - 1) * bs + r_last)
+    if v_block_tables is not None:
+        return (vtables.astype(jnp.int32),
+                gather_tables(v_block_tables), vctx.astype(jnp.int32))
     return vtables.astype(jnp.int32), vctx.astype(jnp.int32)

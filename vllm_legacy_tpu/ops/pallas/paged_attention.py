@@ -62,6 +62,7 @@ def _attention_kernel(
     query_lens_ref,  # [B] SMEM
     alibi_ref,  # [num_q_heads] SMEM f32 (zeros when has_alibi=False)
     bs_phase_ref,  # [num_q_heads] SMEM int32 (zeros unless blocksparse)
+    v_tables_ref,  # [B, max_blocks] SMEM (V-offload ring slots; [1] unused)
     # inputs
     q_ref,  # [Hkv, G, BQ, D] VMEM tile
     k_new_ref,  # [Hkv, L_pad, D] VMEM tile (new K rows for b)
@@ -91,6 +92,7 @@ def _attention_kernel(
     rope_neox: bool = True,
     has_alibi: bool = False,
     blocksparse: Optional[Tuple[int, int, int]] = None,
+    has_v_tables: bool = False,
 ):
     b = pl.program_id(0)
     qb = pl.program_id(1)
@@ -110,6 +112,16 @@ def _attention_kernel(
         if per_head_tables:
             return block_tables_ref[b, h, entry]
         return block_tables_ref[b, entry]
+
+    def vbt(entry, h=0):
+        # V-offload (fork offload_v equivalent): V rides its own table
+        # of ring-pool slots while K uses the physical table; per-head
+        # when the sparse selection emitted per-head tables
+        if not has_v_tables:
+            return bt(entry, h)
+        if len(v_tables_ref.shape) == 3:
+            return v_tables_ref[b, h, entry]
+        return v_tables_ref[b, entry]
 
     hkv, g, _, d = q_ref.shape
     sb = kblk * block_size  # kv positions per super-block
@@ -153,22 +165,24 @@ def _attention_kernel(
                 @pl.when(c * block_size < qlen)
                 def _(c=c):
                     blk = bt(first_entry + c)
+                    vblk = vbt(first_entry + c)
                     pltpu.make_async_copy(
                         new_slice(k_new_ref, c),
                         k_hbm.at[lyr, blk], wsem.at[0, c]).start()
                     pltpu.make_async_copy(
                         new_slice(v_new_ref, c),
-                        v_hbm.at[lyr, blk], wsem.at[1, c]).start()
+                        v_hbm.at[lyr, vblk], wsem.at[1, c]).start()
             for c in range(l_pad // block_size):
                 @pl.when(c * block_size < qlen)
                 def _(c=c):
                     blk = bt(first_entry + c)
+                    vblk = vbt(first_entry + c)
                     pltpu.make_async_copy(
                         new_slice(k_new_ref, c),
                         k_hbm.at[lyr, blk], wsem.at[0, c]).wait()
                     pltpu.make_async_copy(
                         new_slice(v_new_ref, c),
-                        v_hbm.at[lyr, blk], wsem.at[1, c]).wait()
+                        v_hbm.at[lyr, vblk], wsem.at[1, c]).wait()
 
     # ---------------- attention over the paged cache --------------------
     q_base = ctx - qlen + qb * bq  # absolute position of q row i=0
@@ -191,19 +205,21 @@ def _attention_kernel(
                 if per_head_tables:
                     for h in range(hkv):
                         blk = bt(entry, h)
+                        vblk = vbt(entry, h)
                         pltpu.make_async_copy(
                             k_hbm.at[lyr, blk, h], k_buf.at[slot, h, j],
                             sem.at[0, slot, j]).start()
                         pltpu.make_async_copy(
-                            v_hbm.at[lyr, blk, h], v_buf.at[slot, h, j],
+                            v_hbm.at[lyr, vblk, h], v_buf.at[slot, h, j],
                             sem.at[1, slot, j]).start()
                 else:
                     blk = bt(entry)
+                    vblk = vbt(entry)
                     pltpu.make_async_copy(
                         k_hbm.at[lyr, blk], k_buf.at[slot, :, j],
                         sem.at[0, slot, j]).start()
                     pltpu.make_async_copy(
-                        v_hbm.at[lyr, blk], v_buf.at[slot, :, j],
+                        v_hbm.at[lyr, vblk], v_buf.at[slot, :, j],
                         sem.at[1, slot, j]).start()
 
     def wait_fetch(sb_idx, slot):
@@ -215,19 +231,21 @@ def _attention_kernel(
                 if per_head_tables:
                     for h in range(hkv):
                         blk = bt(entry, h)
+                        vblk = vbt(entry, h)
                         pltpu.make_async_copy(
                             k_hbm.at[lyr, blk, h], k_buf.at[slot, h, j],
                             sem.at[0, slot, j]).wait()
                         pltpu.make_async_copy(
-                            v_hbm.at[lyr, blk, h], v_buf.at[slot, h, j],
+                            v_hbm.at[lyr, vblk, h], v_buf.at[slot, h, j],
                             sem.at[1, slot, j]).wait()
                 else:
                     blk = bt(entry)
+                    vblk = vbt(entry)
                     pltpu.make_async_copy(
                         k_hbm.at[lyr, blk], k_buf.at[slot, :, j],
                         sem.at[0, slot, j]).wait()
                     pltpu.make_async_copy(
-                        v_hbm.at[lyr, blk], v_buf.at[slot, :, j],
+                        v_hbm.at[lyr, vblk], v_buf.at[slot, :, j],
                         sem.at[1, slot, j]).wait()
 
     is_live = jnp.logical_and(qb * bq < qlen, nsb > 0)
@@ -329,24 +347,26 @@ def _attention_kernel(
                         if per_head_tables:
                             for h in range(hkv):
                                 blk = bt(entry, h)
+                                vblk = vbt(entry, h)
                                 kw = pltpu.make_async_copy(
                                     k_buf.at[slot, h, j],
                                     k_hbm.at[lyr, blk, h], wsem.at[0, 0])
                                 vw = pltpu.make_async_copy(
                                     v_buf.at[slot, h, j],
-                                    v_hbm.at[lyr, blk, h], wsem.at[1, 0])
+                                    v_hbm.at[lyr, vblk, h], wsem.at[1, 0])
                                 kw.start()
                                 vw.start()
                                 kw.wait()
                                 vw.wait()
                         else:
                             blk = bt(entry)
+                            vblk = vbt(entry)
                             kw = pltpu.make_async_copy(
                                 k_buf.at[slot, :, j],
                                 k_hbm.at[lyr, blk], wsem.at[0, 0])
                             vw = pltpu.make_async_copy(
                                 v_buf.at[slot, :, j],
-                                v_hbm.at[lyr, blk], wsem.at[1, 0])
+                                v_hbm.at[lyr, vblk], wsem.at[1, 0])
                             kw.start()
                             vw.start()
                             kw.wait()
@@ -461,6 +481,7 @@ def paged_attention(  # noqa: C901
     alibi_slopes: Optional[jax.Array] = None,  # [num_q_heads] f32
     blocksparse: Optional[Tuple[int, int, int]] = None,
     bs_phases: Optional[jax.Array] = None,  # [num_q_heads] int32
+    v_block_tables: Optional[jax.Array] = None,  # [B, max_blocks] int32
 ):
     """Fused cache-write + attention.
 
@@ -544,6 +565,9 @@ def paged_attention(  # noqa: C901
         phase_arr = jnp.zeros((1, ), jnp.int32)
     else:
         phase_arr = bs_phases.astype(jnp.int32)
+    has_v_tables = v_block_tables is not None
+    vt_arr = (v_block_tables.astype(jnp.int32) if has_v_tables
+              else jnp.zeros((1, ), jnp.int32))
     kernel = functools.partial(
         _attention_kernel,
         scale=scale,
@@ -555,13 +579,14 @@ def paged_attention(  # noqa: C901
         soft_cap=soft_cap,
         has_alibi=has_alibi,
         blocksparse=blocksparse,
+        has_v_tables=has_v_tables,
         **se_kwargs,
     )
 
-    def kernel_5d(lr, bt, cl, ql, al, ph, q5, kn4, vn4, kc, vc, o5, ko,
-                  vo, kb, vb, sm, wsm):
-        kernel(lr, bt, cl, ql, al, ph, q5.at[0], kn4.at[0], vn4.at[0],
-               kc, vc, o5.at[0], ko, vo, kb, vb, sm, wsm)
+    def kernel_5d(lr, bt, cl, ql, al, ph, vt, q5, kn4, vn4, kc, vc, o5,
+                  ko, vo, kb, vb, sm, wsm):
+        kernel(lr, bt, cl, ql, al, ph, vt, q5.at[0], kn4.at[0],
+               vn4.at[0], kc, vc, o5.at[0], ko, vo, kb, vb, sm, wsm)
 
     if packed and l_pad > _MERGE_WRITE_MAX:
         new_spec = pl.BlockSpec((1, num_kv_heads, l_pad * head),
@@ -574,7 +599,7 @@ def paged_attention(  # noqa: C901
     else:
         buf_shape = (2, num_kv_heads, kblk, block_size, head)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, num_kv_heads, group, bq, head),
@@ -607,9 +632,9 @@ def paged_attention(  # noqa: C901
             jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
         ],
         # scalar-prefetch args count toward input positions: inputs are
-        # (layer, tables, ctx, qlens, alibi, phases, q, k_new, v_new,
-        # k_cache, v_cache)
-        input_output_aliases={9: 1, 10: 2},
+        # (layer, tables, ctx, qlens, alibi, phases, v_tables, q, k_new,
+        # v_new, k_cache, v_cache)
+        input_output_aliases={10: 1, 11: 2},
         # batch cells touch disjoint cache regions, so megacore may
         # split them; the q-tile dim accumulates and stays ordered.
         compiler_params=pltpu.CompilerParams(
@@ -617,7 +642,7 @@ def paged_attention(  # noqa: C901
         interpret=interpret,
     )(layer_idx.astype(jnp.int32), block_tables,
       context_lens.astype(jnp.int32), query_lens.astype(jnp.int32),
-      alibi_arr, phase_arr, qr, kn, vn, k_cache, v_cache)
+      alibi_arr, phase_arr, vt_arr, qr, kn, vn, k_cache, v_cache)
 
     # [B, Hkv, G, L, D] -> [B, L, Hq, D]
     out = out.transpose(0, 3, 1, 2, 4)
@@ -643,6 +668,7 @@ def paged_attention_decode(
     alibi_slopes: Optional[jax.Array] = None,
     blocksparse: Optional[Tuple[int, int, int]] = None,
     bs_phases: Optional[jax.Array] = None,
+    v_block_tables: Optional[jax.Array] = None,
 ):
     """Decode = the unified kernel with one new token per sequence."""
     batch = q.shape[0]
@@ -665,6 +691,7 @@ def paged_attention_decode(
         alibi_slopes=alibi_slopes,
         blocksparse=blocksparse,
         bs_phases=bs_phases,
+        v_block_tables=v_block_tables,
     )
     return out[:, 0], k_cache, v_cache
 

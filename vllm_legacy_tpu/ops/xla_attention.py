@@ -31,26 +31,35 @@ def _apply_soft_cap(s: jax.Array, soft_cap: Optional[float]) -> jax.Array:
 
 
 def _write_new_kv(k_new, v_new, k_cache, v_cache, layer_idx,
-                  block_tables, query_lens, context_lens):
-    """Scatter [B, L, Hkv, D] new rows into the stacked cache."""
+                  block_tables, query_lens, context_lens,
+                  v_block_tables=None):
+    """Scatter [B, L, Hkv, D] new rows into the stacked cache. V may
+    ride its own table (V-offload ring slots)."""
     batch, l_pad = k_new.shape[:2]
     layers, num_blocks, num_heads, block_size, head = k_cache.shape
     pos = (context_lens - query_lens)[:, None] + jnp.arange(l_pad)[None]
     valid = jnp.arange(l_pad)[None] < query_lens[:, None]
     entry = jnp.clip(pos // block_size, 0, block_tables.shape[1] - 1)
-    blk = jnp.take_along_axis(block_tables, entry, axis=1)
-    blk = jnp.where(valid, blk, num_blocks)  # drop pads
+
+    def slots(tables, nblocks):
+        blk = jnp.take_along_axis(tables, entry, axis=1)
+        return jnp.where(valid, blk, nblocks)  # drop pads
+
+    blk = slots(block_tables, num_blocks)
+    vblk = (blk if v_block_tables is None
+            else slots(v_block_tables, v_cache.shape[1]))
     off = pos % block_size
     # advanced indices at axes 1 and 3 -> update shape [T, H, D]
     kt = k_new.reshape(batch * l_pad, num_heads, head).astype(
         k_cache.dtype)
     vt = v_new.reshape(batch * l_pad, num_heads, head).astype(
         v_cache.dtype)
-    b_flat = blk.reshape(-1)
     o_flat = off.reshape(-1)
     lyr = layer_idx[0]
-    k_cache = k_cache.at[lyr, b_flat, :, o_flat, :].set(kt, mode="drop")
-    v_cache = v_cache.at[lyr, b_flat, :, o_flat, :].set(vt, mode="drop")
+    k_cache = k_cache.at[lyr, blk.reshape(-1), :, o_flat, :].set(
+        kt, mode="drop")
+    v_cache = v_cache.at[lyr, vblk.reshape(-1), :, o_flat, :].set(
+        vt, mode="drop")
     return k_cache, v_cache
 
 
@@ -84,6 +93,7 @@ def paged_attention(
     alibi_slopes: Optional[jax.Array] = None,  # [num_q_heads] f32
     blocksparse: Optional[Tuple[int, int, int]] = None,
     bs_phases: Optional[jax.Array] = None,  # [num_q_heads] int32
+    v_block_tables: Optional[jax.Array] = None,  # [B, max_blocks]
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Causal prefill/decode attention reading KV from the paged cache
     after writing the new rows (capability of paged_attention_v1/v2 +
@@ -109,7 +119,8 @@ def paged_attention(
                     if block_tables.ndim == 3 else block_tables)
     k_cache, v_cache = _write_new_kv(k_new, v_new, k_cache, v_cache,
                                      layer_idx, write_tables, query_lens,
-                                     context_lens)
+                                     context_lens,
+                                     v_block_tables=v_block_tables)
     _, l_pad, num_q_heads, _ = q.shape
     num_kv_heads = k_cache.shape[2]
     group = num_q_heads // num_kv_heads
@@ -117,9 +128,9 @@ def paged_attention(
     k4 = k_cache[layer_idx[0]]
     v4 = v_cache[layer_idx[0]]
 
-    def one_seq(q_b, table_b, qlen_b, ctx_b):
+    def one_seq(q_b, table_b, vtable_b, qlen_b, ctx_b):
         k = _gather_kv(k4, table_b).astype(jnp.float32)
-        v = _gather_kv(v4, table_b).astype(jnp.float32)
+        v = _gather_kv(v4, vtable_b).astype(jnp.float32)
         qh = q_b.reshape(l_pad, num_kv_heads, group, -1).astype(
             jnp.float32)
         q_pos = ctx_b - qlen_b + jnp.arange(l_pad)
@@ -176,7 +187,10 @@ def paged_attention(
         o = jnp.where(valid_q, o, 0.0)
         return o.reshape(l_pad, num_q_heads, -1)
 
-    out = jax.vmap(one_seq)(q, block_tables, query_lens, context_lens)
+    vtabs = (block_tables if v_block_tables is None else
+             v_block_tables)
+    out = jax.vmap(one_seq)(q, block_tables, vtabs, query_lens,
+                            context_lens)
     if packed_shape is not None:
         k_cache = k_cache.reshape(packed_shape)
         v_cache = v_cache.reshape(packed_shape)
@@ -187,7 +201,8 @@ def paged_attention_decode(q, k_new, v_new, k_cache, v_cache, layer_idx,
                            block_tables, context_lens, *, scale,
                            sliding_window=None, soft_cap=None,
                            self_extend=None, alibi_slopes=None,
-                           blocksparse=None, bs_phases=None):
+                           blocksparse=None, bs_phases=None,
+                           v_block_tables=None):
     batch = q.shape[0]
     out, k_cache, v_cache = paged_attention(
         q[:, None], k_new[:, None], v_new[:, None], k_cache, v_cache,
@@ -195,7 +210,7 @@ def paged_attention_decode(q, k_new, v_new, k_cache, v_cache, layer_idx,
         context_lens, scale=scale, sliding_window=sliding_window,
         soft_cap=soft_cap, self_extend=self_extend,
         alibi_slopes=alibi_slopes, blocksparse=blocksparse,
-        bs_phases=bs_phases)
+        bs_phases=bs_phases, v_block_tables=v_block_tables)
     return out[:, 0], k_cache, v_cache
 
 

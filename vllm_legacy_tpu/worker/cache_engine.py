@@ -43,7 +43,9 @@ def get_cache_block_size(cache_config: CacheConfig,
                          model_config: ModelConfig,
                          parallel_config: ParallelConfig) -> int:
     """Bytes per KV block across all layers (reference:
-    cache_engine.py:102-120), for the WHOLE model (all shards)."""
+    cache_engine.py:102-120), for the WHOLE model (all shards). Under
+    V-offload only K scales with the block count (V lives in the
+    fixed-size ring pool)."""
     from vllm_legacy_tpu.models.attention import (padded_head_size,
                                                   use_packed_kv)
     if use_packed_kv(model_config.get_head_size(),
@@ -54,8 +56,17 @@ def get_cache_block_size(cache_config: CacheConfig,
     num_heads = model_config.get_total_num_kv_heads()
     num_layers = model_config.get_num_layers(parallel_config)
     kv_dtype = resolve_cache_dtype(cache_config, model_config)
-    per_token = num_heads * head_size * kv_dtype.itemsize * 2  # k + v
+    per_cache = 1 if cache_config.v_offload_window else 2  # k (+ v)
+    per_token = num_heads * head_size * kv_dtype.itemsize * per_cache
     return per_token * cache_config.block_size * num_layers
+
+
+def v_ring_blocks(cache_config: CacheConfig, model_config) -> int:
+    """Ring slots per sequence: sink + window blocks."""
+    sparse = model_config.sparse_attention
+    sink = sparse.num_sink if sparse is not None else 1
+    bs = cache_config.block_size
+    return sink + (cache_config.v_offload_window + bs - 1) // bs
 
 
 def compute_num_blocks(
@@ -92,6 +103,7 @@ class CacheEngine:
         model_config: ModelConfig,
         parallel_config: ParallelConfig,
         mesh: Mesh,
+        max_num_seqs: int = 256,
     ) -> None:
         self.cache_config = cache_config
         self.model_config = model_config
@@ -126,10 +138,25 @@ class CacheEngine:
                                self.num_kv_heads, self.block_size,
                                model_config.get_head_size(),
                                packed=self.packed)
+        v_shape = shape
+        if cache_config.v_offload_window:
+            # V ring pool: max_num_seqs rings of sink+window blocks
+            # (fork offload_v capability, map_cache_engine.py:356 — V
+            # bounded in HBM while K stays full for exact in-window
+            # top-k scoring)
+            assert not self.packed
+            num_v_slots = max_num_seqs * v_ring_blocks(
+                cache_config, model_config) + 1
+            v_shape = (shape[0], num_v_slots) + shape[2:]
+            logger.info(
+                "V-offload: %d V ring slots vs %d K blocks "
+                "(%.1fx V HBM saving at full context)", num_v_slots,
+                self.num_gpu_blocks,
+                max(self.num_gpu_blocks / num_v_slots, 1.0))
         self.gpu_cache: Tuple[jax.Array, jax.Array] = (
             jax.device_put(jnp.zeros(shape, self.dtype),
                            self.cache_sharding),
-            jax.device_put(jnp.zeros(shape, self.dtype),
+            jax.device_put(jnp.zeros(v_shape, self.dtype),
                            self.cache_sharding),
         )
         # Host swap tier (reference: pinned-CPU swap pool).

@@ -198,9 +198,21 @@ class ModelRunner:
         self._lora_struct_ver = 0
         # guided decoding: seq_id -> (consumed_out_len, fsm_state, fsm)
         self._guided_cache: Dict[int, Tuple[int, int, Any]] = {}
+        # V-offload ring assignment: seq_id -> ring id (worker/
+        # cache_engine.py ring pool); rings of absent sequences are
+        # reclaimed — sound because offload forces recompute-only
+        # preemption, so an absent sequence rebuilds its V on return.
+        self._v_rings: Dict[int, int] = {}
+        self._v_ring_entry_map: Optional[np.ndarray] = None
         # Stacked LoRA arrays (merged into params per call; structure
         # changes only when an adapter first occupies a (layer, proj)).
         self.lora_params: Optional[Dict[str, Any]] = None
+
+    def _md_specs(self, rep):
+        from vllm_legacy_tpu.models.attention import AttentionMetadata
+        if self.cache_config.v_offload_window:
+            return AttentionMetadata(rep, rep, rep, rep, rep)
+        return AttentionMetadata(rep, rep, rep, rep)
 
     def _kv_specs(self):
         spec = P(None, None, "model", None) if self.kv_cache_ndim == 4 \
@@ -453,6 +465,8 @@ class ModelRunner:
                 if m is not None:
                     pixels[i] = m
             arrays["pixel_values"] = pixels
+        if self.cache_config.v_offload_window:
+            arrays["v_block_tables"] = self._assign_v_rings(rows)
         if is_prefill and any(e is not None for e in emb_rows):
             hdim = next(e[0].shape[-1] for e in emb_rows
                         if e is not None)
@@ -468,6 +482,46 @@ class ModelRunner:
             arrays["prompt_embeds"] = pe
             arrays["embeds_mask"] = em
         return arrays, rows, is_prefill, b_pad
+
+    def _assign_v_rings(self, rows) -> np.ndarray:
+        """Per-row V ring-slot tables [b_pad rows padded later by the
+        caller? no: [len(rows) padded to b_pad by caller's array] —
+        returns [b_pad, max_blocks] int32 (extra rows map to ring 0;
+        they are never read: qlen 0)."""
+        sparse = self.model_config.sparse_attention
+        sink = sparse.num_sink
+        wb = cdiv(self.cache_config.v_offload_window, self.block_size)
+        ring_blocks = sink + wb
+        if self._v_ring_entry_map is None:
+            e = np.arange(self.max_blocks_per_seq, dtype=np.int64)
+            self._v_ring_entry_map = np.where(
+                e < sink, e, sink + (e - sink) % wb).astype(np.int32)
+        cap = self.scheduler_config.max_num_seqs
+        current = {seq_id for _, seq_id in rows}
+        for _, seq_id in rows:
+            if seq_id in self._v_rings:
+                continue
+            if len(self._v_rings) >= cap:
+                # reclaim a ring from a sequence not in this batch
+                for old, ring in list(self._v_rings.items()):
+                    if old not in current:
+                        del self._v_rings[old]
+                        self._v_rings[seq_id] = ring
+                        break
+                else:
+                    raise RuntimeError(
+                        "V-offload ring pool exhausted: more live "
+                        "sequences than max_num_seqs")
+            else:
+                used = set(self._v_rings.values())
+                ring = next(r for r in range(cap) if r not in used)
+                self._v_rings[seq_id] = ring
+        b_pad = pad_to_bucket(len(rows))
+        out = np.zeros((b_pad, self.max_blocks_per_seq), np.int32)
+        for i, (_, seq_id) in enumerate(rows):
+            base = self._v_rings[seq_id] * ring_blocks
+            out[i] = base + self._v_ring_entry_map
+        return out
 
     def _guided_state(self, seq_id: int, fsm, output_tokens) -> int:
         """FSM state after ``output_tokens``; incremental via a per-seq
@@ -612,7 +666,7 @@ class ModelRunner:
             jax.tree.map(lambda x: None, self._merged_params()))
         kv_specs = self._kv_specs()
         rep = P()
-        md_specs = AttentionMetadata(rep, rep, rep, rep)
+        md_specs = self._md_specs(rep)
 
         def sharded_fwd(params, kv_caches, tokens, positions, md, sel,
                         lora_indices, lp_targets, pixel_values,
@@ -705,7 +759,7 @@ class ModelRunner:
             jax.tree.map(lambda x: None, self._merged_params()))
         kv_specs = self._kv_specs()
         rep = P()
-        md_specs = AttentionMetadata(rep, rep, rep, rep)
+        md_specs = self._md_specs(rep)
 
         def sharded_fwd(params, kv_caches, tokens, positions, md, sel):
             hidden, kv_caches = model.forward(params, kv_caches, tokens,
@@ -786,7 +840,7 @@ class ModelRunner:
             jax.tree.map(lambda x: None, self._merged_params()))
         kv_specs = self._kv_specs()
         rep = P()
-        md_specs = AttentionMetadata(rep, rep, rep, rep)
+        md_specs = self._md_specs(rep)
 
         def sharded_fwd(params, kv_caches, tokens, positions, md):
             hidden, kv_caches = model.forward(params, kv_caches, tokens,
@@ -873,7 +927,7 @@ class ModelRunner:
             jax.tree.map(lambda x: None, self._merged_params()))
         kv_specs = self._kv_specs()
         rep = P()
-        md_specs = AttentionMetadata(rep, rep, rep, rep)
+        md_specs = self._md_specs(rep)
 
         def sharded_fwd(params, kv_caches, tokens, positions, md, sel):
             hidden, kv_caches = model.forward(params, kv_caches, tokens,
@@ -980,7 +1034,7 @@ class ModelRunner:
             jax.tree.map(lambda x: None, self._merged_params()))
         kv_specs = self._kv_specs()
         rep = P()
-        md_specs = AttentionMetadata(rep, rep, rep, rep)
+        md_specs = self._md_specs(rep)
 
         def sharded_fwd(params, kv_caches, tokens, positions, md, sel):
             hidden, kv_caches = model.forward(params, kv_caches, tokens,
@@ -1232,6 +1286,8 @@ class ModelRunner:
             named.append(("lora_indices", tok_lora.reshape(-1)))
         if token_mask is not None:
             named.append(("token_mask", token_mask))
+        if "v_block_tables" in arrays:
+            named.append(("v_block_tables", arrays["v_block_tables"]))
         if "pixel_values" in arrays:
             named.append(("pixel_values", arrays["pixel_values"]))
         if "prompt_embeds" in arrays:
@@ -1269,6 +1325,7 @@ class ModelRunner:
             block_tables=staged["block_tables"],
             context_lens=staged["context_lens"],
             query_lens=staged["query_lens"],
+            v_block_tables=staged.get("v_block_tables"),
         )
         st = SamplingTensors(
             **{k[3:]: v

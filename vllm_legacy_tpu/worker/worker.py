@@ -145,11 +145,50 @@ class Worker:
         self.cache_config.num_cpu_blocks = num_cpu_blocks
         if self.draft_proposer is not None:
             self.draft_proposer.initialize_cache()
-        self.cache_engine = CacheEngine(self.cache_config,
-                                        self.model_config,
-                                        self.parallel_config, self.mesh)
+        self._validate_v_offload()
+        self.cache_engine = CacheEngine(
+            self.cache_config, self.model_config, self.parallel_config,
+            self.mesh,
+            max_num_seqs=self.scheduler_config.max_num_seqs)
         self.model_runner.kv_cache_ndim = \
             self.cache_engine.gpu_cache[0].ndim
+
+    def _validate_v_offload(self) -> None:
+        """V-offload pairs with sparse attention and recompute-only
+        preemption (the ring pool cannot swap or share blocks)."""
+        window = self.cache_config.v_offload_window
+        if not window:
+            return
+        sparse = self.model_config.sparse_attention
+        if sparse is None:
+            raise ValueError(
+                "v_offload_window requires sparse (HiP) attention "
+                "(--hip-attention): the top-k selection is what keeps "
+                "V reads inside the resident ring")
+        if self.cache_config.enable_prefix_caching:
+            raise ValueError(
+                "v_offload_window is incompatible with prefix caching "
+                "(ring V slots are per-sequence, not content-shared)")
+        if self.draft_proposer is not None:
+            raise ValueError(
+                "v_offload_window with a draft spec-decode model is "
+                "not supported")
+        from vllm_legacy_tpu.utils import cdiv
+        num_sel = max(sparse.top_k // self.cache_config.block_size,
+                      sparse.num_sink + sparse.num_recent + 1)
+        max_blocks = cdiv(self.model_config.max_model_len,
+                          self.cache_config.block_size)
+        if num_sel >= max_blocks:
+            raise ValueError(
+                f"v_offload_window: hip_k selects {num_sel} blocks but "
+                f"max_model_len holds only {max_blocks} — offload "
+                "would never restrict anything; lower hip_k or raise "
+                "max_model_len")
+        wb = cdiv(window, self.cache_config.block_size)
+        # propagate the residency restriction into the model's sparse
+        # config (models/attention.py reads v_window_blocks)
+        self.model_runner.model.sparse_config = sparse._replace(
+            v_window_blocks=wb)
 
     # -- steady state ----------------------------------------------------
     def execute_model(
