@@ -28,7 +28,11 @@ def main() -> None:
     num_seqs = int(os.getenv("BENCH_NUM_SEQS", "256"))
     num_steps = int(os.getenv("BENCH_SCHEDULER_STEPS", "32"))
     batched = int(os.getenv("BENCH_MAX_BATCHED_TOKENS", "8192"))
-    block_size = int(os.getenv("BENCH_BLOCK_SIZE", "16"))
+    # 64 measured best on-chip: fewer, larger block DMAs (the decode
+    # kernel is DMA-issue bound below this), before last-block padding
+    # waste wins at 128+ (BENCH_r02 sweep: 16->9.8k, 32->9.8k,
+    # 64->11.4k, 128->9.5k tok/s with VLT_PACKED_KV=1)
+    block_size = int(os.getenv("BENCH_BLOCK_SIZE", "64"))
 
     cfg = make_dummy_engine_config(
         tinyllama_1_1b_hf_config(),

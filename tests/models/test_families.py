@@ -158,10 +158,12 @@ def save_tiny_tokenizer(path):
                             eos_token="</s>").save_pretrained(path)
 
 
-def build_checkpoint(family, tmp_path):
+def build_checkpoint(family, tmp_path, overrides=None):
     import torch
     from transformers import AutoModelForCausalLM
     cfg = make_config(family)
+    for k, v in (overrides or {}).items():
+        setattr(cfg, k, v)
     cfg.tie_word_embeddings = getattr(cfg, "tie_word_embeddings", False)
     path = tmp_path / family
     torch.manual_seed(0)

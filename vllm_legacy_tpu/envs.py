@@ -48,10 +48,15 @@ environment_variables: dict[str, Callable[[], Any]] = {
     "VLT_USE_XLA_OPS":
     lambda: int(os.getenv("VLT_USE_XLA_OPS", "0")),
 
-    # flat-packed KV rows for head_size < 128 (halves KV HBM); off
-    # until on-chip perf is validated (models/attention.use_packed_kv)
+    # pair-packed KV rows for head_size < 128 (halves KV HBM bytes +
+    # decode DMA traffic; models/attention.use_packed_kv)
     "VLT_PACKED_KV":
-    lambda: int(os.getenv("VLT_PACKED_KV", "0")),
+    lambda: int(os.getenv("VLT_PACKED_KV", "1")),
+    # fused single-buffer KV cache (K+V of a block in one DMA) +
+    # gang-batched pipelined decode kernel; 0 falls back to split
+    # 5-D caches (models/attention.use_fused_kv)
+    "VLT_FUSED_KV":
+    lambda: int(os.getenv("VLT_FUSED_KV", "1")),
 }
 
 

@@ -32,23 +32,56 @@ def padded_head_size(head_size: int) -> int:
     return ((head_size + LANE - 1) // LANE) * LANE
 
 
-def use_packed_kv(head_size: int, *, sparse=None) -> bool:
-    """Flat-packed KV rows ([L, N, Hkv, bs*d], no lane padding) —
-    halves KV HBM bytes and decode DMA traffic for head_size < 128.
-    Gated on VLT_PACKED_KV while on-chip perf is being validated;
-    the HiP per-head-table path still assumes the 5-D layout."""
+def use_packed_kv(head_size: int, *, sparse=None, block_size: int = 16,
+                  self_extend=None) -> bool:
+    """Pair-packed KV rows ([L, N, Hkv*(bs/2), 2*d]: two consecutive
+    tokens per 2*d lane row) — halves KV HBM bytes and decode DMA
+    traffic for head_size < 128 vs the lane-padded 5-D layout.
+    Default-on (VLT_PACKED_KV=0 opts out) when the pairing is exact:
+
+    * 2*d must fill whole 128-lane vregs (d = 64, 192, ...) or the pair
+      row pads right back;
+    * bs/2 pair rows per block must stay a multiple of the 8-sublane
+      tile so the in-kernel HBM ref reshape splits on a tile boundary;
+    * the HiP per-head-table path and self-extend (in-kernel per-token
+      rope) assume per-token rows.
+    """
     from vllm_legacy_tpu import envs
     if not envs.VLT_PACKED_KV:
         return False
-    return padded_head_size(head_size) != head_size and sparse is None
+    return (padded_head_size(head_size) != head_size
+            and (2 * head_size) % LANE == 0
+            and (block_size // 2) % 8 == 0
+            and sparse is None and self_extend is None)
+
+
+def use_fused_kv(*, sparse=None, v_offload: bool = False) -> bool:
+    """FUSED single-buffer KV cache ([L, N, Hkv*2*rows, rd]: each
+    block holds every local head's K rows then V rows, head-major so
+    TP shards own whole heads) — a block's K AND V arrive in ONE DMA
+    and decode runs the gang-batched pipelined kernel
+    (ops/pallas/fused_decode.py). Default for the dense path
+    (VLT_FUSED_KV=0 opts out); the HiP top-k and V-offload paths keep
+    split 5-D caches (per-head virtual tables / V ring pool need
+    independently addressed K and V)."""
+    from vllm_legacy_tpu import envs
+    if not envs.VLT_FUSED_KV:
+        return False
+    return sparse is None and not v_offload
 
 
 def kv_cache_shape(num_layers: int, num_blocks: int, num_kv_heads: int,
                    block_size: int, head_size: int, *,
-                   packed: bool) -> tuple:
+                   packed: bool, fused: bool = False) -> tuple:
+    if fused and packed:
+        return (num_layers, num_blocks,
+                num_kv_heads * 2 * (block_size // 2), 2 * head_size)
+    if fused:
+        return (num_layers, num_blocks, num_kv_heads * 2, block_size,
+                padded_head_size(head_size))
     if packed:
-        return (num_layers, num_blocks, num_kv_heads,
-                block_size * head_size)
+        return (num_layers, num_blocks,
+                num_kv_heads * (block_size // 2), 2 * head_size)
     return (num_layers, num_blocks, num_kv_heads, block_size,
             padded_head_size(head_size))
 
@@ -131,8 +164,15 @@ def attention(
     this is load-bearing for in-place cache donation.
     """
     b, l, hq, d = q.shape
-    k_cache, v_cache = kv_cache
-    packed = k_cache.ndim == 4
+    fused = len(kv_cache) == 1
+    if fused:
+        # [L, N, Hkv*2*rows, 2d] pair (4-D) or
+        # [L, N, Hkv*2, bs, dpad] plain (5-D)
+        k_cache, v_cache = kv_cache[0], None
+        packed = k_cache.ndim == 4
+    else:
+        k_cache, v_cache = kv_cache
+        packed = False  # split caches are always the plain 5-D layout
     d_pad = d if packed else k_cache.shape[-1]
     if d_pad != d:
         pad = [(0, 0)] * 3 + [(0, d_pad - d)]
@@ -156,7 +196,8 @@ def attention(
             bs_phases=blocksparse.phases)
     offload = md.v_block_tables is not None
     if offload:
-        assert not packed, "V-offload requires the 5-D cache layout"
+        assert not fused and not packed, (
+            "V-offload requires the split 5-D cache layout")
         assert sparse is not None and sparse.v_window_blocks > 0, (
             "V-offload needs sparse attention with v_window_blocks set "
             "(worker validates the pairing)")
@@ -166,7 +207,7 @@ def attention(
         # under offload EVERY layer must restrict to resident V, so the
         # dense-layers carve-out does not apply
         use_sparse = (sparse is not None and sliding_window is None
-                      and not packed
+                      and not fused and not packed
                       and (offload or layer_idx >= sparse.dense_layers))
         if use_sparse:
             from vllm_legacy_tpu.ops.hip_mask import select_kv_blocks
@@ -184,12 +225,19 @@ def attention(
                     tables, v_tables, ctx = sel
                 else:
                     tables, ctx = sel
-        out, k_cache, v_cache = attn_ops.paged_attention_decode(
-            q[:, 0], k[:, 0], v[:, 0], k_cache, v_cache, lidx,
-            tables, ctx, scale=scale,
-            sliding_window=sliding_window, soft_cap=soft_cap,
-            self_extend=self_extend, alibi_slopes=alibi_slopes,
-            v_block_tables=v_tables, **bs_args)
+        if fused and self_extend is None:
+            out, k_cache = attn_ops.fused_decode(
+                q[:, 0], k[:, 0], v[:, 0], k_cache, lidx, tables, ctx,
+                scale=scale, num_kv_heads=k.shape[2],
+                sliding_window=sliding_window, soft_cap=soft_cap,
+                alibi_slopes=alibi_slopes, **bs_args)
+        else:
+            out, k_cache, v_cache = attn_ops.paged_attention_decode(
+                q[:, 0], k[:, 0], v[:, 0], k_cache, v_cache, lidx,
+                tables, ctx, scale=scale,
+                sliding_window=sliding_window, soft_cap=soft_cap,
+                self_extend=self_extend, alibi_slopes=alibi_slopes,
+                v_block_tables=v_tables, **bs_args)
         out = out[:, None]
     else:
         eff_window = sliding_window
@@ -207,4 +255,6 @@ def attention(
             v_block_tables=md.v_block_tables, **bs_args)
     if d_pad != d:
         out = out[..., :d]
+    if fused:
+        return out, (k_cache, )
     return out, (k_cache, v_cache)

@@ -52,6 +52,30 @@ def paged_attention_decode(q, k_new, v_new, k_cache, v_cache, layer_idx,
         v_block_tables=v_block_tables)
 
 
+def fused_decode(q, k_new, v_new, kv_cache, layer_idx, block_tables,
+                 context_lens, *, scale: float, num_kv_heads: int,
+                 sliding_window=None, soft_cap=None, alibi_slopes=None,
+                 blocksparse=None, bs_phases=None):
+    """Decode over the FUSED single-buffer cache: the gang-batched
+    pipelined kernel (ops/pallas/fused_decode.py), or the XLA
+    reference which views the fused buffer as split 5-D arrays."""
+    if _use_xla():
+        return xla_attention.fused_decode(
+            q, k_new, v_new, kv_cache, layer_idx, block_tables,
+            context_lens, scale=scale, num_kv_heads=num_kv_heads,
+            sliding_window=sliding_window, soft_cap=soft_cap,
+            alibi_slopes=alibi_slopes, blocksparse=blocksparse,
+            bs_phases=bs_phases)
+    from vllm_legacy_tpu.ops.pallas.fused_decode import \
+        fused_decode_attention
+    return fused_decode_attention(
+        q, k_new, v_new, kv_cache, layer_idx, block_tables,
+        context_lens, scale=scale, num_kv_heads=num_kv_heads,
+        sliding_window=sliding_window, soft_cap=soft_cap,
+        alibi_slopes=alibi_slopes, blocksparse=blocksparse,
+        bs_phases=bs_phases, interpret=_interpret())
+
+
 def paged_attention_prefill(q, k_new, v_new, k_cache, v_cache, layer_idx,
                             block_tables, query_lens, context_lens, *,
                             scale: float,

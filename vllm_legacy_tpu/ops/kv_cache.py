@@ -69,6 +69,14 @@ def write_to_kv_cache(
     return k_cache, v_cache
 
 
+def copy_one(cache: jax.Array, src_blocks: jax.Array,
+             dst_blocks: jax.Array) -> jax.Array:
+    """Copy-on-write block duplication for one cache array (fused
+    single-buffer or either half of a split pair); layout-agnostic —
+    blocks live on dim 1."""
+    return cache.at[:, dst_blocks].set(cache[:, src_blocks])
+
+
 def copy_blocks(
     k_cache: jax.Array,  # [L, N, H, bs, D]
     v_cache: jax.Array,
@@ -77,9 +85,8 @@ def copy_blocks(
 ) -> Tuple[jax.Array, jax.Array]:
     """Copy-on-write block duplication across all layers (reference:
     cache_kernels.cu copy_blocks)."""
-    k_cache = k_cache.at[:, dst_blocks].set(k_cache[:, src_blocks])
-    v_cache = v_cache.at[:, dst_blocks].set(v_cache[:, src_blocks])
-    return k_cache, v_cache
+    return (copy_one(k_cache, src_blocks, dst_blocks),
+            copy_one(v_cache, src_blocks, dst_blocks))
 
 
 def gather_blocks(cache: jax.Array, blocks: jax.Array) -> jax.Array:

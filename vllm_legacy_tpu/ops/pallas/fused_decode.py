@@ -1,0 +1,583 @@
+"""Gang-batched, software-pipelined decode attention over the FUSED
+paged KV cache.
+
+Replaces the unified kernel's decode path (ops/pallas/
+paged_attention.py) for the dense layout. Measurements on v5e
+(benchmarks/micro/attn_decode_bench.py, fused_decode_bench.py) show
+decode attention is bound by PER-GRID-CELL overhead, not bandwidth:
+one sequence per cell costs ~3.1us regardless of context length
+(ctx=64 and ctx=384 time identically), so 256 seqs x 22 layers ran at
+~130 GB/s effective vs ~820 GB/s peak. Three structural fixes, all
+needing kernel-level control the reference's CUDA paged_attention
+v1/v2 (csrc/attention/attention_kernels.cu) gets from hardware caches
+and SM oversubscription:
+
+* **Fused KV blocks**: the cache is ONE array ``[L, N, 2R, rd]`` —
+  block ``n`` holds, PER HEAD, that head's K rows then V rows
+  (head-major, so tensor-parallel sharding of dim 2 hands each shard
+  whole heads with their K AND V), and a block's K AND V arrive in
+  ONE DMA.
+  ``rd`` is the lane width: ``2*d`` with two tokens per row when that
+  fills whole vregs (pair mode, head 64 -> zero padding), else the
+  padded head size with one token per row (plain mode, head 128).
+
+* **Gang batching**: each grid cell processes GANG sequences — the
+  per-cell overhead (tile pipeline, grid bookkeeping, scalar setup)
+  amortizes GANG-fold, and the score/attend matmuls batch over
+  ``(gang, kv_head)`` so the MXU sees one big batched GEMM instead of
+  GANG tiny ones.
+
+* **Cross-unit software pipelining**: each core walks its cells'
+  superblock units with a two-slot pipeline — while unit ``u``
+  computes, unit ``u+1``'s DMAs (possibly the next gang's first) are
+  in flight. A per-core SMEM unit counter carries slot parity across
+  cells.
+
+The new tokens' K/V rows are merged into the streamed tiles before
+compute (keeping the unified kernel's fused-write property: no
+separate reshape_and_cache pass, no cache scatter outside the kernel)
+with pure-arithmetic selects (boolean broadcasts of mixed sublane/lane
+layouts hit unimplemented Mosaic relayouts), and each spanned block is
+written back as ONE fused DMA from a staging buffer, drained at the
+next unit so the writeback rides under compute.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = float(-2.0**30)
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _eq(a, b):
+    """{0.,1.} equality indicator via arithmetic (no i1 relayouts)."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    return 1.0 - jnp.minimum(jnp.abs(a - b), 1.0)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    layer_ref,  # [1] SMEM
+    block_tables_ref,  # [B, maxb] SMEM
+    context_lens_ref,  # [B] SMEM
+    alibi_ref,  # [num_q_heads] SMEM f32
+    bs_phase_ref,  # [num_q_heads] SMEM int32
+    # inputs
+    q_ref,  # [GANG, Hkv, G, D] VMEM tile
+    kn_ref,  # [GANG, Hkv, D] VMEM tile
+    vn_ref,  # [GANG, Hkv, D] VMEM tile
+    kv_in,  # [L, N, 2R, rd] HBM (aliased)
+    # outputs
+    o_ref,  # [GANG, Hkv, G, D] VMEM tile
+    kv_hbm,  # aliased HBM ref
+    # scratch
+    kv_buf,  # [2, GANG, KBLK, 2R, rd] VMEM
+    m_ref,  # [GANG, Hkv, G, 1] f32 running max
+    l_ref,  # [GANG, Hkv, G, 1] f32 running denom
+    acc_ref,  # [GANG, Hkv, G, D] f32 running numerator
+    cnt,  # [2] SMEM: unit counter, writeback-pending flag
+    sem,  # DMA sems [2, GANG, KBLK]
+    wsem,  # writeback sems [GANG]
+    *,
+    scale: float,
+    block_size: int,
+    kblk: int,
+    gang: int,
+    pair: bool,
+    cells: int,  # grid cells per core
+    sliding_window: Optional[int],
+    soft_cap: Optional[float],
+    has_alibi: bool,
+    blocksparse: Optional[Tuple[int, int, int]],
+    exact: bool,
+):
+    # exact=False (bf16 caches): operands stay/cast to bf16 and the
+    # MXU runs single-pass — HIGHEST on f32 operands costs 6 passes,
+    # which dominates decode at these tiny matmul shapes. bf16-sourced
+    # data loses nothing. exact=True (f32 caches, unit tests): full
+    # f32 passes for bit-level comparison against f64 oracles.
+    mm_dt = jnp.float32 if exact else jnp.bfloat16
+    mm_prec = _HI if exact else jax.lax.Precision.DEFAULT
+    core = pl.program_id(0)
+    cell = pl.program_id(1)
+    b0 = (core * cells + cell) * gang  # first sequence of this gang
+
+    _, hkv, g, d = q_ref.shape
+    two_r, rd = kv_buf.shape[3], kv_buf.shape[4]
+    r = two_r // 2
+    rows = r // hkv  # rows per head per block
+    sb = kblk * block_size  # tokens per superblock unit
+    lyr = layer_ref[0]
+
+    ctx_g = [context_lens_ref[b0 + s] for s in range(gang)]
+    nb_g = [pl.cdiv(c, block_size) for c in ctx_g]
+    ctx_max = ctx_g[0]
+    for c in ctx_g[1:]:
+        ctx_max = jnp.maximum(ctx_max, c)
+
+    # sliding window trims the unit loop only where the WHOLE gang
+    # agrees (per-seq masks stay exact regardless)
+    first_sb = jnp.int32(0)
+    if sliding_window is not None:
+        lo = ctx_g[0] - sliding_window
+        for c in ctx_g[1:]:
+            lo = jnp.minimum(lo, c - sliding_window)
+        first_sb = jnp.maximum(lo, 0) // sb
+    nsb_gang = pl.cdiv(ctx_max, sb) - first_sb
+    nsb_eff = jnp.maximum(nsb_gang, 1)  # dead gangs push a dummy unit
+
+    def issue_or_wait_fetch(gang_b0, sb_off, slot, wait):
+        """ONE fused DMA per (gang member, block), with ZERO per-DMA
+        guard arithmetic: the wrapper pads block tables to a multiple
+        of kblk columns with entry 0, so every superblock fetch is
+        unconditional (pad fetches re-read block 0; their rows are
+        position-masked in compute). Scalar guard chains — cdiv/min/
+        compare per DMA — were costing more than the DMAs; the jax
+        reference paged-attention kernel hits ~935 GB/s with MORE DMAs
+        and leaner scalar code."""
+        base = sb_off * kblk
+        for s in range(gang):
+            for j in range(kblk):
+                blk = block_tables_ref[gang_b0 + s, base + j]
+                cp = pltpu.make_async_copy(
+                    kv_hbm.at[lyr, blk], kv_buf.at[slot, s, j],
+                    sem.at[slot, s, j])
+                if wait:
+                    cp.wait()
+                else:
+                    cp.start()
+
+    def first_sb_of_next():
+        if sliding_window is None:
+            return jnp.int32(0)
+        nb0 = b0 + gang
+        lo = context_lens_ref[nb0] - sliding_window
+        for s in range(1, gang):
+            lo = jnp.minimum(lo, context_lens_ref[nb0 + s] -
+                             sliding_window)
+        return jnp.maximum(lo, 0) // sb
+
+    @pl.when(cell == 0)
+    def _prologue():
+        cnt[0] = 0
+        cnt[1] = 0
+        issue_or_wait_fetch(b0, first_sb, 0, wait=False)
+
+    base_cnt = cnt[0]
+
+    def wait_writebacks():
+        # size-only waits: shape matches every pending writeback
+        for s in range(gang):
+            @pl.when((cnt[1] & (1 << s)) != 0)
+            def _(s=s):
+                pltpu.make_async_copy(kv_buf.at[0, 0, 0],
+                                      kv_hbm.at[lyr, 0],
+                                      wsem.at[s]).wait()
+        cnt[1] = 0
+
+    q = q_ref[...].astype(jnp.float32) * scale  # [GANG, Hkv, G, D]
+
+    def unit(i, _):
+        # running softmax state lives in VMEM refs, NOT loop carries:
+        # fori carries materialize every iteration and serialize the
+        # scalar core against the vector core (the jax reference
+        # kernel's m/l/o-as-refs structure is what lets its scalar
+        # unit run ahead and hide all DMA issue cost)
+        m_prev = m_ref[...]
+        l_prev = l_ref[...]
+        acc = acc_ref[...]
+        sb_idx = first_sb + i
+        slot = (base_cnt + i) % 2
+
+        # ---- keep the pipeline primed ----
+        @pl.when(i + 1 < nsb_eff)
+        def _():
+            issue_or_wait_fetch(b0, sb_idx + 1, (base_cnt + i + 1) % 2,
+                                wait=False)
+
+        @pl.when(jnp.logical_and(i + 1 >= nsb_eff, cell + 1 < cells))
+        def _():
+            issue_or_wait_fetch(b0 + gang, first_sb_of_next(),
+                                (base_cnt + nsb_eff) % 2, wait=False)
+
+        issue_or_wait_fetch(b0, sb_idx, slot, wait=True)
+
+        # previous unit's writebacks have had a full unit to land;
+        # drain them before this unit possibly stages new ones (also
+        # guards the buf slots: a block is never refetched this step)
+        @pl.when(cnt[1] != 0)
+        def _():
+            wait_writebacks()
+
+        # ---- fused new-token write: ONE batched RMW over the whole
+        # unit buffer. Per-member merge graphs (16x onehot matmul +
+        # selects + branches) were the dominant FIXED cost per cell —
+        # ~250us/layer-call regardless of context length.
+        merge_g = []
+        for s in range(gang):
+            merge_g.append(jnp.logical_and(
+                ctx_g[s] > 0,
+                jnp.logical_and(nb_g[s] - 1 >= sb_idx * kblk,
+                                nb_g[s] - 1 < (sb_idx + 1) * kblk)))
+        any_merge = merge_g[0]
+        for mgs in merge_g[1:]:
+            any_merge = jnp.logical_or(any_merge, mgs)
+
+        @pl.when(any_merge)
+        def _merge():
+            def stack(vals, dt):
+                return jnp.concatenate([
+                    jnp.full((1, 1, 1, 1), v, dt) for v in vals
+                ], axis=0)
+
+            kn_all = kn_ref[...]  # [GANG, Hkv, D]
+            vn_all = vn_ref[...]
+            if pair:
+                kn_all = jnp.concatenate([kn_all, kn_all], -1)
+                vn_all = jnp.concatenate([vn_all, vn_all], -1)
+            newr = jnp.concatenate([kn_all, vn_all], 1).astype(
+                mm_dt)  # [GANG, 2*Hkv, rd]
+            # dim-2 order: head h's K rows at [h*2*rows, +rows), its
+            # V rows next; newr rows are [k_0..k_H-1, v_0..v_H-1]
+            sub = jax.lax.broadcasted_iota(jnp.int32, (two_r, 1), 0)
+            head_of = sub // (2 * rows)
+            is_v = (sub // rows) % 2
+            rowid = is_v * hkv + head_of  # [2R, 1]
+            idx = jax.lax.broadcasted_iota(
+                jnp.int32, (two_r, 2 * hkv), 1)
+            onehot = jnp.broadcast_to(
+                _eq(idx, rowid).astype(mm_dt),
+                (gang, two_r, 2 * hkv))
+            # batched one-hot row gather (exact: one-hot rows select
+            # cache-dtype-representable values)
+            src = jax.lax.dot_general(
+                onehot, newr, (((2, ), (1, )), ((0, ), (0, ))),
+                preferred_element_type=jnp.float32,
+                precision=mm_prec)[:, None]  # [GANG, 1, 2R, rd]
+
+            qpos_l = [c - 1 for c in ctx_g]
+            row_v = stack([(p % block_size) // (2 if pair else 1)
+                           for p in qpos_l], jnp.int32)
+            jl_v = stack([nb_g[s] - 1 - sb_idx * kblk
+                          for s in range(gang)], jnp.int32)
+            gate_v = stack([m.astype(jnp.int32) for m in merge_g],
+                           jnp.int32)
+            r_of = ((sub % r) % rows)[None, None]  # [1, 1, 2R, 1]
+            jidx = jax.lax.broadcasted_iota(
+                jnp.int32, (1, kblk, 1, 1), 1)
+            sel = (_eq(r_of, row_v) * _eq(jidx, jl_v) *
+                   gate_v.astype(jnp.float32))
+            if pair:
+                half_v = stack([p % 2 for p in qpos_l], jnp.int32)
+                lane_half = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, 1, rd), 3) // d
+                sel = sel * _eq(lane_half, half_v)
+            else:
+                sel = sel * jnp.ones((1, 1, 1, rd), jnp.float32)
+            sel = sel.astype(kv_buf.dtype)  # {0, 1}: exact either way
+            tile = kv_buf[slot]  # [GANG, KBLK, 2R, rd]
+            kv_buf[slot] = (tile * (1.0 - sel) +
+                            src.astype(kv_buf.dtype) * sel)
+            # async writebacks straight from the unit buffer: the slot
+            # is reused two units later and writebacks drain at the
+            # NEXT unit, so the buffer is stable for the DMA's life
+            for s in range(gang):
+                @pl.when(merge_g[s])
+                def _(s=s):
+                    jls = nb_g[s] - 1 - sb_idx * kblk
+                    for j in range(kblk):
+                        @pl.when(jls == j)
+                        def _(s=s, j=j):
+                            blk = block_tables_ref[b0 + s, nb_g[s] - 1]
+                            pltpu.make_async_copy(
+                                kv_buf.at[slot, s, j],
+                                kv_hbm.at[lyr, blk],
+                                wsem.at[s]).start()
+                    cnt[1] = cnt[1] | (1 << s)
+
+        # ---- batched attention over the unit ----
+        # [GANG, KBLK, 2R, rd] -> K/V [GANG, Hkv, KBLK*rows, rd]
+        kv_u = kv_buf[slot].reshape(gang, kblk, hkv, 2, rows, rd)
+        k_t = kv_u[:, :, :, 0].transpose(0, 2, 1, 3, 4).reshape(
+            gang, hkv, kblk * rows, rd).astype(mm_dt)
+        v_t = kv_u[:, :, :, 1].transpose(0, 2, 1, 3, 4).reshape(
+            gang, hkv, kblk * rows, rd).astype(mm_dt)
+        nrows = kblk * rows
+        row_lane = jax.lax.broadcasted_iota(jnp.int32, (1, nrows), 1)
+        row_col = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
+        base_tok = sb_idx * sb
+        if pair:
+            segs = [(k_t[..., :d], v_t[..., :d],
+                     base_tok + 2 * row_lane, base_tok + 2 * row_col),
+                    (k_t[..., d:], v_t[..., d:],
+                     base_tok + 2 * row_lane + 1,
+                     base_tok + 2 * row_col + 1)]
+        else:
+            segs = [(k_t, v_t, base_tok + row_lane,
+                     base_tok + row_col)]
+
+        # per-member scalars broadcast to [GANG, 1, 1, 1]
+        ctx_v = jnp.concatenate([
+            jnp.full((1, 1, 1, 1), c, jnp.int32) for c in ctx_g
+        ], axis=0)
+        qpos_v = ctx_v - 1
+
+        m_new = m_prev
+        sm = []
+        for k, v, pos, pos_col in segs:
+            # zero streamed garbage so 0-weight columns can't poison
+            # the p @ v matmul (stale bf16 can hold inf/nan patterns,
+            # and NaN survives multiplies — must be a true select);
+            # the mask is single-orientation [GANG, 1, row, 1], which
+            # Mosaic relayouts fine (unlike the merge's mixed
+            # sublane x lane broadcasts)
+            valid = (ctx_v - pos_col[None, None]) > 0
+            k = jnp.where(valid, k, 0.0)
+            v = jnp.where(valid, v, 0.0)
+            # fuse (gang, hkv) into ONE batch dim: Mosaic matmul
+            # supports at most one
+            nr = k.shape[2]
+            s_ = jax.lax.dot_general(
+                q.astype(mm_dt).reshape(gang * hkv, g, d),
+                k.reshape(gang * hkv, nr, d),
+                (((2, ), (2, )), ((0, ), (0, ))),
+                preferred_element_type=jnp.float32,
+                precision=mm_prec).reshape(gang, hkv, g, nr)
+            if soft_cap is not None:
+                s_ = soft_cap * jnp.tanh(s_ / soft_cap)
+            if has_alibi:
+                slope = jnp.concatenate([
+                    jnp.full((1, 1, 1, 1), alibi_ref[h * g + gi],
+                             jnp.float32) for h in range(hkv)
+                    for gi in range(g)
+                ], axis=1).reshape(1, hkv, g, 1)
+                s_ = s_ + slope * (pos[None] - qpos_v).astype(
+                    jnp.float32)
+            # mask: pos <= q_pos (=> also < ctx)
+            keep = 1.0 - jnp.minimum(
+                jnp.maximum(pos[None] - qpos_v, 0), 1).astype(
+                    jnp.float32)  # [GANG, 1, 1, S]
+            if sliding_window is not None:
+                keep = keep * (1.0 - jnp.minimum(
+                    jnp.maximum(qpos_v - sliding_window + 1 - pos[None],
+                                0), 1).astype(jnp.float32))
+            if blocksparse is not None:
+                bs_blk, lblk, vs = blocksparse
+                k_blk = pos[None] // bs_blk
+                local_ok = 1.0 - jnp.minimum(jnp.maximum(
+                    qpos_v // bs_blk - k_blk - (lblk - 1), 0),
+                    1).astype(jnp.float32)
+                phase = jnp.concatenate([
+                    jnp.full((1, 1, 1, 1), bs_phase_ref[h * g + gi],
+                             jnp.int32) for h in range(hkv)
+                    for gi in range(g)
+                ], axis=1).reshape(1, hkv, g, 1)
+                vert_ok = _eq((k_blk + phase + 1) % vs, 0)
+                keep = keep * jnp.minimum(local_ok + vert_ok, 1.0)
+            s_ = s_ + (keep - 1.0) * (-_NEG_INF)  # keep==0 -> -inf-ish
+            m_new = jnp.maximum(m_new,
+                                jnp.max(s_, axis=3, keepdims=True))
+            sm.append((s_, keep, v))
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha
+        acc = acc * alpha
+        for s_, keep, v in sm:
+            p = jnp.exp(s_ - m_new) * keep
+            l_new = l_new + jnp.sum(p, axis=3, keepdims=True)
+            nr = v.shape[2]
+            acc = acc + jax.lax.dot_general(
+                p.astype(mm_dt).reshape(gang * hkv, g, nr),
+                v.reshape(gang * hkv, nr, d),
+                (((2, ), (1, )), ((0, ), (0, ))),
+                preferred_element_type=jnp.float32,
+                precision=mm_prec).reshape(gang, hkv, g, d)
+        m_ref[...] = m_new
+        l_ref[...] = l_new
+        acc_ref[...] = acc
+        return 0
+
+    m_ref[...] = jnp.full((gang, hkv, g, 1), _NEG_INF, jnp.float32)
+    l_ref[...] = jnp.zeros((gang, hkv, g, 1), jnp.float32)
+    acc_ref[...] = jnp.zeros((gang, hkv, g, d), jnp.float32)
+    jax.lax.fori_loop(0, nsb_eff, unit, 0)
+    cnt[0] = base_cnt + nsb_eff
+
+    l = l_ref[...]
+    out = acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
+    o_ref[...] = out.astype(o_ref.dtype)
+
+    # drain writebacks before the kernel retires
+    @pl.when(jnp.logical_and(cell == cells - 1, cnt[1] != 0))
+    def _drain():
+        wait_writebacks()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "num_kv_heads", "sliding_window",
+                     "soft_cap", "kblk", "gang", "interpret",
+                     "blocksparse"),
+)
+def fused_decode_attention(
+    q: jax.Array,  # [B, num_q_heads, d]
+    k_new: jax.Array,  # [B, num_kv_heads, d]
+    v_new: jax.Array,
+    kv_cache: jax.Array,  # [L, N, 2R, rd] fused pair/plain
+    layer_idx: jax.Array,  # [1] int32
+    block_tables: jax.Array,  # [B, maxb] int32
+    context_lens: jax.Array,  # [B] int32
+    *,
+    scale: float,
+    num_kv_heads: int,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+    alibi_slopes: Optional[jax.Array] = None,
+    blocksparse: Optional[Tuple[int, int, int]] = None,
+    bs_phases: Optional[jax.Array] = None,
+    kblk: int = 4,
+    gang: int = 16,
+    interpret: bool = False,
+):
+    """Returns (out [B, num_q_heads, d], kv_cache) — cache updated in
+    place (aliased) with the new K/V rows at position ctx-1."""
+    batch, num_q_heads, d = q.shape
+    hkv = num_kv_heads
+    group = num_q_heads // hkv
+    # fused-plain arrives 5-D [L, N, 2*Hkv, bs, dpad]; flatten to the
+    # kernel's 4-D row form (dims 2-3 merge on a tile boundary:
+    # metadata-only, and XLA aliases through the round-trip reshapes)
+    plain_shape = None
+    if kv_cache.ndim == 5:
+        plain_shape = kv_cache.shape
+        lnum, nblk, two_h, bs_, dp = plain_shape
+        kv_cache = kv_cache.reshape(lnum, nblk, two_h * bs_, dp)
+        pair = False
+    else:
+        pair = True
+    _, _, two_r, rd = kv_cache.shape
+    r = two_r // 2
+    if pair:
+        assert rd == 2 * d, (kv_cache.shape, d)
+    rows = r // hkv
+    block_size = rows * (2 if pair else 1)
+
+    ncores = 2 if batch % 2 == 0 else 1
+    # gang: as large as divides the per-core batch
+    while gang > 1 and (batch // ncores) % gang != 0:
+        gang //= 2
+    cells = batch // (ncores * gang)
+
+    # VMEM budget: double-buffered gang units + staging + f32 compute
+    itm = jnp.dtype(kv_cache.dtype).itemsize
+    blk_bytes = two_r * rd * itm
+
+    def vmem_est(gang_, kblk_):
+        bufs = (2 * kblk_ + 1) * gang_ * blk_bytes
+        f32kv = 2 * 2 * gang_ * kblk_ * r * rd * 4  # k_t/v_t (+halves)
+        smat = 3 * gang_ * hkv * group * kblk_ * rows * (
+            2 if pair else 1) * 4
+        acc = 4 * gang_ * hkv * group * max(d, 32) * 4
+        return bufs + f32kv + smat + acc
+
+    while kblk > 1 and vmem_est(gang, kblk) > 40 * 2**20:
+        kblk //= 2
+    while gang > 1 and vmem_est(gang, kblk) > 40 * 2**20:
+        gang //= 2
+        cells = batch // (ncores * gang)
+
+    qr = q.reshape(ncores * cells, gang, hkv, group, d)
+    kn = k_new.reshape(ncores * cells, gang, hkv,
+                       d).astype(kv_cache.dtype)
+    vn = v_new.reshape(ncores * cells, gang, hkv,
+                       d).astype(kv_cache.dtype)
+
+    # pad tables to a kblk multiple so superblock fetches need no
+    # per-DMA bounds guards (pad entries are 0 and position-masked)
+    maxb = block_tables.shape[1]
+    pad_cols = (-maxb) % kblk
+    if pad_cols:
+        block_tables = jnp.pad(block_tables, ((0, 0), (0, pad_cols)))
+
+    has_alibi = alibi_slopes is not None
+    alibi_arr = (alibi_slopes.astype(jnp.float32) if has_alibi
+                 else jnp.zeros((1, ), jnp.float32))
+    phase_arr = (bs_phases.astype(jnp.int32) if bs_phases is not None
+                 else jnp.zeros((1, ), jnp.int32))
+
+    kernel = functools.partial(
+        _decode_kernel,
+        scale=scale,
+        block_size=block_size,
+        kblk=kblk,
+        gang=gang,
+        pair=pair,
+        cells=cells,
+        sliding_window=sliding_window,
+        soft_cap=soft_cap,
+        has_alibi=has_alibi,
+        blocksparse=blocksparse,
+        exact=jnp.dtype(kv_cache.dtype) != jnp.bfloat16,
+    )
+
+    def kernel_flat(lr, bt, cl, al, ph, q5, kn5, vn5, kvc, o5, kvo,
+                    kvb, mr, lr_, ar, cnt, sm, wsm):
+        kernel(lr, bt, cl, al, ph, q5.at[0], kn5.at[0], vn5.at[0], kvc,
+               o5.at[0], kvo, kvb, mr, lr_, ar, cnt, sm, wsm)
+
+    def cell_map(c, i, *refs):
+        return (c * cells + i, 0, 0, 0, 0)
+
+    def cell_map4(c, i, *refs):
+        return (c * cells + i, 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(ncores, cells),
+        in_specs=[
+            pl.BlockSpec((1, gang, hkv, group, d), cell_map),
+            pl.BlockSpec((1, gang, hkv, d), cell_map4),
+            pl.BlockSpec((1, gang, hkv, d), cell_map4),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, gang, hkv, group, d), cell_map),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, gang, kblk, two_r, rd), kv_cache.dtype),
+            pltpu.VMEM((gang, hkv, group, 1), jnp.float32),
+            pltpu.VMEM((gang, hkv, group, 1), jnp.float32),
+            pltpu.VMEM((gang, hkv, group, d), jnp.float32),
+            pltpu.SMEM((2, ), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, gang, kblk)),
+            pltpu.SemaphoreType.DMA((gang, )),
+        ],
+    )
+
+    out, kv_cache = pl.pallas_call(
+        kernel_flat,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(qr.shape, q.dtype),
+            jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+        ],
+        # inputs: (layer, tables, ctx, alibi, phases, q, kn, vn, kv)
+        input_output_aliases={8: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(layer_idx.astype(jnp.int32), block_tables,
+      context_lens.astype(jnp.int32), alibi_arr, phase_arr, qr, kn, vn,
+      kv_cache)
+
+    if plain_shape is not None:
+        kv_cache = kv_cache.reshape(plain_shape)
+    return out.reshape(batch, num_q_heads, d), kv_cache

@@ -93,16 +93,23 @@ def _attention_kernel(
     has_alibi: bool = False,
     blocksparse: Optional[Tuple[int, int, int]] = None,
     has_v_tables: bool = False,
+    packed: bool = False,
+    fused: bool = False,
+    interpret: bool = False,
 ):
     b = pl.program_id(0)
     qb = pl.program_id(1)
 
-    # packed layout: caches + scratch are [.., bs*d] flat rows (no
-    # 128-lane head padding; halves KV HBM bytes for head_size < 128).
-    # All whole-block DMA slicing below is shape-agnostic: `.at[...]`
-    # yields [Hkv, bs, D] tiles unpacked and [Hkv, bs*d] flat packed,
-    # and src/dst shapes agree on both sides.
-    packed = len(k_buf.shape) == 4  # [2, Hkv, KBLK, bs*d]
+    # pair-packed layout: the HBM cache is [L, N, Hkv*(bs/2), 2*d] —
+    # two consecutive tokens share one 2*d lane row, so head_size-64
+    # models get a 128-lane row with ZERO padding (the 5-D layout pads
+    # d -> 128 and doubles KV HBM bytes + decode DMA traffic).
+    # Mosaic cannot lane-split a [.., bs*d] register back into
+    # [.., bs, d], so compute keeps the halves separate: scores and the
+    # online softmax run per (even, odd) half with per-half kv
+    # positions — softmax is order-independent, only the position
+    # arithmetic must match. DMAs reshape the HBM ref (a sublane split
+    # on a tile boundary: metadata-only) into [Hkv, bs/2, 2d] scratch.
 
     per_head_tables = len(block_tables_ref.shape) == 3
 
@@ -125,10 +132,40 @@ def _attention_kernel(
 
     hkv, g, _, d = q_ref.shape
     sb = kblk * block_size  # kv positions per super-block
+    bs2 = block_size // 2  # pair rows per block (packed layout)
+    d2 = 2 * d
     lyr = layer_ref[0]
     ctx = context_lens_ref[b]
     qlen = query_lens_ref[b]
     q_start = ctx - qlen
+
+    def block_copies(hbm, blk, tile, sem_handle, *, to_hbm=False,
+                     kind=0):
+        """DMA descriptors between cache block ``blk`` and a VMEM tile
+        shaped [Hkv, bs(/2), d(2d)]. Fused caches hold per head its K
+        rows then V rows (``kind`` 0/1 selects), so the K and V sides
+        address row ranges of ONE buffer (per-head slices: plain
+        sublane ``pl.ds``, no ref reshapes — works in interpret mode
+        too). Split 5-D caches copy the whole [Hkv, bs, d] slab in one
+        DMA. This kernel serves the fused PREFILL path (plus
+        self-extend decode and spec-decode scoring chunks), which is
+        compute-bound — per-head DMAs are fine here; the decode hot
+        path lives in ops/pallas/fused_decode.py."""
+        if fused and packed:
+            # pair rows: [L, N, Hkv*2*(bs/2), 2d]
+            pairs = [(hbm.at[lyr, blk,
+                             pl.ds(h * 2 * bs2 + kind * bs2, bs2)],
+                      tile.at[h]) for h in range(hkv)]
+        elif fused:
+            # plain rows: [L, N, Hkv*2, bs, dpad]
+            pairs = [(hbm.at[lyr, blk, h * 2 + kind], tile.at[h])
+                     for h in range(hkv)]
+        else:
+            pairs = [(hbm.at[lyr, blk], tile)]
+        if to_hbm:
+            pairs = [(dst, src) for src, dst in pairs]
+        return [pltpu.make_async_copy(src, dst, sem_handle)
+                for src, dst in pairs]
 
     # ---------------- fused KV write (first q-tile only) ----------------
     # Decode (l_pad == 1) writes its single new row differently: the
@@ -137,15 +174,13 @@ def _attention_kernel(
     # without any HBM read-after-write) and the updated block is DMA'd
     # back once from the scratch slot — see `body` below.
     if l_pad > _MERGE_WRITE_MAX:
-        # packed large-chunk prefill: k_new/v_new arrive FLAT
-        # [Hkv, l_pad*d] (the 3-D form is only read by the merge path,
-        # which large chunks never take), so block slices match the
-        # flat cache rows.
+        # packed large-chunk prefill: k_new/v_new arrive PAIRED
+        # [Hkv, l_pad/2, 2d] (the per-token 3-D form is only read by
+        # the merge path, which large chunks never take), so block
+        # slices match the pair cache rows.
         def new_slice(ref, c):
             if packed:
-                d_real = k_buf.shape[-1] // block_size
-                return ref.at[:, pl.ds(c * block_size * d_real,
-                                       block_size * d_real)]
+                return ref.at[:, pl.ds(c * bs2, bs2), :]
             return ref.at[:, pl.ds(c * block_size, block_size), :]
 
         # Mixed chunked-prefill batches carry decode rows (qlen == 1,
@@ -166,23 +201,31 @@ def _attention_kernel(
                 def _(c=c):
                     blk = bt(first_entry + c)
                     vblk = vbt(first_entry + c)
-                    pltpu.make_async_copy(
-                        new_slice(k_new_ref, c),
-                        k_hbm.at[lyr, blk], wsem.at[0, c]).start()
-                    pltpu.make_async_copy(
-                        new_slice(v_new_ref, c),
-                        v_hbm.at[lyr, vblk], wsem.at[1, c]).start()
+                    for cp in block_copies(k_hbm, blk,
+                                           new_slice(k_new_ref, c),
+                                           wsem.at[0, c], to_hbm=True,
+                                           kind=0):
+                        cp.start()
+                    for cp in block_copies(v_hbm, vblk,
+                                           new_slice(v_new_ref, c),
+                                           wsem.at[1, c], to_hbm=True,
+                                           kind=1):
+                        cp.start()
             for c in range(l_pad // block_size):
                 @pl.when(c * block_size < qlen)
                 def _(c=c):
                     blk = bt(first_entry + c)
                     vblk = vbt(first_entry + c)
-                    pltpu.make_async_copy(
-                        new_slice(k_new_ref, c),
-                        k_hbm.at[lyr, blk], wsem.at[0, c]).wait()
-                    pltpu.make_async_copy(
-                        new_slice(v_new_ref, c),
-                        v_hbm.at[lyr, vblk], wsem.at[1, c]).wait()
+                    for cp in block_copies(k_hbm, blk,
+                                           new_slice(k_new_ref, c),
+                                           wsem.at[0, c], to_hbm=True,
+                                           kind=0):
+                        cp.wait()
+                    for cp in block_copies(v_hbm, vblk,
+                                           new_slice(v_new_ref, c),
+                                           wsem.at[1, c], to_hbm=True,
+                                           kind=1):
+                        cp.wait()
 
     # ---------------- attention over the paged cache --------------------
     q_base = ctx - qlen + qb * bq  # absolute position of q row i=0
@@ -215,12 +258,14 @@ def _attention_kernel(
                 else:
                     blk = bt(entry)
                     vblk = vbt(entry)
-                    pltpu.make_async_copy(
-                        k_hbm.at[lyr, blk], k_buf.at[slot, :, j],
-                        sem.at[0, slot, j]).start()
-                    pltpu.make_async_copy(
-                        v_hbm.at[lyr, vblk], v_buf.at[slot, :, j],
-                        sem.at[1, slot, j]).start()
+                    for cp in block_copies(k_hbm, blk,
+                                           k_buf.at[slot, :, j],
+                                           sem.at[0, slot, j], kind=0):
+                        cp.start()
+                    for cp in block_copies(v_hbm, vblk,
+                                           v_buf.at[slot, :, j],
+                                           sem.at[1, slot, j], kind=1):
+                        cp.start()
 
     def wait_fetch(sb_idx, slot):
         for j in range(kblk):
@@ -241,12 +286,14 @@ def _attention_kernel(
                 else:
                     blk = bt(entry)
                     vblk = vbt(entry)
-                    pltpu.make_async_copy(
-                        k_hbm.at[lyr, blk], k_buf.at[slot, :, j],
-                        sem.at[0, slot, j]).wait()
-                    pltpu.make_async_copy(
-                        v_hbm.at[lyr, vblk], v_buf.at[slot, :, j],
-                        sem.at[1, slot, j]).wait()
+                    for cp in block_copies(k_hbm, blk,
+                                           k_buf.at[slot, :, j],
+                                           sem.at[0, slot, j], kind=0):
+                        cp.wait()
+                    for cp in block_copies(v_hbm, vblk,
+                                           v_buf.at[slot, :, j],
+                                           sem.at[1, slot, j], kind=1):
+                        cp.wait()
 
     is_live = jnp.logical_and(qb * bq < qlen, nsb > 0)
 
@@ -287,8 +334,7 @@ def _attention_kernel(
                 start_fetch(sb_idx + 1, (i + 1) % 2)
 
             wait_fetch(sb_idx, slot)
-            kv_pos_col = sb_idx * sb + jax.lax.broadcasted_iota(
-                jnp.int32, (sb, 1), 0)
+            sb2t = kblk * bs2  # pair rows per superblock (packed)
             if l_pad <= _MERGE_WRITE_MAX:
                 merge_rows = l_pad
                 merge_gate = qlen > 0
@@ -309,26 +355,57 @@ def _attention_kernel(
                 # reads). Works at ANY q_start alignment because the
                 # pre-existing rows of partially-filled blocks come from
                 # the stream itself.
-                k_m = k_buf[slot].reshape(hkv, sb, d)
-                v_m = v_buf[slot].reshape(hkv, sb, d)
-                sel_col = kv_pos_col[None]  # [1, SB, 1]
                 # whole-tile register load: sublane slices of width 1
                 # (k_new_ref[:, r, :]) violate bf16 (2, 128) tiling
-                kn_all = k_new_ref[...]  # [Hkv, l_pad, D] or flat
+                kn_all = k_new_ref[...]  # [Hkv, l_pad, D] (or paired)
                 vn_all = v_new_ref[...]
 
                 def row(arr, r):
-                    if arr.ndim == 2:  # packed-flat [Hkv, l_pad*d]
-                        return arr[:, r * d:(r + 1) * d]
+                    if packed and arr.shape[-1] == d2:
+                        # paired [Hkv, l_pad/2, 2d] (large-chunk grid)
+                        return arr[:, r // 2, (r % 2) * d:
+                                   (r % 2) * d + d]
                     return arr[:, r, :]
 
-                for r in range(merge_rows):
-                    is_r = sel_col == (q_start + r)
-                    sel_r = jnp.logical_and(is_r, r < qlen)
-                    k_m = jnp.where(sel_r, row(kn_all, r)[:, None, :],
-                                    k_m)
-                    v_m = jnp.where(sel_r, row(vn_all, r)[:, None, :],
-                                    v_m)
+                if packed:
+                    # pair rows: token p lives in pair row p//2, lane
+                    # half p%2 — select via row index x lane-half masks
+                    # and a duplicated-halves value so either half can
+                    # take the new token.
+                    k_m = k_buf[slot].reshape(hkv, sb2t, d2)
+                    v_m = v_buf[slot].reshape(hkv, sb2t, d2)
+                    row_idx = sb_idx * sb2t + jax.lax.broadcasted_iota(
+                        jnp.int32, (sb2t, 1), 0)  # [SB2, 1]
+                    lane_half = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, d2), 1) // d  # [1, 2d]
+                    for r in range(merge_rows):
+                        p_tok = q_start + r
+                        sel_r = jnp.logical_and(
+                            jnp.logical_and(row_idx == p_tok // 2,
+                                            lane_half == p_tok % 2),
+                            r < qlen)[None]  # [1, SB2, 2d]
+                        kr = row(kn_all, r)
+                        vr = row(vn_all, r)
+                        k_m = jnp.where(
+                            sel_r,
+                            jnp.concatenate([kr, kr], -1)[:, None, :],
+                            k_m)
+                        v_m = jnp.where(
+                            sel_r,
+                            jnp.concatenate([vr, vr], -1)[:, None, :],
+                            v_m)
+                else:
+                    k_m = k_buf[slot].reshape(hkv, sb, d)
+                    v_m = v_buf[slot].reshape(hkv, sb, d)
+                    sel_col = sb_idx * sb + jax.lax.broadcasted_iota(
+                        jnp.int32, (sb, 1), 0)[None]  # [1, SB, 1]
+                    for r in range(merge_rows):
+                        sel_r = jnp.logical_and(
+                            sel_col == (q_start + r), r < qlen)
+                        k_m = jnp.where(sel_r,
+                                        row(kn_all, r)[:, None, :], k_m)
+                        v_m = jnp.where(sel_r,
+                                        row(vn_all, r)[:, None, :], v_m)
                 k_buf[slot] = k_m.reshape(k_buf.shape[1:])
                 v_buf[slot] = v_m.reshape(v_buf.shape[1:])
 
@@ -361,89 +438,126 @@ def _attention_kernel(
                         else:
                             blk = bt(entry)
                             vblk = vbt(entry)
-                            kw = pltpu.make_async_copy(
-                                k_buf.at[slot, :, j],
-                                k_hbm.at[lyr, blk], wsem.at[0, 0])
-                            vw = pltpu.make_async_copy(
-                                v_buf.at[slot, :, j],
-                                v_hbm.at[lyr, vblk], wsem.at[1, 0])
-                            kw.start()
-                            vw.start()
-                            kw.wait()
-                            vw.wait()
+                            kws = block_copies(k_hbm, blk,
+                                               k_buf.at[slot, :, j],
+                                               wsem.at[0, 0],
+                                               to_hbm=True, kind=0)
+                            vws = block_copies(v_hbm, vblk,
+                                               v_buf.at[slot, :, j],
+                                               wsem.at[1, 0],
+                                               to_hbm=True, kind=1)
+                            for cp in kws + vws:
+                                cp.start()
+                            for cp in kws + vws:
+                                cp.wait()
 
-            k = k_buf[slot].reshape(hkv, sb, d).astype(jnp.float32)
-            v = v_buf[slot].reshape(hkv, sb, d).astype(jnp.float32)
-            # Rows past the last fetched block hold garbage; zero them
-            # so 0-weight columns can't poison the p @ v matmul.
-            valid = kv_pos_col[None] < ctx  # [1, SB, 1]
-            k = jnp.where(valid, k, 0.0)
-            v = jnp.where(valid, v, 0.0)
-
-            kv_pos = sb_idx * sb + jax.lax.broadcasted_iota(
-                jnp.int32, (1, sb), 1)  # [1, SB]
-            if self_extend is None:
-                s = jax.lax.dot_general(
-                    q, k, (((2, ), (2, )), ((0, ), (0, ))),
-                    preferred_element_type=jnp.float32)  # [H, G*BQ, SB]
+            # One superblock = one segment unpacked, or the (even, odd)
+            # lane halves of the pair rows as two segments: the online
+            # softmax is order-independent, so per-segment kv positions
+            # keep masks/ALiBi/blocksparse exact with zero lane
+            # shuffles (Mosaic cannot lane-split [.., 2d] -> [.., 2, d]
+            # in registers).
+            if packed:
+                kp = k_buf[slot].reshape(hkv, sb2t, d2).astype(
+                    jnp.float32)
+                vp = v_buf[slot].reshape(hkv, sb2t, d2).astype(
+                    jnp.float32)
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, sb2t), 1)
+                rows_col = jax.lax.broadcasted_iota(
+                    jnp.int32, (sb2t, 1), 0)
+                base = sb_idx * sb
+                segs = [(kp[:, :, :d], vp[:, :, :d], base + 2 * rows,
+                         base + 2 * rows_col),
+                        (kp[:, :, d:], vp[:, :, d:],
+                         base + 2 * rows + 1, base + 2 * rows_col + 1)]
             else:
-                k_n = rope_rows(k, kv_pos[0], inv, rotary_dim,
-                                rope_neox)
-                k_g = rope_rows(k, kv_pos[0] // g_se, inv, rotary_dim,
-                                rope_neox)
-                s_n = jax.lax.dot_general(
-                    q_n, k_n, (((2, ), (2, )), ((0, ), (0, ))),
-                    preferred_element_type=jnp.float32)
-                s_g = jax.lax.dot_general(
-                    q_g, k_g, (((2, ), (2, )), ((0, ), (0, ))),
-                    preferred_element_type=jnp.float32)
-                s = jnp.where((q_pos - kv_pos)[None] <= w_se, s_n, s_g)
-            if soft_cap is not None:
-                s = soft_cap * jnp.tanh(s / soft_cap)
-            if has_alibi:
-                # ALiBi bias slope_head * (kv_pos - q_pos) (reference:
-                # csrc/attention/attention_kernels.cu alibi_slope arg;
-                # q heads are contiguous per kv head: q_head = h*G + g).
-                slope = jnp.concatenate([
-                    jnp.full((1, bq, 1), alibi_ref[h * g + gi],
-                             jnp.float32) for h in range(hkv)
-                    for gi in range(g)
-                ], axis=1).reshape(hkv, g * bq, 1)
-                s = s + slope * (kv_pos - q_pos)[None].astype(jnp.float32)
+                kf = k_buf[slot].reshape(hkv, sb, d).astype(jnp.float32)
+                vf = v_buf[slot].reshape(hkv, sb, d).astype(jnp.float32)
+                kv_pos = sb_idx * sb + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, sb), 1)  # [1, SB]
+                kv_pos_col = sb_idx * sb + jax.lax.broadcasted_iota(
+                    jnp.int32, (sb, 1), 0)  # [SB, 1]
+                segs = [(kf, vf, kv_pos, kv_pos_col)]
 
-            mask = (kv_pos <= q_pos) & (kv_pos < ctx)  # [G*BQ, SB]
-            if sliding_window is not None:
-                mask &= kv_pos > (q_pos - sliding_window)
-            if blocksparse is None:
-                fmask = mask[None]  # [1, G*BQ, SB]
-            else:
-                # Phi-3-Small blocksparse: local blocks + per-head
-                # vertically-strided blocks (reference: attention/ops/
-                # blocksparse_attention/utils.py:180-192); the per-head
-                # stripe phase (global_head * sliding_step) arrives via
-                # scalar prefetch so TP shards mask their own heads.
-                bs_blk, lblk, vs = blocksparse
-                q_blk = q_pos // bs_blk  # [G*BQ, 1]
-                k_blk = kv_pos // bs_blk  # [1, SB]
-                local_ok = (q_blk - k_blk) < lblk  # [G*BQ, SB]
-                phase = jnp.concatenate([
-                    jnp.full((1, bq, 1), bs_phase_ref[h * g + gi],
-                             jnp.int32) for h in range(hkv)
-                    for gi in range(g)
-                ], axis=1).reshape(hkv, g * bq, 1)
-                vert_ok = ((k_blk[None] + phase + 1) % vs) == 0
-                fmask = mask[None] & (local_ok[None] | vert_ok)
-            s = jnp.where(fmask, s, _NEG_INF)
+            sm = []  # per-segment (s, fmask, v)
+            for k, v, pos, pos_col in segs:
+                # Rows past the last fetched block hold garbage; zero
+                # them so 0-weight columns can't poison the p @ v
+                # matmul.
+                valid = (pos_col < ctx)[None]  # [1, S, 1]
+                k = jnp.where(valid, k, 0.0)
+                v = jnp.where(valid, v, 0.0)
+                if self_extend is None:
+                    s = jax.lax.dot_general(
+                        q, k, (((2, ), (2, )), ((0, ), (0, ))),
+                        preferred_element_type=jnp.float32)  # [H,GB,S]
+                else:
+                    k_n = rope_rows(k, pos[0], inv, rotary_dim,
+                                    rope_neox)
+                    k_g = rope_rows(k, pos[0] // g_se, inv, rotary_dim,
+                                    rope_neox)
+                    s_n = jax.lax.dot_general(
+                        q_n, k_n, (((2, ), (2, )), ((0, ), (0, ))),
+                        preferred_element_type=jnp.float32)
+                    s_g = jax.lax.dot_general(
+                        q_g, k_g, (((2, ), (2, )), ((0, ), (0, ))),
+                        preferred_element_type=jnp.float32)
+                    s = jnp.where((q_pos - pos)[None] <= w_se, s_n, s_g)
+                if soft_cap is not None:
+                    s = soft_cap * jnp.tanh(s / soft_cap)
+                if has_alibi:
+                    # ALiBi bias slope_head * (kv_pos - q_pos)
+                    # (reference: csrc/attention/attention_kernels.cu
+                    # alibi_slope arg; q heads are contiguous per kv
+                    # head: q_head = h*G + g).
+                    slope = jnp.concatenate([
+                        jnp.full((1, bq, 1), alibi_ref[h * g + gi],
+                                 jnp.float32) for h in range(hkv)
+                        for gi in range(g)
+                    ], axis=1).reshape(hkv, g * bq, 1)
+                    s = s + slope * (pos - q_pos)[None].astype(
+                        jnp.float32)
 
-            m_cur = jnp.max(s, axis=2, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.exp(s - m_new)
-            p = jnp.where(fmask, p, 0.0)
+                mask = (pos <= q_pos) & (pos < ctx)  # [G*BQ, S]
+                if sliding_window is not None:
+                    mask &= pos > (q_pos - sliding_window)
+                if blocksparse is None:
+                    fmask = mask[None]  # [1, G*BQ, S]
+                else:
+                    # Phi-3-Small blocksparse: local blocks + per-head
+                    # vertically-strided blocks (reference:
+                    # attention/ops/blocksparse_attention/
+                    # utils.py:180-192); the per-head stripe phase
+                    # (global_head * sliding_step) arrives via scalar
+                    # prefetch so TP shards mask their own heads.
+                    bs_blk, lblk, vs = blocksparse
+                    q_blk = q_pos // bs_blk  # [G*BQ, 1]
+                    k_blk = pos // bs_blk  # [1, S]
+                    local_ok = (q_blk - k_blk) < lblk  # [G*BQ, S]
+                    phase = jnp.concatenate([
+                        jnp.full((1, bq, 1), bs_phase_ref[h * g + gi],
+                                 jnp.int32) for h in range(hkv)
+                        for gi in range(g)
+                    ], axis=1).reshape(hkv, g * bq, 1)
+                    vert_ok = ((k_blk[None] + phase + 1) % vs) == 0
+                    fmask = mask[None] & (local_ok[None] | vert_ok)
+                sm.append((jnp.where(fmask, s, _NEG_INF), fmask, v))
+
+            m_new = m_prev
+            for s, _, _ in sm:
+                m_new = jnp.maximum(m_new,
+                                    jnp.max(s, axis=2, keepdims=True))
             alpha = jnp.exp(m_prev - m_new)
-            l_new = l_prev * alpha + jnp.sum(p, axis=2, keepdims=True)
-            acc = acc * alpha + jax.lax.dot_general(
-                p, v, (((2, ), (1, )), ((0, ), (0, ))),
-                preferred_element_type=jnp.float32)
+            l_new = l_prev * alpha
+            acc = acc * alpha
+            for s, fmask, v in sm:
+                p = jnp.exp(s - m_new)
+                p = jnp.where(fmask, p, 0.0)
+                l_new = l_new + jnp.sum(p, axis=2, keepdims=True)
+                acc = acc + jax.lax.dot_general(
+                    p, v, (((2, ), (1, )), ((0, ), (0, ))),
+                    preferred_element_type=jnp.float32)
             return m_new, l_new, acc
 
         m0 = jnp.full((hkv, g * bq, 1), _NEG_INF, jnp.float32)
@@ -489,13 +603,28 @@ def paged_attention(  # noqa: C901
     caches updated in place (input/output aliased).
     """
     batch, l_pad, num_q_heads, head = q.shape
-    packed = k_cache.ndim == 4  # [L, N, Hkv, bs*d] flat rows
+    num_kv_heads = k_new.shape[2]
+    # Cache layouts (models/attention.kv_cache_shape):
+    #   fused-pair  4-D [L, N, Hkv*2*(bs/2), 2d]   (v_cache is None)
+    #   fused-plain 5-D [L, N, Hkv*2, bs, dpad]    (v_cache is None)
+    #   split       5-D [L, N, Hkv, bs, dpad]
+    fused = v_cache is None
+    packed = k_cache.ndim == 4
     if packed:
-        num_kv_heads = k_cache.shape[2]
-        block_size = k_cache.shape[3] // head
-        assert k_cache.shape[3] == block_size * head
+        assert fused, "pair rows only exist in the fused layout"
+        assert k_cache.shape[3] == 2 * head, (
+            "pair-packed cache rows must hold exactly two tokens")
+        block_size = k_cache.shape[2] // num_kv_heads
+        assert k_cache.shape[2] == num_kv_heads * block_size
+        assert self_extend is None, (
+            "self-extend requires per-token cache rows (in-kernel "
+            "rope); the layout chooser disables pairing for it")
+    elif fused:
+        assert k_cache.shape[2] == 2 * num_kv_heads, (k_cache.shape,
+                                                      num_kv_heads)
+        block_size = k_cache.shape[3]
     else:
-        _, _, num_kv_heads, block_size, _ = k_cache.shape
+        _, _, _, block_size, _ = k_cache.shape
     assert num_q_heads % num_kv_heads == 0
     assert l_pad <= 32 or l_pad % block_size == 0, (
         f"prefill L_pad ({l_pad}) must be a multiple of block_size "
@@ -524,6 +653,12 @@ def paged_attention(  # noqa: C901
                 num_kv_heads * group * bq_ * sb_ * 4)
         kv = 2 * 2 * num_kv_heads * kblk_ * block_size * head * itm
         kv += 2 * num_kv_heads * sb_ * head * 4  # f32 casts of k, v
+        if packed:
+            # both lane halves' (s, fmask, p) stay alive across the
+            # two-segment online-softmax pass, and the half slices of
+            # the f32 kv copies materialize as separate registers
+            smat *= 2
+            kv += 2 * num_kv_heads * sb_ * head * 4
         return tiles + f32c + acc + smat + kv
 
     kblk = max(1, min(kblk, 64 // max(1, num_kv_heads)))
@@ -537,12 +672,14 @@ def paged_attention(  # noqa: C901
     qr = qr.transpose(0, 2, 3, 1, 4)
     # [B, L, Hkv, D] -> [B, Hkv, L, D]
     kn = k_new.transpose(0, 2, 1, 3).astype(k_cache.dtype)
-    vn = v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype)
+    vn = v_new.transpose(0, 2, 1, 3).astype(k_cache.dtype)
     if packed and l_pad > _MERGE_WRITE_MAX:
-        # flat form feeds the whole-block writes (see kernel); the 3-D
-        # form is only read by the merge path, never taken here
-        kn = kn.reshape(batch, num_kv_heads, l_pad * head)
-        vn = vn.reshape(batch, num_kv_heads, l_pad * head)
+        # paired form feeds the whole-block writes (see kernel); the
+        # per-token 3-D form is only read by the merge path, which at
+        # this l_pad only handles single decode rows (r=0) via a lane
+        # half-slice
+        kn = kn.reshape(batch, num_kv_heads, l_pad // 2, 2 * head)
+        vn = vn.reshape(batch, num_kv_heads, l_pad // 2, 2 * head)
 
     num_q_blocks = pl.cdiv(l_pad, bq)
     grid = (batch, num_q_blocks)
@@ -580,6 +717,9 @@ def paged_attention(  # noqa: C901
         has_alibi=has_alibi,
         blocksparse=blocksparse,
         has_v_tables=has_v_tables,
+        packed=packed,
+        fused=fused,
+        interpret=interpret,
         **se_kwargs,
     )
 
@@ -588,16 +728,27 @@ def paged_attention(  # noqa: C901
         kernel(lr, bt, cl, ql, al, ph, vt, q5.at[0], kn4.at[0],
                vn4.at[0], kc, vc, o5.at[0], ko, vo, kb, vb, sm, wsm)
 
+    def kernel_fused(lr, bt, cl, ql, al, ph, vt, q5, kn4, vn4, kvc, o5,
+                     kvo, kb, vb, sm, wsm):
+        # ONE cache operand; the kernel addresses K and V as row
+        # ranges of the same ref (block_copies kind=0/1)
+        kernel(lr, bt, cl, ql, al, ph, vt, q5.at[0], kn4.at[0],
+               vn4.at[0], kvc, kvc, o5.at[0], kvo, kvo, kb, vb, sm,
+               wsm)
+
     if packed and l_pad > _MERGE_WRITE_MAX:
-        new_spec = pl.BlockSpec((1, num_kv_heads, l_pad * head),
-                                lambda b, qb, *refs: (b, 0, 0))
+        new_spec = pl.BlockSpec((1, num_kv_heads, l_pad // 2, 2 * head),
+                                lambda b, qb, *refs: (b, 0, 0, 0))
     else:
         new_spec = pl.BlockSpec((1, num_kv_heads, l_pad, head),
                                 lambda b, qb, *refs: (b, 0, 0, 0))
     if packed:
-        buf_shape = (2, num_kv_heads, kblk, block_size * head)
+        buf_shape = (2, num_kv_heads, kblk, block_size // 2, 2 * head)
     else:
         buf_shape = (2, num_kv_heads, kblk, block_size, head)
+    cache_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if not fused:
+        cache_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=grid,
@@ -606,43 +757,51 @@ def paged_attention(  # noqa: C901
                          lambda b, qb, *refs: (b, 0, 0, qb, 0)),
             new_spec,
             new_spec,
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + cache_specs,
         out_specs=[
             pl.BlockSpec((1, num_kv_heads, group, bq, head),
                          lambda b, qb, *refs: (b, 0, 0, qb, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + cache_specs,
         scratch_shapes=[
             pltpu.VMEM(buf_shape, k_cache.dtype),
-            pltpu.VMEM(buf_shape, v_cache.dtype),
+            pltpu.VMEM(buf_shape, k_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2, kblk)),
             pltpu.SemaphoreType.DMA((2, wch)),
         ],
     )
 
-    out, k_cache, v_cache = pl.pallas_call(
-        kernel_5d,
+    out_shape = [jax.ShapeDtypeStruct(qr.shape, q.dtype),
+                 jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype)]
+    cache_args = (k_cache, )
+    if not fused:
+        out_shape.append(
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype))
+        cache_args = (k_cache, v_cache)
+    results = pl.pallas_call(
+        kernel_fused if fused else kernel_5d,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(qr.shape, q.dtype),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-        ],
+        out_shape=out_shape,
         # scalar-prefetch args count toward input positions: inputs are
         # (layer, tables, ctx, qlens, alibi, phases, v_tables, q, k_new,
-        # v_new, k_cache, v_cache)
-        input_output_aliases={10: 1, 11: 2},
+        # v_new, k_cache[, v_cache])
+        input_output_aliases={10: 1} if fused else {10: 1, 11: 2},
         # batch cells touch disjoint cache regions, so megacore may
         # split them; the q-tile dim accumulates and stays ordered.
+        # vmem_limit: the default 16M scoped limit undercounts what the
+        # sized tiles actually fit in (the _vmem_est budget governs);
+        # v5e cores have 128M VMEM.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(layer_idx.astype(jnp.int32), block_tables,
       context_lens.astype(jnp.int32), query_lens.astype(jnp.int32),
-      alibi_arr, phase_arr, vt_arr, qr, kn, vn, k_cache, v_cache)
+      alibi_arr, phase_arr, vt_arr, qr, kn, vn, *cache_args)
+    if fused:
+        out, k_cache = results
+        v_cache = None
+    else:
+        out, k_cache, v_cache = results
 
     # [B, Hkv, G, L, D] -> [B, L, Hq, D]
     out = out.transpose(0, 3, 1, 2, 4)

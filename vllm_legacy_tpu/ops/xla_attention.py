@@ -30,6 +30,41 @@ def _apply_soft_cap(s: jax.Array, soft_cap: Optional[float]) -> jax.Array:
     return soft_cap * jnp.tanh(s / soft_cap)
 
 
+def _split_fused(kv: jax.Array, num_kv_heads: int):
+    """FUSED cache -> per-token 5-D (k, v) views.
+
+    [L, N, Hkv*2*(bs/2), 2d] pair rows or [L, N, Hkv*2, bs, dpad]
+    plain rows; per head K rows then V rows, tokens consecutive, so a
+    plain reshape to [L, N, Hkv, 2, bs, d] separates them."""
+    lnum, nblk = kv.shape[:2]
+    if kv.ndim == 4:
+        bs = kv.shape[2] // num_kv_heads
+        d_eff = kv.shape[3] // 2
+    else:
+        bs, d_eff = kv.shape[3], kv.shape[4]
+    v6 = kv.reshape(lnum, nblk, num_kv_heads, 2, bs, d_eff)
+    return v6[:, :, :, 0], v6[:, :, :, 1]
+
+
+def _join_fused(k5: jax.Array, v5: jax.Array, shape) -> jax.Array:
+    return jnp.stack([k5, v5], axis=3).reshape(shape)
+
+
+def fused_decode(q, k_new, v_new, kv_cache, layer_idx, block_tables,
+                 context_lens, *, scale, num_kv_heads,
+                 sliding_window=None, soft_cap=None, alibi_slopes=None,
+                 blocksparse=None, bs_phases=None):
+    """Reference path for the fused-cache decode kernel
+    (ops/pallas/fused_decode.py)."""
+    k_cache, v_cache = _split_fused(kv_cache, num_kv_heads)
+    out, k_cache, v_cache = paged_attention_decode(
+        q, k_new, v_new, k_cache, v_cache, layer_idx, block_tables,
+        context_lens, scale=scale, sliding_window=sliding_window,
+        soft_cap=soft_cap, alibi_slopes=alibi_slopes,
+        blocksparse=blocksparse, bs_phases=bs_phases)
+    return out, _join_fused(k_cache, v_cache, kv_cache.shape)
+
+
 def _write_new_kv(k_new, v_new, k_cache, v_cache, layer_idx,
                   block_tables, query_lens, context_lens,
                   v_block_tables=None):
@@ -104,17 +139,14 @@ def paged_attention(
     table ends with the true last block at the same offset, so the new
     row's slot is head-independent and head 0's table can do the write.
     """
-    packed_shape = None
-    if k_cache.ndim == 4:
-        # flat-packed [L, N, Hkv, bs*d] rows (see pallas kernel);
-        # operate on a 5-D view — this debug/reference path tolerates
-        # the reshape copies
-        packed_shape = k_cache.shape
-        head = q.shape[-1]
-        bs = k_cache.shape[3] // head
-        shape5 = packed_shape[:3] + (bs, head)
-        k_cache = k_cache.reshape(shape5)
-        v_cache = v_cache.reshape(shape5)
+    fused_shape = None
+    if v_cache is None:
+        # FUSED cache (models/attention.kv_cache_shape): per head K
+        # rows then V rows; memory order is head-major then token-major
+        # so plain reshapes recover per-token 5-D views — this
+        # debug/reference path tolerates the reshape copies
+        fused_shape = k_cache.shape
+        k_cache, v_cache = _split_fused(k_cache, k_new.shape[2])
     write_tables = (block_tables[:, 0]
                     if block_tables.ndim == 3 else block_tables)
     k_cache, v_cache = _write_new_kv(k_new, v_new, k_cache, v_cache,
@@ -191,9 +223,9 @@ def paged_attention(
              v_block_tables)
     out = jax.vmap(one_seq)(q, block_tables, vtabs, query_lens,
                             context_lens)
-    if packed_shape is not None:
-        k_cache = k_cache.reshape(packed_shape)
-        v_cache = v_cache.reshape(packed_shape)
+    if fused_shape is not None:
+        return (jnp.nan_to_num(out).astype(q.dtype),
+                _join_fused(k_cache, v_cache, fused_shape), None)
     return jnp.nan_to_num(out).astype(q.dtype), k_cache, v_cache
 
 

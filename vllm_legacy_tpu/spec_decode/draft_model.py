@@ -55,6 +55,8 @@ class DraftModelProposer:
                                         self.runner.mesh)
         self.runner.kv_cache_ndim = \
             self.cache_engine.gpu_cache[0].ndim
+        self.runner.kv_cache_arity = \
+            len(self.cache_engine.gpu_cache)
 
     # -- draft KV maintenance --------------------------------------------
     def _run_prefill(self, items: List[Tuple[SequenceGroupMetadata, int,

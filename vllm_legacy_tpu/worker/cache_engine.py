@@ -47,10 +47,15 @@ def get_cache_block_size(cache_config: CacheConfig,
     V-offload only K scales with the block count (V lives in the
     fixed-size ring pool)."""
     from vllm_legacy_tpu.models.attention import (padded_head_size,
+                                                  use_fused_kv,
                                                   use_packed_kv)
-    if use_packed_kv(model_config.get_head_size(),
-                     sparse=model_config.sparse_attention):
-        head_size = model_config.get_head_size()  # flat rows, no pad
+    fused = use_fused_kv(sparse=model_config.sparse_attention,
+                         v_offload=bool(cache_config.v_offload_window))
+    if fused and use_packed_kv(model_config.get_head_size(),
+                               sparse=model_config.sparse_attention,
+                               block_size=cache_config.block_size,
+                               self_extend=model_config.self_extend):
+        head_size = model_config.get_head_size()  # pair rows, no pad
     else:
         head_size = padded_head_size(model_config.get_head_size())
     num_heads = model_config.get_total_num_kv_heads()
@@ -116,11 +121,17 @@ class CacheEngine:
         self.num_layers = model_config.get_num_layers(parallel_config)
         from vllm_legacy_tpu.models.attention import (kv_cache_shape,
                                                       padded_head_size,
+                                                      use_fused_kv,
                                                       use_packed_kv)
         self.num_kv_heads = model_config.get_total_num_kv_heads()
-        self.packed = use_packed_kv(
+        self.fused = use_fused_kv(
+            sparse=model_config.sparse_attention,
+            v_offload=bool(cache_config.v_offload_window))
+        self.packed = self.fused and use_packed_kv(
             model_config.get_head_size(),
-            sparse=model_config.sparse_attention)
+            sparse=model_config.sparse_attention,
+            block_size=cache_config.block_size,
+            self_extend=model_config.self_extend)
         self.head_size = (model_config.get_head_size() if self.packed
                           else padded_head_size(
                               model_config.get_head_size()))
@@ -137,7 +148,7 @@ class CacheEngine:
         shape = kv_cache_shape(self.num_layers, self.num_gpu_blocks,
                                self.num_kv_heads, self.block_size,
                                model_config.get_head_size(),
-                               packed=self.packed)
+                               packed=self.packed, fused=self.fused)
         v_shape = shape
         if cache_config.v_offload_window:
             # V ring pool: max_num_seqs rings of sink+window blocks
@@ -153,20 +164,28 @@ class CacheEngine:
                 "(%.1fx V HBM saving at full context)", num_v_slots,
                 self.num_gpu_blocks,
                 max(self.num_gpu_blocks / num_v_slots, 1.0))
-        self.gpu_cache: Tuple[jax.Array, jax.Array] = (
-            jax.device_put(jnp.zeros(shape, self.dtype),
-                           self.cache_sharding),
-            jax.device_put(jnp.zeros(v_shape, self.dtype),
-                           self.cache_sharding),
-        )
+        if self.fused:
+            # ONE buffer holds K and V (block = per-head K rows then V
+            # rows) — a block's K+V arrive in one DMA and the decode
+            # kernel is the gang-batched fused_decode path
+            self.gpu_cache: Tuple[jax.Array, ...] = (
+                jax.device_put(jnp.zeros(shape, self.dtype),
+                               self.cache_sharding), )
+        else:
+            self.gpu_cache = (
+                jax.device_put(jnp.zeros(shape, self.dtype),
+                               self.cache_sharding),
+                jax.device_put(jnp.zeros(v_shape, self.dtype),
+                               self.cache_sharding),
+            )
         # Host swap tier (reference: pinned-CPU swap pool).
-        self.cpu_cache: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.cpu_cache: Optional[Tuple[np.ndarray, ...]] = None
         if self.num_cpu_blocks > 0:
             host_dtype = (jnp.dtype(self.dtype).name
                           if self.dtype != jnp.bfloat16 else "uint16")
             cshape = (self.num_layers, self.num_cpu_blocks) + shape[2:]
-            self.cpu_cache = (np.zeros(cshape, host_dtype),
-                              np.zeros(cshape, host_dtype))
+            self.cpu_cache = tuple(
+                np.zeros(cshape, host_dtype) for _ in self.gpu_cache)
 
         self._jit_copy = None
 
@@ -184,15 +203,14 @@ class CacheEngine:
         src_a = jnp.asarray(src, jnp.int32)
         dst_a = jnp.asarray(dst, jnp.int32)
         if self._jit_copy is None:
-            from vllm_legacy_tpu.ops.kv_cache import copy_blocks as _cb
+            from vllm_legacy_tpu.ops.kv_cache import copy_one
 
-            def run(k, v, s, d):
-                return _cb(k, v, s, d)
+            def run(caches, s, d):
+                return tuple(copy_one(c, s, d) for c in caches)
 
-            self._jit_copy = jax.jit(run, donate_argnums=(0, 1))
+            self._jit_copy = jax.jit(run, donate_argnums=(0, ))
         self.gpu_cache = tuple(
-            self._jit_copy(self.gpu_cache[0], self.gpu_cache[1], src_a,
-                           dst_a))
+            self._jit_copy(self.gpu_cache, src_a, dst_a))
 
     def swap_out(self, mapping: Dict[int, int]) -> None:
         """Device -> host block movement (gather on device, one
@@ -202,15 +220,12 @@ class CacheEngine:
         from vllm_legacy_tpu.ops.kv_cache import gather_blocks
         src = jnp.asarray(list(mapping.keys()), jnp.int32)
         dst = list(mapping.values())
-        k_host, v_host = self.cpu_cache
-        k_dev, v_dev = self.gpu_cache
-        k_blocks = np.asarray(jax.device_get(gather_blocks(k_dev, src)))
-        v_blocks = np.asarray(jax.device_get(gather_blocks(v_dev, src)))
-        if k_host.dtype == np.uint16:
-            k_blocks = k_blocks.view(np.uint16)
-            v_blocks = v_blocks.view(np.uint16)
-        k_host[:, dst] = k_blocks
-        v_host[:, dst] = v_blocks
+        for host, dev in zip(self.cpu_cache, self.gpu_cache):
+            blocks = np.asarray(jax.device_get(gather_blocks(dev,
+                                                             src)))
+            if host.dtype == np.uint16:
+                blocks = blocks.view(np.uint16)
+            host[:, dst] = blocks
 
     def swap_in(self, mapping: Dict[int, int]) -> None:
         if not mapping:
@@ -220,14 +235,11 @@ class CacheEngine:
         from vllm_legacy_tpu.ops.kv_cache import scatter_blocks
         src = list(mapping.keys())
         dst = jnp.asarray(list(mapping.values()), jnp.int32)
-        k_host, v_host = self.cpu_cache
-        k_blocks = k_host[:, src]
-        v_blocks = v_host[:, src]
-        if k_host.dtype == np.uint16:
-            k_blocks = k_blocks.view(ml_dtypes.bfloat16)
-            v_blocks = v_blocks.view(ml_dtypes.bfloat16)
-        k_dev, v_dev = self.gpu_cache
-        self.gpu_cache = (scatter_blocks(k_dev, jnp.asarray(k_blocks),
-                                         dst),
-                          scatter_blocks(v_dev, jnp.asarray(v_blocks),
-                                         dst))
+        new_caches = []
+        for host, dev in zip(self.cpu_cache, self.gpu_cache):
+            blocks = host[:, src]
+            if host.dtype == np.uint16:
+                blocks = blocks.view(ml_dtypes.bfloat16)
+            new_caches.append(
+                scatter_blocks(dev, jnp.asarray(blocks), dst))
+        self.gpu_cache = tuple(new_caches)

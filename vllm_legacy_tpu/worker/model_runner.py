@@ -186,9 +186,11 @@ class ModelRunner:
 
         self.model: Any = None
         self.params: Any = None
-        # 5 normally, 4 for the flat-packed head<128 layout (set by the
-        # worker from the cache engine; models/attention.use_packed_kv)
+        # cache pytree shape, set by the worker from the cache engine:
+        # arity 1 = fused single buffer (ndim 4 pair-packed / 5 plain),
+        # arity 2 = split k/v 5-D (sparse, V-offload)
         self.kv_cache_ndim = 5
+        self.kv_cache_arity = 2
         # rolling phase averages served at /dev/metrics/runner
         self.runner_metrics: Dict[str, float] = dict(
             steps=0, measured_steps=0, prepare_ms=0.0, dispatch_ms=0.0,
@@ -217,7 +219,7 @@ class ModelRunner:
     def _kv_specs(self):
         spec = P(None, None, "model", None) if self.kv_cache_ndim == 4 \
             else P(None, None, "model", None, None)
-        return (spec, spec)
+        return (spec, ) * self.kv_cache_arity
 
     # ------------------------------------------------------------------
     # Model loading

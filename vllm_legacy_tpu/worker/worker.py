@@ -152,6 +152,8 @@ class Worker:
             max_num_seqs=self.scheduler_config.max_num_seqs)
         self.model_runner.kv_cache_ndim = \
             self.cache_engine.gpu_cache[0].ndim
+        self.model_runner.kv_cache_arity = \
+            len(self.cache_engine.gpu_cache)
 
     def _validate_v_offload(self) -> None:
         """V-offload pairs with sparse attention and recompute-only
