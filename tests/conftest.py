@@ -19,3 +19,21 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 # Pallas kernels run in interpret mode on CPU.
 os.environ.setdefault("VLT_PALLAS_INTERPRET", "1")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers (pytest.ini): everything that builds an engine,
+    runs interpret-mode kernels, or loads HF models is ``slow``; the
+    smoke tier (-m "not slow") keeps the pure-Python layers —
+    scheduler, block manager, sequences, sampling params, config,
+    tokenization, outputs — under ~90s."""
+    import pytest as _pytest
+    slow_dirs = ("tests/e2e", "tests/models", "tests/lora",
+                 "tests/spec_decode", "tests/entrypoints",
+                 "tests/async_engine", "tests/metrics", "tests/kernels")
+    slow_files = ("test_fp8_kv.py", "test_guided_decoding.py",
+                  "test_usage_and_tensorizer.py")
+    for item in items:
+        p = str(item.fspath)
+        if any(d in p for d in slow_dirs) or p.endswith(slow_files):
+            item.add_marker(_pytest.mark.slow)
