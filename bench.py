@@ -1,9 +1,17 @@
 """Driver benchmark: offline continuous-batching throughput on one chip.
 
 Equivalent of the reference's benchmarks/benchmark_throughput.py CI run
-(--input-len 256 --output-len 256, .buildkite/run-benchmarks.sh:16) on a
-dummy-weight TinyLlama-1.1B (BASELINE.json configs[0]; real checkpoints
-are unreachable in this environment — numbers measure engine+kernels).
+(--input-len 256 --output-len 256, .buildkite/run-benchmarks.sh:16) on
+dummy-weight models (BASELINE.json configs; real checkpoints are
+unreachable in this environment — numbers measure engine+kernels).
+
+Model configs, selected with BENCH_MODEL:
+    tinyllama_bf16  TinyLlama-1.1B bf16 (default; BASELINE config[0])
+    7b_int4         Llama-2-7B GPTQ INT4 — the north-star metric
+                    (BASELINE config[1]); dummy weights in the packed
+                    device layout run the real fused dequant-GEMM path
+    13b_awq_fp8kv   Llama-2-13B AWQ INT4 + FP8 KV cache + chunked
+                    prefill + prefix caching (BASELINE config[2])
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -15,17 +23,13 @@ import sys
 import time
 
 
-def main() -> None:
-    import jax
-
-    from vllm_legacy_tpu.engine.llm_engine import LLMEngine
-    from vllm_legacy_tpu.sampling_params import SamplingParams
-    from vllm_legacy_tpu.testing_utils import (make_dummy_engine_config,
+def build_config(model: str, input_len: int, output_len: int,
+                 num_seqs: int):
+    from vllm_legacy_tpu.testing_utils import (llama2_7b_gptq_hf_config,
+                                               llama2_13b_awq_hf_config,
+                                               make_dummy_engine_config,
                                                tinyllama_1_1b_hf_config)
 
-    input_len = int(os.getenv("BENCH_INPUT_LEN", "256"))
-    output_len = int(os.getenv("BENCH_OUTPUT_LEN", "256"))
-    num_seqs = int(os.getenv("BENCH_NUM_SEQS", "256"))
     num_steps = int(os.getenv("BENCH_SCHEDULER_STEPS", "32"))
     batched = int(os.getenv("BENCH_MAX_BATCHED_TOKENS", "8192"))
     # 64 measured best on-chip: fewer, larger block DMAs (the decode
@@ -34,8 +38,7 @@ def main() -> None:
     # 64->11.4k, 128->9.5k tok/s with VLT_PACKED_KV=1)
     block_size = int(os.getenv("BENCH_BLOCK_SIZE", "64"))
 
-    cfg = make_dummy_engine_config(
-        tinyllama_1_1b_hf_config(),
+    common = dict(
         dtype="bfloat16",
         max_model_len=input_len + output_len + 16,
         max_num_seqs=num_seqs,
@@ -44,7 +47,32 @@ def main() -> None:
         max_num_batched_tokens=batched,
         block_size=block_size,
     )
-    engine = LLMEngine(cfg, log_stats=False)
+    if model == "tinyllama_bf16":
+        return make_dummy_engine_config(tinyllama_1_1b_hf_config(),
+                                        **common)
+    if model == "7b_int4":
+        return make_dummy_engine_config(llama2_7b_gptq_hf_config(),
+                                        **common)
+    if model == "13b_awq_fp8kv":
+        return make_dummy_engine_config(llama2_13b_awq_hf_config(),
+                                        kv_cache_dtype="fp8",
+                                        enable_chunked_prefill=True,
+                                        enable_prefix_caching=True,
+                                        **common)
+    raise SystemExit(f"unknown BENCH_MODEL={model}")
+
+
+def main() -> None:
+    from vllm_legacy_tpu.engine.llm_engine import LLMEngine
+    from vllm_legacy_tpu.sampling_params import SamplingParams
+
+    model = os.getenv("BENCH_MODEL", "tinyllama_bf16")
+    input_len = int(os.getenv("BENCH_INPUT_LEN", "256"))
+    output_len = int(os.getenv("BENCH_OUTPUT_LEN", "256"))
+    num_seqs = int(os.getenv("BENCH_NUM_SEQS", "256"))
+
+    engine = LLMEngine(build_config(model, input_len, output_len,
+                                    num_seqs), log_stats=False)
 
     params = SamplingParams(temperature=0.0, max_tokens=output_len,
                             ignore_eos=True, detokenize=False)
@@ -73,10 +101,14 @@ def main() -> None:
             last_len[o.request_id] = n
     elapsed = time.perf_counter() - t0
 
-    total_new_tokens = decoded  # tokens generated in the timed window
-    tput = total_new_tokens / elapsed
+    tput = decoded / elapsed  # tokens generated in the timed window
+    names = {
+        "tinyllama_bf16": "tinyllama1.1b_bf16",
+        "7b_int4": "llama2_7b_gptq_int4",
+        "13b_awq_fp8kv": "llama2_13b_awq_int4_fp8kv",
+    }
     print(json.dumps({
-        "metric": "output_tokens_per_sec_per_chip_tinyllama1.1b_bf16",
+        "metric": f"output_tokens_per_sec_per_chip_{names[model]}",
         "value": round(tput, 2),
         "unit": "tokens/s",
         "vs_baseline": None,

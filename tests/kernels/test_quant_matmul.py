@@ -152,7 +152,8 @@ def test_awq_convert_roundtrip():
 
 @pytest.mark.parametrize("bits", [4, 8])
 @pytest.mark.parametrize("m,k,n,g", [(8, 256, 256, 64), (3, 512, 128, 128),
-                                     (16, 256, 384, 256)])
+                                     (16, 256, 384, 256),
+                                     (8, 2048, 256, 128)])
 def test_quant_matmul_kernel(bits, m, k, n, g):
     rng = np.random.RandomState(42)
     if bits == 4:
@@ -171,5 +172,45 @@ def test_quant_matmul_kernel(bits, m, k, n, g):
     got = np.asarray(
         quant_matmul(jnp.asarray(x), jnp.asarray(qw),
                      jnp.asarray(scales), jnp.asarray(szeros), bits=bits,
-                     group_size=g, bm=8, bk=128, bn=128, interpret=True))
+                     group_size=g, bm=8, bn=128, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("k,g,k_shards", [(1376, 32, 1), (11008, 128, 1),
+                                          (5504, 32, 2)])
+def test_as_params_k_padding_inert(k, g, k_shards):
+    """as_params pads K per row-shard to a whole number of kernel K
+    tiles (quant_k_tile); with x zero-padded to match (apply does this),
+    the padded rows must not change the product."""
+    from vllm_legacy_tpu.layers.quantization.common import (
+        PackedQuantParams)
+    from vllm_legacy_tpu.ops.pallas.quant_matmul import quant_k_tile
+
+    rng = np.random.RandomState(7)
+    n, m = 128, 4
+    qw = rng.randint(0, 256, size=(k // 2, n)).astype(np.uint8)
+    scales = (rng.rand(k // g, n).astype(np.float32) * 0.05 + 0.01)
+    szeros = rng.randn(k // g, n).astype(np.float32) * 0.05
+    x = rng.randn(m, k).astype(np.float32)
+
+    w = np.asarray(dequantize_reference(jnp.asarray(qw),
+                                        jnp.asarray(scales),
+                                        jnp.asarray(szeros), bits=4,
+                                        group_size=g))
+    want = x @ w
+
+    packed = PackedQuantParams(qw, scales, szeros, 4, g).as_params(
+        k_shards=k_shards)
+    k_new = packed["qweight"].shape[0] * 2
+    assert (k_new // k_shards) % quant_k_tile(k_new // k_shards, g) == 0
+    assert packed["scales"].shape[0] == k_new // g
+    # emulate apply(): per-shard x zero-padding, shard-wise partial sums
+    xs = x.reshape(m, k_shards, k // k_shards)
+    xs = np.pad(xs, ((0, 0), (0, 0),
+                     (0, (k_new - k) // k_shards))).reshape(m, k_new)
+    got = np.asarray(
+        quant_matmul(jnp.asarray(xs), jnp.asarray(packed["qweight"]),
+                     jnp.asarray(packed["scales"]),
+                     jnp.asarray(packed["szeros"]), bits=4,
+                     group_size=g, bm=8, bn=128, interpret=True))
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=2e-4)

@@ -70,7 +70,7 @@ class AQLMConfig(QuantizationConfig):
 
     def convert_layer_params(
             self, tensors: Dict[str, np.ndarray],
-            np_dtype) -> Dict[str, np.ndarray]:
+            np_dtype, k_shards: int = 1) -> Dict[str, np.ndarray]:
         codes = tensors["codes"]
         codebooks = tensors["codebooks"].astype(np.float32)
         scales = tensors["scales"].astype(np.float32)

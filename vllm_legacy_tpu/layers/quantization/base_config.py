@@ -51,7 +51,51 @@ class QuantizationConfig(ABC):
         return "qweight" in tensors
 
     def convert_layer_params(self, tensors: Dict[str, Any],
-                             np_dtype) -> Dict[str, Any]:
+                             np_dtype,
+                             k_shards: int = 1) -> Dict[str, Any]:
         """Repack one projection's tensors into device-ready params.
-        Default: the common TPU packed-groupwise layout."""
-        return self.convert_layer(tensors).as_params()
+        Default: the common TPU packed-groupwise layout. ``k_shards`` is
+        the row-parallel TP degree for this linear — packed K is padded
+        per shard so each shard's K tiles divide exactly."""
+        return self.convert_layer(tensors).as_params(k_shards=k_shards)
+
+    def dummy_packed_params(self, k: int, n: int, rng,
+                            k_shards: int = 1) -> Dict[str, Any]:
+        """Device-ready random params for one [k, n] linear — the
+        quantized analogue of DummyModelLoader (reference
+        model_loader/loader.py:261): lets benchmarks/tests run the real
+        fused dequant-GEMM path at full model scale without a
+        checkpoint. Default: the common packed-groupwise layout
+        (common.py). Values are uniform nibbles around the zero point so
+        dequantized weights look like N(0, ~0.02) init noise."""
+        import numpy as np
+
+        from vllm_legacy_tpu.layers.quantization.common import (
+            PackedQuantParams)
+        method = self.get_linear_method()
+        bits = getattr(method, "bits", 4)
+        group = getattr(method, "group_size", 128) or 128
+        if group <= 0:  # -1 = one group over the whole contraction
+            group = k
+        n_groups = max(k // group, 1)
+        # one shared random byte pool, viewed per call — generating
+        # fresh bytes for 7B params takes tens of seconds on host
+        pool = rng.randint(0, 256, size=1 << 22).astype(np.uint8)
+
+        def bytes_tiled(shape, signed=False):
+            size = int(np.prod(shape))
+            reps = size // pool.size + 1
+            out = np.tile(pool, reps)[:size].reshape(shape)
+            return (out.view(np.int8) if signed else out).copy()
+
+        if bits == 4:
+            qweight = bytes_tiled((k // 2, n))
+            zero = 7.5  # mean nibble
+        else:
+            qweight = bytes_tiled((k, n), signed=True)
+            zero = -0.5
+        scale = 0.005
+        scales = np.full((n_groups, n), scale, np.float32)
+        szeros = np.full((n_groups, n), scale * zero, np.float32)
+        return PackedQuantParams(qweight, scales, szeros, bits,
+                                 group).as_params(k_shards=k_shards)

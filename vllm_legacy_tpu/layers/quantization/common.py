@@ -61,11 +61,50 @@ class PackedQuantParams:
         # act-order (GPTQ desc_act): runtime gather of x columns
         self.in_perm = in_perm
 
-    def as_params(self) -> Dict[str, np.ndarray]:
+    def as_params(self, k_shards: int = 1) -> Dict[str, np.ndarray]:
+        """Device-ready dict, with K padded so each of the ``k_shards``
+        row-parallel shards is a whole number of kernel K tiles
+        (quant_matmul.quant_k_tile: 8 groups, sublane-aligned scales
+        blocks); apply() zero-pads x to match, so padded rows contribute
+        nothing to the dot."""
+        from vllm_legacy_tpu.ops.pallas.quant_matmul import quant_k_tile
+        qweight, scales, szeros = (self.qweight,
+                                   self.scales.astype(np.float32),
+                                   self.szeros.astype(np.float32))
+        rows_per_k = 2 if self.bits == 4 else 1
+        k = qweight.shape[0] * rows_per_k
+        group = self.group_size if self.group_size > 0 else k
+        if k_shards > 1 and (k // k_shards) % group != 0:
+            raise ValueError(
+                f"row-parallel TP over {k_shards} shards needs the "
+                f"per-shard K ({k}/{k_shards}) to be a multiple of the "
+                f"quant group size {group} (same constraint as the "
+                "reference's GPTQLinearMethod input alignment)")
+        # pad each shard's K segment to a whole number of kernel K
+        # tiles; the pad sits at each shard's tail (TP splits K
+        # contiguously), and apply() zero-pads the local x to match.
+        k_loc = k // k_shards
+        k_loc_new = k_loc if k_loc // group < 8 \
+            else -(-k_loc // (8 * group)) * (8 * group)
+        assert k_loc_new % quant_k_tile(k_loc_new, group) == 0
+        pad_loc = k_loc_new - k_loc
+        if pad_loc:
+            def pad_segments(a: np.ndarray, seg: int, pad: int):
+                a = a.reshape(k_shards, seg, *a.shape[1:])
+                a = np.pad(a, ((0, 0), (0, pad)) + ((0, 0), ) *
+                           (a.ndim - 2))
+                return a.reshape(k_shards * (seg + pad), *a.shape[2:])
+
+            qweight = pad_segments(qweight, k_loc // rows_per_k,
+                                   pad_loc // rows_per_k)
+            scales = pad_segments(scales, k_loc // group,
+                                  pad_loc // group)
+            szeros = pad_segments(szeros, k_loc // group,
+                                  pad_loc // group)
         out = {
-            "qweight": self.qweight,
-            "scales": self.scales.astype(np.float32),
-            "szeros": self.szeros.astype(np.float32),
+            "qweight": qweight,
+            "scales": scales,
+            "szeros": szeros,
         }
         if self.in_perm is not None:
             out["in_perm"] = self.in_perm.astype(np.int32)
@@ -121,11 +160,16 @@ class QuantLinearMethod(LinearMethod):
               x: jax.Array) -> jax.Array:
         if "in_perm" in params:
             x = x[:, params["in_perm"]]
+        k_packed = (params["qweight"].shape[0] *
+                    (2 if self.bits == 4 else 1))
+        if x.shape[1] < k_packed:
+            # K was padded at load for exact kernel K-tiling
+            # (as_params); zero x columns keep the padded rows inert.
+            x = jnp.pad(x, ((0, 0), (0, k_packed - x.shape[1])))
         group_size = self.group_size
         if group_size == -1:
             # per-channel: one group spanning local K
-            group_size = (params["qweight"].shape[0] *
-                          (2 if self.bits == 4 else 1))
+            group_size = k_packed
         if envs.VLT_USE_XLA_OPS:
             from vllm_legacy_tpu.ops.pallas.quant_matmul import (
                 dequantize_reference)

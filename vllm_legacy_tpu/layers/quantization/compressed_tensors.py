@@ -55,7 +55,8 @@ class CompressedTensorsConfig(QuantizationConfig):
                 and "input_scale" in tensors)
 
     def convert_layer_params(self, tensors: Dict[str, np.ndarray],
-                             np_dtype) -> Dict[str, np.ndarray]:
+                             np_dtype,
+                             k_shards: int = 1) -> Dict[str, np.ndarray]:
         w = tensors["weight"]  # [K, N] int8 (transposed at load)
         if w.dtype != np.int8:
             raise ValueError(

@@ -85,7 +85,8 @@ class DeepSpeedFPConfig(QuantizationConfig):
         return w is not None and w.ndim == 2 and "fpq" not in tensors
 
     def convert_layer_params(self, tensors: Dict[str, np.ndarray],
-                             np_dtype) -> Dict[str, np.ndarray]:
+                             np_dtype,
+                             k_shards: int = 1) -> Dict[str, np.ndarray]:
         w = tensors["weight"].astype(np.float32)  # [K, N]
         k, n = w.shape
         g = min(self.group_size, k)

@@ -74,7 +74,8 @@ class Fp8Config(QuantizationConfig):
         return w is not None and getattr(w, "ndim", 0) == 2
 
     def convert_layer_params(self, tensors: Dict[str, np.ndarray],
-                             np_dtype) -> Dict[str, np.ndarray]:
+                             np_dtype,
+                             k_shards: int = 1) -> Dict[str, np.ndarray]:
         import ml_dtypes
         w = tensors["weight"]
         if w.dtype == ml_dtypes.float8_e4m3fn:  # fp8-serialized ckpt

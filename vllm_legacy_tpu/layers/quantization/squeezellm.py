@@ -42,7 +42,8 @@ class SqueezeLLMConfig(QuantizationConfig):
         return LinearMethod()  # dense after load-time dequant
 
     def convert_layer_params(self, tensors: Dict[str, np.ndarray],
-                             np_dtype) -> Dict[str, np.ndarray]:
+                             np_dtype,
+                             k_shards: int = 1) -> Dict[str, np.ndarray]:
         return self.convert_layer(tensors, dtype=np_dtype)
 
     def convert_layer(self, tensors: Dict[str, np.ndarray],

@@ -91,5 +91,12 @@ def get_model(model_config: ModelConfig, parallel_config: ParallelConfig,
         files, fmt = resolve_weight_files(model_config.model,
                                           load_format.value)
         params = model.load_weights(iterate_weights(files, fmt))
+    if model_config.quantization_param_path:
+        if not hasattr(model, "load_kv_cache_scales"):
+            raise ValueError(
+                f"{type(model).__name__} does not support FP8 KV cache "
+                "scales (--quantization-param-path)")
+        model.load_kv_cache_scales(params,
+                                   model_config.quantization_param_path)
     logger.info("Loaded model weights in %.2fs", timer.elapsed())
     return model, params

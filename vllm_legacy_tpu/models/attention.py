@@ -156,14 +156,32 @@ def attention(
     self_extend=None,  # Optional[SelfExtendSpec]; q/k arrive UNROTATED
     alibi_slopes: Optional[jax.Array] = None,  # [Hq(local)] f32
     blocksparse: Optional[BlocksparseSpec] = None,
+    kv_scale: Optional[jax.Array] = None,  # () f32, fp8 KV dequant scale
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array]]:
     """Returns (attn output [B, L, Hq, D], updated kv cache).
 
     The kernel writes the new K/V into the cache itself (fused,
     input/output-aliased) — see ops/pallas/paged_attention.py for why
     this is load-bearing for in-place cache donation.
+
+    FP8 KV scale (reference: Fp8KVCacheMethod kv_scale, fp8.py:259;
+    llama.py:477-493): the cache stores K/kv_scale and V/kv_scale in
+    e4m3; because K and V enter attention linearly, dequantization is
+    folded into q (q *= kv_scale, so q.k_stored recovers true logits —
+    rope commutes, it's a rotation) and the output (out *= kv_scale).
+    The kernels never see a scale — exact algebra, zero kernel cost.
     """
     b, l, hq, d = q.shape
+    if kv_scale is not None and jnp.issubdtype(
+            (kv_cache[0]).dtype, jnp.floating) and (
+            kv_cache[0]).dtype.itemsize == 1:
+        inv = (1.0 / kv_scale).astype(q.dtype)
+        s = jnp.asarray(kv_scale, q.dtype)
+        k = k * inv
+        v = v * inv
+        q = q * s
+    else:
+        kv_scale = None
     fused = len(kv_cache) == 1
     if fused:
         # [L, N, Hkv*2*rows, 2d] pair (4-D) or

@@ -222,12 +222,14 @@ class LlamaForCausalLM:
         q = q.reshape(b, l, -1, self.head_dim)
         k = k.reshape(b, l, -1, self.head_dim)
         v = v.reshape(b, l, -1, self.head_dim)
+        kv_scale = p["kv_scale"]["scale"] if "kv_scale" in p else None
         attn_out, kv_caches = attention(
             q, k, v, kv_caches, md, scale=self.scale,
             layer_idx=layer_idx, sliding_window=self.sliding_window,
             sparse=getattr(self, "sparse_config", None),
             self_extend=se_spec, alibi_slopes=alibi,
-            blocksparse=self._blocksparse(layer_idx))
+            blocksparse=self._blocksparse(layer_idx),
+            kv_scale=kv_scale)
         o = self._o_proj(p, attn_out.reshape(b * l, -1), lora_indices)
         hidden = o.reshape(b, l, h)
 
@@ -405,6 +407,17 @@ class LlamaForCausalLM:
             if "layernorm" in sub or sub.endswith("norm"):
                 lp.setdefault(sub, {})[parts[4]] = w
             elif sub in ("self_attn", "mlp"):
+                if parts[-1] in ("kv_scale", "k_scale", "v_scale"):
+                    # FP8 KV dequant scale (reference llama.py:449-460
+                    # remaps *.kv_scale -> attn.kv_scale; k/v share one
+                    # scalar in the 0.4.3 schema — take the max when a
+                    # ckpt carries split scales)
+                    prev = lp.get("kv_scale", {}).get("scale")
+                    val = np.float32(np.asarray(w).reshape(-1)[0])
+                    if prev is not None:
+                        val = np.maximum(prev, val)
+                    lp["kv_scale"] = {"scale": val}
+                    continue
                 proj = parts[4]  # q_proj etc.
                 kind = parts[5]  # weight | bias | qweight | ...
                 if kind == "weight":
@@ -418,6 +431,24 @@ class LlamaForCausalLM:
             params["lm_head"]["weight"] = params["embed"]["weight"]
         params["rope_cache"] = self.make_rope_cache()
         return params
+
+    def load_kv_cache_scales(self, params: Dict[str, Any], path: str,
+                             tp_rank: int = 0) -> None:
+        """Populate per-layer FP8 KV scales from a serialized JSON
+        (reference: kv_cache_scales_loader, weight_utils.py:365 and
+        llama.py:477-493; schema from examples/fp8/extract_scales.py:
+        {"kv_cache": {"scaling_factor": {tp_rank: {layer: s}}}})."""
+        import json
+        with open(path) as f:
+            schema = json.load(f)
+        factors = schema["kv_cache"]["scaling_factor"]
+        rank_map = factors.get(str(tp_rank), factors.get(tp_rank))
+        if rank_map is None:
+            raise ValueError(
+                f"no KV scales for tp_rank {tp_rank} in {path}")
+        for idx, scale in rank_map.items():
+            params["layers"][int(idx)]["kv_scale"] = {
+                "scale": np.float32(scale)}
 
     def _convert_quant_layers(self, params: Dict[str, Any],
                               np_dtype) -> None:
@@ -435,7 +466,10 @@ class LlamaForCausalLM:
                 if not cfg.wants(tensors):
                     continue
                 bias = tensors.pop("bias", None)
-                new = cfg.convert_layer_params(tensors, np_dtype)
+                k_shards = (self.tp_size
+                            if proj in self._ROW_PROJS else 1)
+                new = cfg.convert_layer_params(tensors, np_dtype,
+                                               k_shards=k_shards)
                 tensors.clear()
                 tensors.update(new)
                 if bias is not None:
@@ -472,7 +506,42 @@ class LlamaForCausalLM:
             constants = self.constant_params()
         for k in constants:
             shapes.pop(k, None)
-        params = make(shapes)
+        if self.quant_config is not None:
+            # Emit the linears directly in device-ready packed layout
+            # (quantized analogue of DummyModelLoader) so full-scale
+            # quantized benchmarks need no checkpoint. Identical shapes
+            # share arrays — the values are noise either way and 7B of
+            # fresh bytes costs tens of host-seconds.
+            cache: Dict[tuple, Dict[str, Any]] = {}
+            for lp in shapes["layers"]:
+                for proj in self._COL_PROJS + self._ROW_PROJS:
+                    if proj not in lp or "weight" not in lp[proj]:
+                        continue
+                    (k_in, n_out), _ = lp[proj]["weight"]
+                    k_shards = (self.tp_size
+                                if proj in self._ROW_PROJS else 1)
+                    if (k_in, n_out) not in cache:
+                        cache[(k_in, n_out)] = \
+                            self.quant_config.dummy_packed_params(
+                                k_in, n_out, rng, k_shards=k_shards)
+                    packed = dict(cache[(k_in, n_out)])
+                    if "bias" in lp[proj]:
+                        packed["bias"] = lp[proj]["bias"]
+                    lp[proj] = packed
+            # split mixed dict: packed arrays pass through, (shape,
+            # dtype) leaves still get random init
+            def make_mixed(tree):
+                if isinstance(tree, dict):
+                    return {k: make_mixed(v) for k, v in tree.items()}
+                if isinstance(tree, list):
+                    return [make_mixed(v) for v in tree]
+                if isinstance(tree, np.ndarray):
+                    return tree
+                return make(tree)
+
+            params = make_mixed(shapes)
+        else:
+            params = make(shapes)
         params["rope_cache"] = self.make_rope_cache()
         params.update(constants)
         return params

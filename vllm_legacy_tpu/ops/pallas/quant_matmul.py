@@ -15,8 +15,11 @@ multiply-subtract feeding the MXU at bf16. HBM traffic for decode-sized
 matmuls drops 4x (int4) vs bf16 weights, which is the whole game: these
 matmuls are weight-bandwidth-bound.
 
-Group size must divide the K-tile (bk) or be a multiple of it; the
-kernel walks groups with a static stride.
+K-tiling: the scales/szeros block row count is groups-per-tile, which
+Mosaic requires to be sublane-aligned (multiple of 8) or the whole
+array. So the K tile is 8 groups (``quant_k_tile``), and loaders pad K
+up to a multiple of it (common.py as_params) — x is zero-padded to
+match at apply time, so padded K rows contribute nothing to the dot.
 """
 from __future__ import annotations
 
@@ -29,40 +32,83 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dequant_matmul_kernel(x_ref, qw_ref, scales_ref, szeros_ref, out_ref,
-                           acc_ref, *, bits: int, group_size: int,
-                           bk: int, n_k: int):
-    """Grid (m_tiles, n_tiles, k_tiles); accumulate over the k axis."""
+def quant_k_tile(k: int, group_size: int) -> int:
+    """K rows per kernel tile: 8 groups (sublane-aligned scales block),
+    or all of K when there are fewer than 8 groups (single k tile; full
+    blocks are always legal)."""
+    if group_size <= 0 or group_size >= k or k // group_size < 8:
+        return k
+    return 8 * group_size
+
+
+def _group_dequant(q, scales, szeros, rows_per_group):
+    """q [rows, bn] nibble/byte values -> w = q*scale - szero with the
+    row axis walked group-blockwise (rows_per_group rows per scale row).
+    Shapes are static; gpt == 1 skips the reshape entirely."""
+    rows = q.shape[0]
+    gpt = scales.shape[0]
+    if gpt == 1:
+        return q * scales[0][None, :] - szeros[0][None, :]
+    assert rows == gpt * rows_per_group, (rows, gpt, rows_per_group)
+    qg = q.reshape(gpt, rows_per_group, -1)
+    w = qg * scales[:, None, :] - szeros[:, None, :]
+    return w.reshape(rows, -1)
+
+
+def _dot(x, w, precision):
+    return jax.lax.dot_general(x.astype(jnp.float32), w,
+                               (((1, ), (0, )), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=precision)
+
+
+def _dequant_matmul_4bit_kernel(x_even_ref, x_odd_ref, qw_ref, scales_ref,
+                                szeros_ref, out_ref, acc_ref, *,
+                                group_size: int, n_k: int, precision):
+    """Grid (m_tiles, n_tiles, k_tiles); accumulate over k.
+
+    Byte row r of qweight packs in-rows 2r (low nibble) and 2r+1 (high
+    nibble). Instead of re-interleaving rows in-kernel (a sublane
+    shuffle Mosaic cannot lower), the wrapper pre-splits x into its
+    even/odd K columns and the kernel runs two half-K dots:
+        out = x_even @ dequant(lo) + x_odd @ dequant(hi)
+    """
     k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...]  # [bm, bk]
-    if bits == 4:
-        packed = qw_ref[...]  # [bk//2, bn] uint8
-        lo = (packed & 0xF).astype(jnp.float32)
-        hi = (packed >> 4).astype(jnp.float32)
-        # rows interleave: byte r holds in-rows 2r (lo) and 2r+1 (hi)
-        q = jnp.stack([lo, hi], axis=1).reshape(bk, -1)
-    else:
-        q = qw_ref[...].astype(jnp.float32)  # [bk, bn] uint8
-
-    # Per-group dequant: groups_per_tile = bk // group_size (>= 1).
-    groups_per_tile = max(bk // group_size, 1)
+    packed = qw_ref[...]  # [bk//2, bn] uint8
+    # Mosaic has no direct uint8->f32 cast; widen to int32 first
+    lo = (packed & 0xF).astype(jnp.int32).astype(jnp.float32)
+    hi = (packed >> 4).astype(jnp.int32).astype(jnp.float32)
     scales = scales_ref[...]  # [groups_per_tile, bn]
     szeros = szeros_ref[...]
-    if groups_per_tile == 1:
-        w = q * scales[0][None, :] - szeros[0][None, :]
-    else:
-        qg = q.reshape(groups_per_tile, group_size, -1)
-        w = qg * scales[:, None, :] - szeros[:, None, :]
-        w = w.reshape(bk, -1)
+    half_group = group_size // 2  # byte rows per group
+    w_lo = _group_dequant(lo, scales, szeros, half_group)
+    w_hi = _group_dequant(hi, scales, szeros, half_group)
+    acc_ref[...] += (_dot(x_even_ref[...], w_lo, precision) +
+                     _dot(x_odd_ref[...], w_hi, precision))
 
-    acc_ref[...] += jax.lax.dot_general(
-        x.astype(jnp.float32), w, (((1, ), (0, )), ((), ())),
-        preferred_element_type=jnp.float32)
+    @pl.when(k_idx == n_k - 1)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _dequant_matmul_8bit_kernel(x_ref, qw_ref, scales_ref, szeros_ref,
+                                out_ref, acc_ref, *, group_size: int,
+                                n_k: int, precision):
+    """8-bit variant: qweight is int8 (q - 128), one full-K dot."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = qw_ref[...].astype(jnp.float32)  # [bk, bn] int8
+    w = _group_dequant(q, scales_ref[...], szeros_ref[...], group_size)
+    acc_ref[...] += _dot(x_ref[...], w, precision)
 
     @pl.when(k_idx == n_k - 1)
     def _():
@@ -70,7 +116,7 @@ def _dequant_matmul_kernel(x_ref, qw_ref, scales_ref, szeros_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "group_size", "bm",
-                                             "bk", "bn", "interpret"))
+                                             "bn", "interpret"))
 def quant_matmul(
     x: jax.Array,  # [M, K] bf16/f32
     qweight: jax.Array,  # [K//2, N] uint8 (4-bit) or [K, N] uint8 (8-bit)
@@ -80,26 +126,30 @@ def quant_matmul(
     bits: int = 4,
     group_size: int = 128,
     bm: int = 256,
-    bk: int = 512,
     bn: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns x @ dequant(qweight) as x.dtype, shape [M, N]."""
+    """Returns x @ dequant(qweight) as x.dtype, shape [M, N].
+
+    K must be a multiple of quant_k_tile(k, group_size) — loaders pad
+    the packed params (common.py) and apply() zero-pads x to match, so
+    K tiles always divide exactly (ragged K would accumulate Mosaic's
+    unspecified out-of-bounds pad data into every output).
+    """
     m, k = x.shape
     n = qweight.shape[1]
+    if group_size <= 0:
+        group_size = k  # per-channel: one group over the whole K
     assert k % group_size == 0, (k, group_size)
 
     bm = min(bm, m)
-    bk = min(bk, k)
     bn = min(bn, n)
-    if group_size > bk:
-        # one group spans several k-tiles: walk at group granularity
-        bk = group_size if group_size <= k else k
-    assert bk % group_size == 0 or group_size % bk == 0
+    bk = quant_k_tile(k, group_size)
+    assert k % bk == 0, (k, bk, group_size)
 
     n_m = pl.cdiv(m, bm)
     n_n = pl.cdiv(n, bn)
-    n_k = pl.cdiv(k, bk)
+    n_k = k // bk
     groups_per_tile = max(bk // group_size, 1)
 
     if bits == 4:

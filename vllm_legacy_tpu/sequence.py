@@ -4,15 +4,16 @@ Capability parity with the reference's ``vllm/sequence.py`` (SequenceData
 :107, Sequence :216 incl. hash_of_block :281, SequenceGroup :429,
 SequenceGroupMetadata :623, SequenceOutput :709, SamplerOutput :805,
 ExecuteModelRequest :879) plus the fork's per-step latency statistics
-(SamplerPerformanceStatistics :798).
+(SamplerPerformanceStatistics :798). The shapes here are dictated by
+that wire protocol; the internals (incremental FNV block hashing,
+dataclass layout, arithmetic block append) are this repo's own.
 """
 from __future__ import annotations
 
 import copy
 import enum
-import time
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Set, Tuple, Union
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 from vllm_legacy_tpu.block import LogicalTokenBlock
 from vllm_legacy_tpu.sampling_params import SamplingParams
@@ -33,31 +34,30 @@ PromptLogprobs = List[Optional[Dict[int, Logprob]]]
 
 
 class SequenceStatus(enum.Enum):
-    WAITING = enum.auto()
-    RUNNING = enum.auto()
-    SWAPPED = enum.auto()
-    FINISHED_STOPPED = enum.auto()
-    FINISHED_LENGTH_CAPPED = enum.auto()
-    FINISHED_ABORTED = enum.auto()
-    FINISHED_IGNORED = enum.auto()
+    WAITING = "waiting"
+    RUNNING = "running"
+    SWAPPED = "swapped"
+    FINISHED_STOPPED = "stop"
+    FINISHED_LENGTH_CAPPED = "length"
+    FINISHED_ABORTED = "abort"
+    FINISHED_IGNORED = "length"  # noqa: PIE796 — same reason string
+
+    # FINISHED_IGNORED aliases FINISHED_LENGTH_CAPPED's reason but is a
+    # distinct lifecycle state (prompt longer than the model length).
+    def __new__(cls, reason):
+        obj = object.__new__(cls)
+        obj._value_ = len(cls.__members__)
+        obj.finish_reason = reason
+        return obj
 
     @staticmethod
     def is_finished(status: "SequenceStatus") -> bool:
-        return status in (
-            SequenceStatus.FINISHED_STOPPED,
-            SequenceStatus.FINISHED_LENGTH_CAPPED,
-            SequenceStatus.FINISHED_ABORTED,
-            SequenceStatus.FINISHED_IGNORED,
-        )
+        return status.name.startswith("FINISHED")
 
     @staticmethod
     def get_finished_reason(status: "SequenceStatus") -> Optional[str]:
-        return {
-            SequenceStatus.FINISHED_STOPPED: "stop",
-            SequenceStatus.FINISHED_LENGTH_CAPPED: "length",
-            SequenceStatus.FINISHED_ABORTED: "abort",
-            SequenceStatus.FINISHED_IGNORED: "length",
-        }.get(status)
+        return status.finish_reason if SequenceStatus.is_finished(
+            status) else None
 
 
 class SequenceStage(enum.Enum):
@@ -86,26 +86,37 @@ class StepPerformanceStatistics:
     num_batched_tokens: int = 0
 
 
+@dataclass
 class SequenceData:
-    """Token-level state of one sequence (reference: sequence.py:107)."""
+    """Token-level state of one sequence (reference: sequence.py:107).
 
-    def __init__(
-        self,
-        prompt_token_ids: List[int],
-        output_token_ids: Optional[List[int]] = None,
-    ) -> None:
-        self.prompt_token_ids = list(prompt_token_ids)
-        self.output_token_ids: List[int] = list(output_token_ids or [])
-        self.cumulative_logprob = 0.0
-        # Tokens already computed into KV cache (prefill progress for
-        # chunked prefill; reference: SequenceData._num_computed_tokens).
-        self._num_computed_tokens = 0
-        self._stage = SequenceStage.PREFILL
+    ``computed`` tracks prefill progress for chunked prefill; once it
+    covers the whole sequence the stage flips to DECODE.
+    """
+    prompt_token_ids: List[int]
+    output_token_ids: List[int] = field(default_factory=list)
+    cumulative_logprob: float = 0.0
+    computed: int = field(default=0, repr=False)
 
+    def __post_init__(self) -> None:
+        self.prompt_token_ids = list(self.prompt_token_ids)
+        self.output_token_ids = list(self.output_token_ids)
+
+    # -- mutation -----------------------------------------------------
     def append_token_id(self, token_id: int, logprob: float) -> None:
         self.output_token_ids.append(token_id)
         self.cumulative_logprob += logprob
 
+    def update_num_computed_tokens(self, num_new_computed: int) -> None:
+        self.computed += num_new_computed
+        assert self.computed <= self.get_len(), (self.computed,
+                                                 self.get_len())
+
+    def reset_state_for_recompute(self) -> None:
+        """Preempt-by-recompute: all tokens must be re-prefilled."""
+        self.computed = 0
+
+    # -- views ----------------------------------------------------------
     def get_len(self) -> int:
         return len(self.prompt_token_ids) + len(self.output_token_ids)
 
@@ -121,43 +132,26 @@ class SequenceData:
     def get_prefix_token_ids(
             self, num_tokens: int
     ) -> Tuple[Tuple[int, ...], Optional[Tuple[int, ...]]]:
-        prompt_len = self.get_prompt_len()
-        if num_tokens > prompt_len:
+        past_prompt = num_tokens - len(self.prompt_token_ids)
+        if past_prompt > 0:
             return (tuple(self.prompt_token_ids),
-                    tuple(self.output_token_ids[:num_tokens - prompt_len]))
-        return (tuple(self.prompt_token_ids[:num_tokens]), None)
+                    tuple(self.output_token_ids[:past_prompt]))
+        return tuple(self.prompt_token_ids[:num_tokens]), None
 
     def get_num_computed_tokens(self) -> int:
-        return self._num_computed_tokens
-
-    def update_num_computed_tokens(self, num_new_computed: int) -> None:
-        self._num_computed_tokens += num_new_computed
-        assert self._num_computed_tokens <= self.get_len(), (
-            self._num_computed_tokens, self.get_len())
-        if self.get_num_uncomputed_tokens() == 0:
-            self._stage = SequenceStage.DECODE
-
-    def reset_state_for_recompute(self) -> None:
-        """Preempt-by-recompute: all tokens must be re-prefilled."""
-        self._num_computed_tokens = 0
-        self._stage = SequenceStage.PREFILL
+        return self.computed
 
     def get_num_uncomputed_tokens(self) -> int:
-        return self.get_len() - self.get_num_computed_tokens()
+        return self.get_len() - self.computed
 
     def get_last_token_id(self) -> int:
-        if not self.output_token_ids:
-            return self.prompt_token_ids[-1]
-        return self.output_token_ids[-1]
+        return (self.output_token_ids or self.prompt_token_ids)[-1]
 
     @property
     def stage(self) -> SequenceStage:
-        return self._stage
-
-    def __repr__(self) -> str:
-        return (f"SequenceData(prompt_len={self.get_prompt_len()}, "
-                f"output_len={self.get_output_len()}, "
-                f"cumulative_logprob={self.cumulative_logprob})")
+        return (SequenceStage.DECODE
+                if self.computed == self.get_len() and self.get_len()
+                else SequenceStage.PREFILL)
 
 
 class Sequence:
@@ -184,7 +178,7 @@ class Sequence:
         self.output_text = ""
 
         self.logical_token_blocks: List[LogicalTokenBlock] = []
-        self._append_tokens_to_blocks(prompt_token_ids)
+        self._grow_blocks(prompt_token_ids)
         self.status = SequenceStatus.WAITING
         self.stop_reason: Union[int, str, None] = None
 
@@ -224,38 +218,36 @@ class Sequence:
         return chain[logical_idx + 1]
 
     def num_hashed_tokens_of_block(self, logical_idx: int) -> int:
-        return logical_idx * self.block_size + self.block_size
+        return (logical_idx + 1) * self.block_size
 
     def reset_state_for_recompute(self) -> None:
         self.data.reset_state_for_recompute()
 
-    def _append_logical_block(self) -> None:
-        self.logical_token_blocks.append(
-            LogicalTokenBlock(
-                block_number=len(self.logical_token_blocks),
-                block_size=self.block_size,
-            ))
-
-    def _append_tokens_to_blocks(self, token_ids: List[int]) -> None:
-        cursor = 0
-        while cursor < len(token_ids):
-            if not self.logical_token_blocks:
-                self._append_logical_block()
-            last_block = self.logical_token_blocks[-1]
-            if last_block.is_full():
-                self._append_logical_block()
-                last_block = self.logical_token_blocks[-1]
-            num_empty = last_block.get_num_empty_slots()
-            last_block.append_tokens(token_ids[cursor:cursor + num_empty])
-            cursor += num_empty
+    def _grow_blocks(self, token_ids: List[int]) -> None:
+        """Extend the logical block map to cover ``token_ids`` more
+        tokens. Purely arithmetic: blocks are fixed-capacity counters,
+        so no per-token loop is needed."""
+        blocks = self.logical_token_blocks
+        remaining = len(token_ids)
+        consumed = 0
+        while remaining > 0:
+            if not blocks or blocks[-1].is_full():
+                blocks.append(LogicalTokenBlock(
+                    block_number=len(blocks),
+                    block_size=self.block_size))
+            take = min(remaining, blocks[-1].get_num_empty_slots())
+            blocks[-1].append_tokens(token_ids[consumed:consumed + take])
+            consumed += take
+            remaining -= take
 
     def append_token_id(self, token_id: int,
                         logprobs: Dict[int, Logprob]) -> None:
         assert token_id in logprobs
-        self._append_tokens_to_blocks([token_id])
+        self._grow_blocks([token_id])
         self.output_logprobs.append(logprobs)
         self.data.append_token_id(token_id, logprobs[token_id].logprob)
 
+    # -- delegating views (wire-format API parity) ----------------------
     def get_len(self) -> int:
         return self.data.get_len()
 
@@ -288,6 +280,7 @@ class Sequence:
         sequence.py:354)."""
         if seq_len is None:
             seq_len = self.get_len()
+            # an eos tail does not count toward the penalty
             if (eos_token_id is not None
                     and self.get_last_token_id() == eos_token_id):
                 seq_len -= 1
@@ -297,9 +290,9 @@ class Sequence:
         return SequenceStatus.is_finished(self.status)
 
     def fork(self, new_seq_id: int) -> "Sequence":
-        new_seq = copy.deepcopy(self)
-        new_seq.seq_id = new_seq_id
-        return new_seq
+        child = copy.deepcopy(self)
+        child.seq_id = new_seq_id
+        return child
 
     def get_num_new_tokens(self) -> int:
         """Tokens to compute this step: 1 in decode, else remaining
@@ -314,6 +307,13 @@ class Sequence:
     def __repr__(self) -> str:
         return (f"Sequence(seq_id={self.seq_id}, status={self.status.name}, "
                 f"num_blocks={len(self.logical_token_blocks)})")
+
+
+@dataclass
+class SequenceGroupState:
+    """Mutable cross-step state (e.g. spec-decode bookkeeping)."""
+    generator_seed_offset: int = 0
+    num_steps: int = 0
 
 
 class SequenceGroup:
@@ -343,18 +343,24 @@ class SequenceGroup:
         self.pooling_params = pooling_params
         self.state = SequenceGroupState()
 
+    def _first(self) -> Sequence:
+        """All forks share the prompt; any member answers prompt-level
+        questions."""
+        return next(iter(self.seqs_dict.values()))
+
     @property
     def prompt(self) -> Optional[str]:
-        return next(iter(self.seqs_dict.values())).prompt
+        return self._first().prompt
 
     @property
     def prompt_token_ids(self) -> List[int]:
-        return next(iter(self.seqs_dict.values())).data.prompt_token_ids
+        return self._first().data.prompt_token_ids
 
     @property
     def lora_int_id(self) -> int:
         return self.lora_request.lora_int_id if self.lora_request else 0
 
+    # -- timing hooks (engine metrics) ----------------------------------
     def get_last_latency(self, now: float) -> Optional[float]:
         if self.is_prefill():
             raise ValueError("seq_group.get_last_latency() should not be "
@@ -365,33 +371,35 @@ class SequenceGroup:
 
     def maybe_set_first_token_time(self, time_: float) -> None:
         if (self.metrics.first_token_time is None
-                and next(iter(self.seqs_dict.values())).get_output_len() == 1):
+                and self._first().get_output_len() == 1):
             self.metrics.first_token_time = time_
 
     def maybe_set_first_scheduled_time(self, time_: float) -> None:
-        if self.metrics.first_scheduled_time is None:
-            self.metrics.first_scheduled_time = time_
-            self.metrics.time_in_queue = time_ - self.metrics.arrival_time
+        m = self.metrics
+        if m.first_scheduled_time is None:
+            m.first_scheduled_time = time_
+            m.time_in_queue = time_ - m.arrival_time
 
     def set_finished_time(self, time_: Optional[float]) -> None:
         self.metrics.finished_time = time_
 
+    # -- membership -----------------------------------------------------
     def get_max_num_running_seqs(self) -> int:
         """Upper bound of parallel sequences over the request's lifetime
         (reference: sequence.py:512)."""
-        if self.sampling_params and self.sampling_params.use_beam_search:
-            return self.sampling_params.best_of
-        if self.sampling_params and self.sampling_params.best_of > self.num_seqs():
-            return self.sampling_params.best_of
+        sp = self.sampling_params
+        if sp and (sp.use_beam_search or sp.best_of > self.num_seqs()):
+            # forks not yet materialized still count
+            return sp.best_of
         return self.num_unfinished_seqs()
 
     def get_seqs(
         self,
         status: Optional[SequenceStatus] = None,
     ) -> List[Sequence]:
-        if status is None:
-            return list(self.seqs_dict.values())
-        return [s for s in self.seqs_dict.values() if s.status == status]
+        seqs = self.seqs_dict.values()
+        return [s for s in seqs
+                if status is None or s.status == status]
 
     def is_encoder_decoder(self) -> bool:
         return False
@@ -403,9 +411,8 @@ class SequenceGroup:
         return [s for s in self.seqs_dict.values() if s.is_finished()]
 
     def update_num_computed_tokens(self, num_new_computed: int) -> None:
-        for seq in self.seqs_dict.values():
-            if not seq.is_finished():
-                seq.data.update_num_computed_tokens(num_new_computed)
+        for seq in self.get_unfinished_seqs():
+            seq.data.update_num_computed_tokens(num_new_computed)
 
     def get_num_uncomputed_tokens(self) -> int:
         return sum(s.data.get_num_uncomputed_tokens()
@@ -421,9 +428,10 @@ class SequenceGroup:
         return len(self.get_finished_seqs())
 
     def find(self, seq_id: int) -> Sequence:
-        if seq_id not in self.seqs_dict:
-            raise ValueError(f"Sequence {seq_id} not found.")
-        return self.seqs_dict[seq_id]
+        try:
+            return self.seqs_dict[seq_id]
+        except KeyError:
+            raise ValueError(f"Sequence {seq_id} not found.") from None
 
     def add(self, seq: Sequence) -> None:
         if seq.seq_id in self.seqs_dict:
@@ -431,15 +439,14 @@ class SequenceGroup:
         self.seqs_dict[seq.seq_id] = seq
 
     def remove(self, seq_id: int) -> None:
-        if seq_id not in self.seqs_dict:
+        if self.seqs_dict.pop(seq_id, None) is None:
             raise ValueError(f"Sequence {seq_id} not found.")
-        del self.seqs_dict[seq_id]
 
     def is_finished(self) -> bool:
         return all(s.is_finished() for s in self.seqs_dict.values())
 
     def is_prefill(self) -> bool:
-        return next(iter(self.seqs_dict.values())).is_prefill()
+        return self._first().is_prefill()
 
     def __repr__(self) -> str:
         return (f"SequenceGroup(request_id={self.request_id}, "
@@ -448,103 +455,61 @@ class SequenceGroup:
 
 
 @dataclass
-class SequenceGroupState:
-    """Mutable cross-step state (e.g. spec-decode bookkeeping)."""
-    generator_seed_offset: int = 0
-    num_steps: int = 0
-
-
 class SequenceGroupMetadata:
     """Scheduler → model-runner wire format for one group in one step
     (reference: sequence.py:623)."""
 
-    def __init__(
-        self,
-        request_id: str,
-        is_prompt: bool,
-        seq_data: Dict[int, SequenceData],
-        sampling_params: Optional[SamplingParams],
-        block_tables: Dict[int, List[int]],
-        do_sample: bool = True,
-        pooling_params: Optional[Any] = None,
-        token_chunk_size: Optional[int] = None,
-        lora_request: Optional[Any] = None,
-        computed_block_nums: Optional[List[int]] = None,
-        state: Optional[SequenceGroupState] = None,
-        multi_modal_data: Optional[Any] = None,
-    ) -> None:
-        self.request_id = request_id
-        self.is_prompt = is_prompt
-        self.seq_data = seq_data
-        self.sampling_params = sampling_params
-        self.block_tables = block_tables
-        self.pooling_params = pooling_params
-        self.lora_request = lora_request
-        self.computed_block_nums = computed_block_nums
-        self.multi_modal_data = multi_modal_data
-        self.state = SequenceGroupState() if state is None else state
-        self.do_sample = do_sample
-        self._token_chunk_size = token_chunk_size
-        if token_chunk_size is None:
-            if is_prompt:
-                self._token_chunk_size = next(iter(
-                    seq_data.values())).get_len()
-            else:
-                self._token_chunk_size = 1
+    request_id: str
+    is_prompt: bool
+    seq_data: Dict[int, SequenceData]
+    sampling_params: Optional[SamplingParams]
+    block_tables: Dict[int, List[int]]
+    do_sample: bool = True
+    pooling_params: Optional[Any] = None
+    token_chunk_size: Optional[int] = None
+    lora_request: Optional[Any] = None
+    computed_block_nums: Optional[List[int]] = None
+    state: Optional[SequenceGroupState] = None
+    multi_modal_data: Optional[Any] = None
+
+    def __post_init__(self) -> None:
+        if self.state is None:
+            self.state = SequenceGroupState()
+        if self.token_chunk_size is None:
+            # whole prompt for an unchunked prefill, 1 for decode
+            self.token_chunk_size = (next(iter(
+                self.seq_data.values())).get_len() if self.is_prompt
+                else 1)
 
     @property
     def lora_int_id(self) -> int:
         return self.lora_request.lora_int_id if self.lora_request else 0
 
-    @property
-    def token_chunk_size(self) -> int:
-        assert self._token_chunk_size is not None
-        return self._token_chunk_size
 
-
+@dataclass(eq=True)
 class SequenceOutput:
     """One sampled token for one parent sequence (reference:
     sequence.py:709)."""
-
-    def __init__(self, parent_seq_id: int, output_token: int,
-                 logprobs: Dict[int, Logprob]) -> None:
-        self.parent_seq_id = parent_seq_id
-        self.output_token = output_token
-        self.logprobs = logprobs
+    parent_seq_id: int
+    output_token: int
+    logprobs: Dict[int, Logprob] = field(compare=False)
 
     def __repr__(self) -> str:
         return (f"SequenceOutput(parent_seq_id={self.parent_seq_id}, "
                 f"output_token={self.output_token})")
 
-    def __eq__(self, other: object) -> bool:
-        if not isinstance(other, SequenceOutput):
-            raise NotImplementedError()
-        return (self.parent_seq_id == other.parent_seq_id
-                and self.output_token == other.output_token)
 
-
+@dataclass(eq=True)
 class CompletionSequenceGroupOutput:
     """Model output for one sequence group at one step (reference:
     sequence.py:756)."""
-
-    def __init__(self, samples: List[SequenceOutput],
-                 prompt_logprobs: Optional[PromptLogprobs]) -> None:
-        self.samples = samples
-        self.prompt_logprobs = prompt_logprobs
-
-    def __repr__(self) -> str:
-        return (f"CompletionSequenceGroupOutput(samples={self.samples})")
-
-    def __eq__(self, other: object) -> bool:
-        if not isinstance(other, CompletionSequenceGroupOutput):
-            raise NotImplementedError()
-        return (self.samples == other.samples
-                and self.prompt_logprobs == other.prompt_logprobs)
+    samples: List[SequenceOutput]
+    prompt_logprobs: Optional[PromptLogprobs] = None
 
 
+@dataclass
 class EmbeddingSequenceGroupOutput:
-    def __init__(self, embeddings: List[float]) -> None:
-        self.embeddings = embeddings
+    embeddings: List[float]
 
 
 @dataclass
@@ -593,11 +558,9 @@ class ExecuteModelRequest:
     def clone(
         self, seq_group_metadata_list: List[SequenceGroupMetadata]
     ) -> "ExecuteModelRequest":
-        return ExecuteModelRequest(
+        return replace(
+            self,
             seq_group_metadata_list=seq_group_metadata_list,
             blocks_to_swap_in=dict(self.blocks_to_swap_in),
             blocks_to_swap_out=dict(self.blocks_to_swap_out),
-            blocks_to_copy=copy.deepcopy(self.blocks_to_copy),
-            num_lookahead_slots=self.num_lookahead_slots,
-            running_queue_size=self.running_queue_size,
-        )
+            blocks_to_copy=copy.deepcopy(self.blocks_to_copy))

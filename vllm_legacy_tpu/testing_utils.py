@@ -63,6 +63,42 @@ def llama2_7b_hf_config():
     )
 
 
+def llama2_7b_gptq_hf_config(group_size: int = 128):
+    """Llama-2-7B with a GPTQ INT4 quantization_config attached — the
+    BASELINE.json north-star config[1]. Dummy loading emits the packed
+    quant layout directly (base_config.dummy_packed_params)."""
+    cfg = llama2_7b_hf_config()
+    cfg.quantization_config = {
+        "quant_method": "gptq",
+        "bits": 4,
+        "group_size": group_size,
+        "desc_act": False,
+    }
+    return cfg
+
+
+def llama2_13b_awq_hf_config(group_size: int = 128):
+    """Llama-2-13B with an AWQ INT4 quantization_config (BASELINE.json
+    config[2]; pair with kv_cache_dtype='fp8' + chunked prefill +
+    prefix caching)."""
+    cfg = tiny_llama_hf_config(
+        vocab_size=32000,
+        hidden_size=5120,
+        intermediate_size=13824,
+        num_hidden_layers=40,
+        num_attention_heads=40,
+        num_key_value_heads=40,
+        max_position_embeddings=4096,
+    )
+    cfg.quantization_config = {
+        "quant_method": "awq",
+        "bits": 4,
+        "group_size": group_size,
+        "zero_point": True,
+    }
+    return cfg
+
+
 def make_dummy_engine_config(
     hf_config=None,
     *,
