@@ -97,6 +97,7 @@ class SequenceData:
     output_token_ids: List[int] = field(default_factory=list)
     cumulative_logprob: float = 0.0
     computed: int = field(default=0, repr=False)
+    stage: SequenceStage = field(default=SequenceStage.PREFILL, repr=False)
 
     def __post_init__(self) -> None:
         self.prompt_token_ids = list(self.prompt_token_ids)
@@ -111,10 +112,16 @@ class SequenceData:
         self.computed += num_new_computed
         assert self.computed <= self.get_len(), (self.computed,
                                                  self.get_len())
+        if self.get_num_uncomputed_tokens() == 0:
+            # Sticky: appending the sampled token afterwards makes one
+            # token "uncomputed" again, but the sequence stays in DECODE
+            # until a recompute-preemption resets it.
+            self.stage = SequenceStage.DECODE
 
     def reset_state_for_recompute(self) -> None:
         """Preempt-by-recompute: all tokens must be re-prefilled."""
         self.computed = 0
+        self.stage = SequenceStage.PREFILL
 
     # -- views ----------------------------------------------------------
     def get_len(self) -> int:
@@ -147,11 +154,6 @@ class SequenceData:
     def get_last_token_id(self) -> int:
         return (self.output_token_ids or self.prompt_token_ids)[-1]
 
-    @property
-    def stage(self) -> SequenceStage:
-        return (SequenceStage.DECODE
-                if self.computed == self.get_len() and self.get_len()
-                else SequenceStage.PREFILL)
 
 
 class Sequence:
