@@ -1,23 +1,26 @@
 """Paged KV-cache block manager.
 
-Behavioral parity with the reference's BlockSpaceManagerV1
-(vllm/core/block_manager_v1.py:213): refcounted physical blocks,
-prefix-caching allocator with content-hash reuse + LRU eviction (:64),
-copy-on-write on a shared last block (:426-470), sliding-window block ring
-(:305-307), per-block TPU↔host swap maps (:544-597), watermark to avoid
-allocation thrashing (:239-244), and computed-block tracking for
-prefix-cache hit trimming (:666-706).
+Capability parity with the reference's BlockSpaceManagerV1
+(vllm/core/block_manager_v1.py:213): refcounted physical blocks, a
+content-hash allocator with LRU eviction for prefix caching (:64),
+copy-on-write when a forked group appends into a shared last block
+(:426-470), a sliding-window block ring (:305-307), per-block swap maps
+between HBM and the host tier (:544-597), an admission watermark that
+prevents allocate/preempt thrashing (:239-244), and computed-block
+tracking that lets prefix-cache hits skip recomputation (:666-706).
 
-The physical block numbers index directly into the paged KV arrays that
-live in TPU HBM (see worker/cache_engine.py); the "CPU" device is the
-host-DRAM swap tier.
+Block numbers returned here index directly into the paged KV arrays in
+TPU HBM (worker/cache_engine.py). The "CPU" device is host DRAM acting
+as the swap tier; swap directives become async host<->HBM DMAs.
+
+The two swap directions share one migration routine here (``_migrate``)
+instead of the reference's mirrored swap_in/swap_out bodies.
 """
 from __future__ import annotations
 
-from abc import ABC, abstractmethod
 from itertools import count, takewhile
 from os.path import commonprefix
-from typing import Dict, List, Optional, Set
+from typing import Dict, List, Optional, Set, Tuple
 
 from vllm_legacy_tpu.block import BlockTable, PhysicalTokenBlock
 from vllm_legacy_tpu.core.evictor import (EvictionPolicy, Evictor,
@@ -30,84 +33,112 @@ from vllm_legacy_tpu.utils import Device, cdiv
 logger = init_logger(__name__)
 
 
-class BlockAllocatorBase(ABC):
+class UncachedBlockAllocator:
+    """Plain free-stack allocator used when prefix caching is off
+    (reference: block_manager_v1.py:154). Blocks are pre-created once;
+    allocate/free are O(1) stack ops on the hot scheduling path."""
 
-    @abstractmethod
-    def allocate(self,
-                 block_hash: Optional[int] = None,
+    def __init__(self, device: Device, block_size: int,
+                 num_blocks: int) -> None:
+        self.device = device
+        self.block_size = block_size
+        self.num_blocks = num_blocks
+        self._free_stack = [
+            PhysicalTokenBlock(device=device, block_number=i,
+                               block_size=block_size, block_hash=-1,
+                               num_hashed_tokens=0)
+            for i in range(num_blocks)
+        ]
+
+    def allocate(self, block_hash: Optional[int] = None,
                  num_hashed_tokens: int = 0) -> PhysicalTokenBlock:
-        ...
+        if not self._free_stack:
+            raise ValueError("KV block pool exhausted.")
+        block = self._free_stack.pop()
+        block.ref_count = 1
+        return block
 
-    @abstractmethod
     def free(self, block: PhysicalTokenBlock) -> None:
-        ...
+        if block.ref_count == 0:
+            raise ValueError(f"Double free! {block} is already freed.")
+        block.ref_count -= 1
+        if block.ref_count == 0:
+            self._free_stack.append(block)
 
-    @abstractmethod
     def get_num_free_blocks(self) -> int:
-        ...
+        return len(self._free_stack)
 
-    @abstractmethod
     def get_num_total_blocks(self) -> int:
-        ...
+        return self.num_blocks
 
-    @abstractmethod
     def contains_block(self, block_hash: int) -> bool:
-        ...
+        return False  # nothing is content-addressed here
 
-    @abstractmethod
     def update_hash(self, block_hash: int,
                     block: PhysicalTokenBlock) -> None:
-        ...
+        raise NotImplementedError(
+            "hash promotion requires the caching allocator")
 
 
-class CachedBlockAllocator(BlockAllocatorBase):
-    """Content-hash-addressed allocator with LRU eviction for prefix
-    caching (reference: block_manager_v1.py:64)."""
+class CachedBlockAllocator:
+    """Content-hash-addressed allocator backing prefix caching
+    (reference: block_manager_v1.py:64).
 
-    def __init__(self,
-                 device: Device,
-                 block_size: int,
-                 num_blocks: int,
+    Live blocks sit in ``active`` keyed by hash; refcount-zero blocks
+    move into the evictor, where they stay addressable (a later
+    allocate with the same hash revives them — that IS the prefix
+    cache) until capacity pressure evicts the LRU victim. Blocks still
+    filling up carry a unique placeholder hash (negative counter) and
+    are promoted to their content hash when full.
+    """
+
+    def __init__(self, device: Device, block_size: int, num_blocks: int,
                  eviction_policy: EvictionPolicy = EvictionPolicy.LRU):
         self.device = device
         self.block_size = block_size
         self.num_blocks = num_blocks
-        self.current_num_blocks = 0
-        self.cached_blocks: Dict[int, PhysicalTokenBlock] = {}
+        self.current_num_blocks = 0  # blocks materialized so far
+        self.active: Dict[int, PhysicalTokenBlock] = {}
         self.evictor: Evictor = make_evictor(eviction_policy)
-        self.default_hash_ctr = count(start=-1, step=-1)
+        self._placeholder_hashes = count(start=-1, step=-1)
 
-    def allocate_block(self, block_hash: int,
-                       num_hashed_tokens: int) -> PhysicalTokenBlock:
-        if self.current_num_blocks == self.num_blocks:
-            block = self.evictor.evict()
-            block.block_hash = block_hash
-            block.num_hashed_tokens = num_hashed_tokens
+    # kept as an alias: older tests/code call this `cached_blocks`
+    @property
+    def cached_blocks(self) -> Dict[int, PhysicalTokenBlock]:
+        return self.active
+
+    def _materialize(self, block_hash: int,
+                     num_hashed_tokens: int) -> PhysicalTokenBlock:
+        """Hand out a never-used block number, or recycle the LRU victim
+        once all ``num_blocks`` numbers exist."""
+        if self.current_num_blocks < self.num_blocks:
+            block = PhysicalTokenBlock(
+                device=self.device,
+                block_number=self.current_num_blocks,
+                block_size=self.block_size,
+                block_hash=block_hash,
+                num_hashed_tokens=num_hashed_tokens)
+            self.current_num_blocks += 1
             return block
-        block = PhysicalTokenBlock(device=self.device,
-                                   block_number=self.current_num_blocks,
-                                   block_size=self.block_size,
-                                   block_hash=block_hash,
-                                   num_hashed_tokens=num_hashed_tokens)
-        self.current_num_blocks += 1
-        return block
+        victim = self.evictor.evict()
+        victim.block_hash = block_hash
+        victim.num_hashed_tokens = num_hashed_tokens
+        return victim
 
-    def allocate(self,
-                 block_hash: Optional[int] = None,
+    def allocate(self, block_hash: Optional[int] = None,
                  num_hashed_tokens: int = 0) -> PhysicalTokenBlock:
         if block_hash is None:
-            # Mutable (not-yet-full) block: unique negative placeholder
-            # hash; promoted to its content hash when it fills.
-            block_hash = next(self.default_hash_ctr)
+            block_hash = next(self._placeholder_hashes)
         if block_hash in self.evictor:
-            assert block_hash not in self.cached_blocks
+            # Prefix-cache hit on a retired block: revive it.
+            assert block_hash not in self.active
             block = self.evictor.remove(block_hash)
             assert block.ref_count == 0
-            self.cached_blocks[block_hash] = block
-        if block_hash not in self.cached_blocks:
-            self.cached_blocks[block_hash] = self.allocate_block(
+            self.active[block_hash] = block
+        elif block_hash not in self.active:
+            self.active[block_hash] = self._materialize(
                 block_hash, num_hashed_tokens)
-        block = self.cached_blocks[block_hash]
+        block = self.active[block_hash]
         assert block.block_hash == block_hash
         block.ref_count += 1
         return block
@@ -117,9 +148,10 @@ class CachedBlockAllocator(BlockAllocatorBase):
             raise ValueError(f"Double free! {block} is already freed.")
         block.ref_count -= 1
         if block.ref_count == 0:
+            # Retire, but keep addressable for future hash hits.
             assert block.block_hash not in self.evictor
             self.evictor.add(block)
-            del self.cached_blocks[block.block_hash]
+            del self.active[block.block_hash]
 
     def get_num_free_blocks(self) -> int:
         return (self.num_blocks - self.current_num_blocks +
@@ -129,67 +161,20 @@ class CachedBlockAllocator(BlockAllocatorBase):
         return self.num_blocks
 
     def contains_block(self, block_hash: int) -> bool:
-        return block_hash in self.cached_blocks or block_hash in self.evictor
+        return block_hash in self.active or block_hash in self.evictor
 
     def update_hash(self, block_hash: int,
                     block: PhysicalTokenBlock) -> None:
+        """Promote a just-filled block from its placeholder hash to its
+        content hash."""
         assert not self.contains_block(block_hash)
-        old_hash = block.block_hash
+        del self.active[block.block_hash]
         block.block_hash = block_hash
-        del self.cached_blocks[old_hash]
-        self.cached_blocks[block_hash] = block
-
-
-class UncachedBlockAllocator(BlockAllocatorBase):
-    """Simple free-list allocator (reference: block_manager_v1.py:154)."""
-
-    def __init__(self, device: Device, block_size: int,
-                 num_blocks: int) -> None:
-        self.device = device
-        self.block_size = block_size
-        self.num_blocks = num_blocks
-        self.free_blocks: List[PhysicalTokenBlock] = [
-            PhysicalTokenBlock(device=device,
-                               block_number=i,
-                               block_size=block_size,
-                               block_hash=-1,
-                               num_hashed_tokens=0)
-            for i in range(num_blocks)
-        ]
-
-    def allocate(self,
-                 block_hash: Optional[int] = None,
-                 num_hashed_tokens: int = 0) -> PhysicalTokenBlock:
-        if not self.free_blocks:
-            raise ValueError("Out of memory! No free blocks are available.")
-        block = self.free_blocks.pop()
-        block.ref_count = 1
-        return block
-
-    def free(self, block: PhysicalTokenBlock) -> None:
-        if block.ref_count == 0:
-            raise ValueError(f"Double free! {block} is already freed.")
-        block.ref_count -= 1
-        if block.ref_count == 0:
-            self.free_blocks.append(block)
-
-    def get_num_free_blocks(self) -> int:
-        return len(self.free_blocks)
-
-    def get_num_total_blocks(self) -> int:
-        return self.num_blocks
-
-    def contains_block(self, block_hash: int) -> bool:
-        return False
-
-    def update_hash(self, block_hash: int,
-                    block: PhysicalTokenBlock) -> None:
-        raise NotImplementedError(
-            "Invalid codepath for uncached block allocator.")
+        self.active[block_hash] = block
 
 
 class BlockSpaceManagerV1(BlockSpaceManager):
-    """Maps sequences to physical KV blocks in device HBM / host swap."""
+    """Maps sequences to physical KV blocks across HBM and host swap."""
 
     def __init__(
         self,
@@ -200,297 +185,268 @@ class BlockSpaceManagerV1(BlockSpaceManager):
         sliding_window: Optional[int] = None,
         enable_caching: bool = False,
     ) -> None:
+        if enable_caching and sliding_window is not None:
+            raise NotImplementedError(
+                "Sliding window is not allowed with prefix caching "
+                "enabled!")
+
         self.block_size = block_size
         self.num_total_gpu_blocks = num_gpu_blocks
         self.num_total_cpu_blocks = num_cpu_blocks
-
-        if enable_caching and sliding_window is not None:
-            raise NotImplementedError(
-                "Sliding window is not allowed with prefix caching enabled!")
-
-        self.block_sliding_window: Optional[int] = None
-        if sliding_window is not None:
-            # Round up to keep all referenced tokens addressable.
-            self.block_sliding_window = (
-                (sliding_window + block_size - 1) // block_size)
-
-        self.watermark = watermark
-        assert watermark >= 0.0
         self.enable_caching = enable_caching
+
+        # Window expressed in whole blocks, rounded up so every token
+        # the window can reference stays addressable.
+        self.block_sliding_window: Optional[int] = (
+            cdiv(sliding_window, block_size)
+            if sliding_window is not None else None)
+
+        assert watermark >= 0.0
+        self.watermark = watermark
         self.watermark_blocks = int(watermark * num_gpu_blocks)
 
-        if self.enable_caching:
+        alloc_cls = (CachedBlockAllocator
+                     if enable_caching else UncachedBlockAllocator)
+        if enable_caching:
             logger.info("Prefix caching is enabled.")
-            self.gpu_allocator: BlockAllocatorBase = CachedBlockAllocator(
-                Device.TPU, block_size, num_gpu_blocks)
-            self.cpu_allocator: BlockAllocatorBase = CachedBlockAllocator(
-                Device.CPU, block_size, num_cpu_blocks)
-        else:
-            self.gpu_allocator = UncachedBlockAllocator(
-                Device.TPU, block_size, num_gpu_blocks)
-            self.cpu_allocator = UncachedBlockAllocator(
-                Device.CPU, block_size, num_cpu_blocks)
-        # seq_id -> BlockTable
-        self.block_tables: Dict[int, BlockTable] = {}
+        self.gpu_allocator = alloc_cls(Device.TPU, block_size,
+                                       num_gpu_blocks)
+        self.cpu_allocator = alloc_cls(Device.CPU, block_size,
+                                       num_cpu_blocks)
+        self.block_tables: Dict[int, BlockTable] = {}  # seq_id -> table
 
-    # ------------------------------------------------------------ allocate
+    # ----------------------------------------------------- prompt intake
 
-    def _get_seq_num_required_blocks(self, seq: Optional[Sequence]) -> int:
-        return 0 if seq is None else len(seq.logical_token_blocks)
+    def _blocks_needed_for(self, seq: Optional[Sequence]) -> int:
+        if seq is None:
+            return 0
+        n = len(seq.logical_token_blocks)
+        if self.block_sliding_window is not None:
+            n = min(n, self.block_sliding_window)
+        return n
 
     def can_allocate(self, seq_group: SequenceGroup) -> AllocStatus:
-        seq = seq_group.get_seqs(status=SequenceStatus.WAITING)[0]
-        num_required_blocks = self._get_seq_num_required_blocks(seq)
-        if self.block_sliding_window is not None:
-            num_required_blocks = min(num_required_blocks,
-                                      self.block_sliding_window)
-        num_free_gpu_blocks = self.gpu_allocator.get_num_free_blocks()
-        if (self.num_total_gpu_blocks - num_required_blocks <
-                self.watermark_blocks):
+        prompt_seq = seq_group.get_seqs(status=SequenceStatus.WAITING)[0]
+        needed = self._blocks_needed_for(prompt_seq)
+        # NEVER: even an empty pool couldn't hold it above the watermark.
+        if self.num_total_gpu_blocks - needed < self.watermark_blocks:
             return AllocStatus.NEVER
-        if num_free_gpu_blocks - num_required_blocks >= \
-                self.watermark_blocks:
+        free_now = self.gpu_allocator.get_num_free_blocks()
+        if free_now - needed >= self.watermark_blocks:
             return AllocStatus.OK
         return AllocStatus.LATER
 
     def allocate(self, seq_group: SequenceGroup) -> None:
-        # All waiting seqs in a group share one prompt → one block table.
+        # Every waiting seq in the group shares the one prompt, so they
+        # start from copies of a single physical table.
         wait_seqs = seq_group.get_seqs(status=SequenceStatus.WAITING)
         seq = wait_seqs[0]
-        num_prompt_blocks = len(seq.logical_token_blocks)
+        fanout = seq_group.num_seqs()
 
-        block_table = BlockTable()
-        for logical_idx in range(num_prompt_blocks):
+        table = BlockTable()
+        for idx in range(len(seq.logical_token_blocks)):
             if (self.block_sliding_window is not None
-                    and logical_idx >= self.block_sliding_window):
-                block = block_table[logical_idx % self.block_sliding_window]
-                # Re-reference the ring block for this logical slot.
-                block.ref_count += seq_group.num_seqs()
+                    and idx >= self.block_sliding_window):
+                # Past the window: the ring wraps onto its own blocks.
+                block = table[idx % self.block_sliding_window]
+                block.ref_count += fanout
             elif self.enable_caching:
                 block = self.gpu_allocator.allocate(
-                    seq.hash_of_block(logical_idx),
-                    seq.num_hashed_tokens_of_block(logical_idx))
-                block.ref_count += seq_group.num_seqs() - 1
+                    seq.hash_of_block(idx),
+                    seq.num_hashed_tokens_of_block(idx))
+                block.ref_count += fanout - 1  # allocate() booked one
             else:
                 block = self.gpu_allocator.allocate()
-                block.ref_count = seq_group.num_seqs()
-            block_table.append(block)
+                block.ref_count = fanout
+            table.append(block)
 
         for s in wait_seqs:
-            self.block_tables[s.seq_id] = block_table.copy()
+            self.block_tables[s.seq_id] = table.copy()
 
-    # -------------------------------------------------------- append slots
+    # ----------------------------------------------------- decode growth
 
     def can_append_slots(self, seq_group: SequenceGroup,
                          num_lookahead_slots: int = 0) -> bool:
-        # Worst case: every running seq needs one new block plus blocks
-        # covering the lookahead window (multi-step decode / spec decode
-        # — capability the reference only has in block manager v2,
+        # Worst case, every live seq opens one new block now plus the
+        # blocks spanned by the lookahead window (multi-step/spec decode
+        # — the reference only grew this in block manager v2,
         # block_manager_v2.py:178-223).
-        blocks_per_seq = 1 + cdiv(num_lookahead_slots, self.block_size)
-        num_free = self.gpu_allocator.get_num_free_blocks()
-        num_seqs = seq_group.num_seqs(status=SequenceStatus.RUNNING)
-        return num_seqs * blocks_per_seq <= num_free
+        per_seq = 1 + cdiv(num_lookahead_slots, self.block_size)
+        live = seq_group.num_seqs(status=SequenceStatus.RUNNING)
+        return live * per_seq <= self.gpu_allocator.get_num_free_blocks()
 
-    def _promote_last_block(self, seq: Sequence,
-                            last_block: PhysicalTokenBlock
-                            ) -> PhysicalTokenBlock:
-        assert self.enable_caching
-        new_hash = seq.hash_of_block(len(seq.logical_token_blocks) - 1)
-        if self.gpu_allocator.contains_block(new_hash):
-            # Identical content already cached: dedupe onto it.
-            self.gpu_allocator.free(last_block)
-            return self.gpu_allocator.allocate(new_hash)
-        self.gpu_allocator.update_hash(new_hash, last_block)
-        return last_block
+    def _last_block_is_full(self, seq: Sequence) -> bool:
+        n = seq.data.get_len()
+        return n > 0 and n % seq.block_size == 0
 
-    def _is_last_block_full(self, seq: Sequence) -> bool:
-        token_ids_len = seq.data.get_len()
-        return token_ids_len > 0 and token_ids_len % seq.block_size == 0
-
-    def _maybe_promote_last_block(
-            self, seq: Sequence,
-            last_block: PhysicalTokenBlock) -> PhysicalTokenBlock:
-        if self._is_last_block_full(seq):
-            return self._promote_last_block(seq, last_block)
-        return last_block
-
-    def _allocate_last_physical_block(self,
-                                      seq: Sequence) -> PhysicalTokenBlock:
+    def _open_new_block(self, seq: Sequence) -> PhysicalTokenBlock:
+        """Allocate the block that will hold the sequence tail. Under
+        caching, a tail that happens to be full gets its content hash
+        immediately (possible dedupe); otherwise a placeholder."""
         if not self.enable_caching:
             return self.gpu_allocator.allocate()
-        block_hash: Optional[int] = None
-        n_blocks = len(seq.logical_token_blocks)
-        if self._is_last_block_full(seq):
-            block_hash = seq.hash_of_block(n_blocks - 1)
-        num_hashed_tokens = seq.num_hashed_tokens_of_block(n_blocks - 1)
-        new_block = self.gpu_allocator.allocate(block_hash,
-                                                num_hashed_tokens)
-        if block_hash is None:
-            assert new_block.ref_count == 1
-        return new_block
+        tail = len(seq.logical_token_blocks) - 1
+        content_hash = (seq.hash_of_block(tail)
+                        if self._last_block_is_full(seq) else None)
+        block = self.gpu_allocator.allocate(
+            content_hash, seq.num_hashed_tokens_of_block(tail))
+        if content_hash is None:
+            assert block.ref_count == 1
+        return block
 
-    def append_slots(self,
-                     seq: Sequence,
+    def _promote_if_full(self, seq: Sequence,
+                         tail_block: PhysicalTokenBlock
+                         ) -> PhysicalTokenBlock:
+        """When the tail block just filled, swap its placeholder hash
+        for the content hash — deduping onto an existing cached block
+        when one matches."""
+        if not self._last_block_is_full(seq):
+            return tail_block
+        content_hash = seq.hash_of_block(
+            len(seq.logical_token_blocks) - 1)
+        if self.gpu_allocator.contains_block(content_hash):
+            self.gpu_allocator.free(tail_block)
+            return self.gpu_allocator.allocate(content_hash)
+        self.gpu_allocator.update_hash(content_hash, tail_block)
+        return tail_block
+
+    def append_slots(self, seq: Sequence,
                      num_lookahead_slots: int = 0) -> Dict[int, List[int]]:
-        """Ensure physical capacity for the token just appended plus
-        ``num_lookahead_slots`` future tokens (multi-step decode / spec
-        decode). Returns {src_block: [dst_block]} copy-on-write
-        instructions (reference: block_manager_v1.py:426-470; lookahead
-        parity with block_manager_v2.py:178-223)."""
-        logical_blocks = seq.logical_token_blocks
-        block_table = self.block_tables[seq.seq_id]
-        # Blocks needed to cover current tokens + the lookahead window.
-        needed = len(logical_blocks) + cdiv(
-            num_lookahead_slots -
-            (len(logical_blocks) * self.block_size - seq.data.get_len()),
-            self.block_size) if num_lookahead_slots else len(
-                logical_blocks)
-        needed = max(needed, len(logical_blocks))
+        """Guarantee physical room for the newly appended token plus
+        ``num_lookahead_slots`` future ones. Returns copy-on-write
+        directives {src_block: [dst_blocks]} for the cache engine
+        (reference: block_manager_v1.py:426-470)."""
+        logical = seq.logical_token_blocks
+        table = self.block_tables[seq.seq_id]
 
-        if len(block_table) < needed:
+        want = len(logical)
+        if num_lookahead_slots:
+            # Lookahead tokens beyond the free space in the tail block.
+            spill = num_lookahead_slots - (
+                len(logical) * self.block_size - seq.data.get_len())
+            want = max(want, len(logical) + cdiv(spill, self.block_size))
+
+        if len(table) < want:
             if (self.block_sliding_window
-                    and len(block_table) >= self.block_sliding_window):
+                    and len(table) >= self.block_sliding_window):
                 assert num_lookahead_slots == 0, (
-                    "multi-step decode is not supported with sliding "
-                    "window yet")
-                # Ring reuse: oldest block cycles back in.
-                block_table.append(
-                    block_table[len(block_table) %
-                                self.block_sliding_window])
+                    "sliding window + lookahead not supported")
+                # The ring turns over: reuse the block that fell out of
+                # the window for the new logical slot.
+                table.append(table[len(table) % self.block_sliding_window])
                 return {}
-            while len(block_table) < needed:
-                new_block = self._allocate_last_physical_block(seq)
-                block_table.append(new_block)
+            while len(table) < want:
+                table.append(self._open_new_block(seq))
             return {}
 
-        # Appending into the existing last REAL block (lookahead blocks
-        # past the logical tail are never shared).
-        last_block = block_table[len(logical_blocks) - 1]
-        assert last_block.device == Device.TPU
-        if last_block.ref_count == 1:
+        # The token landed in the existing tail block. (Lookahead blocks
+        # beyond the logical tail are private, never CoW candidates.)
+        tail_idx = len(logical) - 1
+        tail_block = table[tail_idx]
+        assert tail_block.device == Device.TPU
+        if tail_block.ref_count == 1:
             if self.enable_caching:
-                maybe_new = self._maybe_promote_last_block(seq, last_block)
-                block_table[len(logical_blocks) - 1] = maybe_new
+                table[tail_idx] = self._promote_if_full(seq, tail_block)
             return {}
-        # Shared last block → copy-on-write.
-        new_block = self._allocate_last_physical_block(seq)
-        block_table[len(logical_blocks) - 1] = new_block
-        self.gpu_allocator.free(last_block)
-        return {last_block.block_number: [new_block.block_number]}
-
-    # ---------------------------------------------------------------- fork
+        # Shared with a forked sibling: copy-on-write.
+        private = self._open_new_block(seq)
+        table[tail_idx] = private
+        self.gpu_allocator.free(tail_block)
+        return {tail_block.block_number: [private.block_number]}
 
     def fork(self, parent_seq: Sequence, child_seq: Sequence) -> None:
         if parent_seq.seq_id not in self.block_tables:
             return
-        src_block_table = self.block_tables[parent_seq.seq_id]
-        self.block_tables[child_seq.seq_id] = src_block_table.copy()
-        # A sliding-window ring may repeat blocks; count each once.
-        for block in set(src_block_table):
+        parent_table = self.block_tables[parent_seq.seq_id]
+        self.block_tables[child_seq.seq_id] = parent_table.copy()
+        # A window ring repeats entries; each physical block refs once.
+        for block in set(parent_table):
             block.ref_count += 1
 
-    # ---------------------------------------------------------------- swap
+    # -------------------------------------------------------------- swap
 
-    def _get_physical_blocks(
+    def _resident_blocks(
             self, seq_group: SequenceGroup) -> List[PhysicalTokenBlock]:
-        blocks: Set[PhysicalTokenBlock] = set()
+        found: Set[PhysicalTokenBlock] = set()
         for seq in seq_group.get_seqs():
-            if seq.is_finished():
-                continue
-            if seq.seq_id in self.block_tables:
-                blocks.update(self.block_tables[seq.seq_id])
-        return list(blocks)
+            if not seq.is_finished() and seq.seq_id in self.block_tables:
+                found.update(self.block_tables[seq.seq_id])
+        return list(found)
 
-    def can_swap_in(self,
-                    seq_group: SequenceGroup,
+    def can_swap_in(self, seq_group: SequenceGroup,
                     num_lookahead_slots: int = 0) -> AllocStatus:
         assert num_lookahead_slots == 0
-        blocks = self._get_physical_blocks(seq_group)
-        num_swapped_seqs = seq_group.num_seqs(status=SequenceStatus.SWAPPED)
-        num_free_blocks = self.gpu_allocator.get_num_free_blocks()
-        # Each swapped seq may also need one new block this step.
-        num_required_blocks = len(blocks) + num_swapped_seqs
-        if self.gpu_allocator.get_num_total_blocks() < num_required_blocks:
+        # Everything the group owns, plus one fresh block per seq for
+        # the step it resumes on.
+        needed = (len(self._resident_blocks(seq_group)) +
+                  seq_group.num_seqs(status=SequenceStatus.SWAPPED))
+        if self.gpu_allocator.get_num_total_blocks() < needed:
             return AllocStatus.NEVER
-        if num_free_blocks - num_required_blocks >= self.watermark_blocks:
+        free_now = self.gpu_allocator.get_num_free_blocks()
+        if free_now - needed >= self.watermark_blocks:
             return AllocStatus.OK
         return AllocStatus.LATER
 
-    def swap_in(self,
-                seq_group: SequenceGroup,
+    def can_swap_out(self, seq_group: SequenceGroup) -> bool:
+        return (len(self._resident_blocks(seq_group)) <=
+                self.cpu_allocator.get_num_free_blocks())
+
+    def _migrate(self, seq_group: SequenceGroup, status: SequenceStatus,
+                 src_allocator, dst_allocator) -> Dict[int, int]:
+        """Move every block of the group's ``status`` sequences from one
+        tier to the other; a block shared across seqs migrates once and
+        re-shares. Returns {src_block_number: dst_block_number} for the
+        DMA engine. One routine serves both directions (the reference
+        mirrors the body in swap_in/swap_out)."""
+        moved: Dict[PhysicalTokenBlock, PhysicalTokenBlock] = {}
+        for seq in seq_group.get_seqs(status=status):
+            relocated = BlockTable()
+            for src in self.block_tables[seq.seq_id]:
+                if src in moved:
+                    dst = moved[src]
+                    dst.ref_count += 1
+                else:
+                    dst = dst_allocator.allocate(src.block_hash,
+                                                 src.num_hashed_tokens)
+                    moved[src] = dst
+                relocated.append(dst)
+                src_allocator.free(src)
+            self.block_tables[seq.seq_id] = relocated
+        return {s.block_number: d.block_number for s, d in moved.items()}
+
+    def swap_in(self, seq_group: SequenceGroup,
                 num_lookahead_slots: int = 0) -> Dict[int, int]:
         assert num_lookahead_slots == 0
-        mapping: Dict[PhysicalTokenBlock, PhysicalTokenBlock] = {}
-        for seq in seq_group.get_seqs(status=SequenceStatus.SWAPPED):
-            new_block_table = BlockTable()
-            for cpu_block in self.block_tables[seq.seq_id]:
-                if cpu_block in mapping:
-                    gpu_block = mapping[cpu_block]
-                    gpu_block.ref_count += 1
-                else:
-                    gpu_block = self.gpu_allocator.allocate(
-                        cpu_block.block_hash, cpu_block.num_hashed_tokens)
-                    mapping[cpu_block] = gpu_block
-                new_block_table.append(gpu_block)
-                self.cpu_allocator.free(cpu_block)
-            self.block_tables[seq.seq_id] = new_block_table
-        return {
-            cpu.block_number: gpu.block_number
-            for cpu, gpu in mapping.items()
-        }
-
-    def can_swap_out(self, seq_group: SequenceGroup) -> bool:
-        blocks = self._get_physical_blocks(seq_group)
-        return len(blocks) <= self.cpu_allocator.get_num_free_blocks()
+        return self._migrate(seq_group, SequenceStatus.SWAPPED,
+                             self.cpu_allocator, self.gpu_allocator)
 
     def swap_out(self, seq_group: SequenceGroup) -> Dict[int, int]:
-        mapping: Dict[PhysicalTokenBlock, PhysicalTokenBlock] = {}
-        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            new_block_table = BlockTable()
-            for gpu_block in self.block_tables[seq.seq_id]:
-                if gpu_block in mapping:
-                    cpu_block = mapping[gpu_block]
-                    cpu_block.ref_count += 1
-                else:
-                    cpu_block = self.cpu_allocator.allocate(
-                        gpu_block.block_hash, gpu_block.num_hashed_tokens)
-                    mapping[gpu_block] = cpu_block
-                new_block_table.append(cpu_block)
-                self.gpu_allocator.free(gpu_block)
-            self.block_tables[seq.seq_id] = new_block_table
-        return {
-            gpu.block_number: cpu.block_number
-            for gpu, cpu in mapping.items()
-        }
+        return self._migrate(seq_group, SequenceStatus.RUNNING,
+                             self.gpu_allocator, self.cpu_allocator)
 
-    # ---------------------------------------------------------------- free
+    # -------------------------------------------------------------- free
 
-    def _free_block_table(self, block_table: BlockTable) -> None:
-        # Sliding-window rings repeat blocks beyond the window; free the
-        # tail window's unique blocks only.
-        blocks_to_free = (list(block_table)[-self.block_sliding_window:]
-                          if self.block_sliding_window is not None else
-                          list(block_table))
-        for block in set(blocks_to_free):
-            if block.device == Device.TPU:
-                self.gpu_allocator.free(block)
-            else:
-                self.cpu_allocator.free(block)
+    def _release_table(self, table: BlockTable) -> None:
+        # A window ring aliases earlier entries; free unique blocks of
+        # the live window only.
+        live = (list(table)[-self.block_sliding_window:]
+                if self.block_sliding_window is not None else list(table))
+        for block in set(live):
+            allocator = (self.gpu_allocator if block.device == Device.TPU
+                         else self.cpu_allocator)
+            allocator.free(block)
 
     def free(self, seq: Sequence) -> None:
-        if seq.seq_id not in self.block_tables:
-            return  # Already freed or never allocated.
-        block_table = self.block_tables[seq.seq_id]
-        self._free_block_table(block_table)
-        del self.block_tables[seq.seq_id]
+        table = self.block_tables.pop(seq.seq_id, None)
+        if table is not None:
+            self._release_table(table)
 
     def reset(self) -> None:
-        for block_table in self.block_tables.values():
-            self._free_block_table(block_table)
+        for table in self.block_tables.values():
+            self._release_table(table)
         self.block_tables.clear()
 
-    # ------------------------------------------------------------- queries
+    # ----------------------------------------------------------- queries
 
     def get_block_table(self, seq: Sequence) -> List[int]:
         return self.block_tables[seq.seq_id].ids()
@@ -501,51 +457,49 @@ class BlockSpaceManagerV1(BlockSpaceManager):
     def get_num_free_cpu_blocks(self) -> int:
         return self.cpu_allocator.get_num_free_blocks()
 
-    # ----------------------------------------------------- prefix caching
+    # ---------------------------------------------------- prefix caching
 
     def access_all_blocks_in_seq(self, seq: Sequence, now: float) -> None:
-        if not self.enable_caching:
-            return
-        if seq.seq_id not in self.block_tables:
-            return
-        for block in self.block_tables[seq.seq_id]:
-            block.last_accessed = now
+        if self.enable_caching and seq.seq_id in self.block_tables:
+            for block in self.block_tables[seq.seq_id]:
+                block.last_accessed = now
 
     def compute_full_blocks_in_seq(self, seq: Sequence) -> None:
-        if seq.seq_id not in self.block_tables:
+        """Flag every full block as computed, sweeping backwards and
+        stopping at the first already-computed one (everything before it
+        was flagged on an earlier step)."""
+        table = self.block_tables.get(seq.seq_id)
+        if table is None:
             return
-        max_full_block = seq.get_len() // self.block_size - 1
-        block_table = self.block_tables[seq.seq_id]
-        if max_full_block == -1:
-            return
-        for i in reversed(range(max_full_block + 1)):
-            if block_table[i].computed:
+        full_blocks = seq.get_len() // self.block_size
+        for i in reversed(range(full_blocks)):
+            if table[i].computed:
                 break
-            block_table[i].computed = True
+            table[i].computed = True
 
     def get_all_computed_blocks(self, seq: Sequence) -> List[int]:
-        if seq.seq_id not in self.block_tables:
+        table = self.block_tables.get(seq.seq_id)
+        if table is None:
             return []
-        block_table = self.block_tables[seq.seq_id]
-        # Never trim the last block: at least one token must be computed
-        # this step (reference: block_manager_v1.py:683).
+        # The last block is excluded even if computed: the model must
+        # see at least one token this step (reference:
+        # block_manager_v1.py:683).
         return [
             b.block_number
-            for b in takewhile(lambda b: b.computed, list(block_table)[:-1])
+            for b in takewhile(lambda b: b.computed, list(table)[:-1])
         ]
 
     def get_common_computed_block_ids(
             self, seqs: List[Sequence]) -> List[int]:
+        """Longest computed-block prefix shared by all seqs in the group
+        — the part a prefix-cache hit lets the prefill skip."""
         if not self.enable_caching:
             return []
-        ids_list = [self.get_all_computed_blocks(seq) for seq in seqs]
-        ids_list = [ids for ids in ids_list if ids]
-        if not ids_list:
-            return []
-        return commonprefix(ids_list)
+        per_seq = [ids for ids in
+                   (self.get_all_computed_blocks(s) for s in seqs) if ids]
+        return commonprefix(per_seq) if per_seq else []
 
     def mark_blocks_as_computed(self, seq_group: SequenceGroup) -> None:
-        if not self.enable_caching:
-            return
-        for seq in seq_group.get_seqs():
-            self.compute_full_blocks_in_seq(seq)
+        if self.enable_caching:
+            for seq in seq_group.get_seqs():
+                self.compute_full_blocks_in_seq(seq)

@@ -1,17 +1,22 @@
-"""Continuous-batching scheduler.
+"""Continuous-batching scheduler for the single-controller TPU engine.
 
-Behavioral parity with the reference's Scheduler (vllm/core/scheduler.py):
-waiting/running/swapped deques (:286-292), token+seq budget
-(SchedulingBudget :41), prefill-first default policy (_schedule_default
-:730), decode-first chunked-prefill policy (_schedule_chunked_prefill
-:824), preemption by recompute or swap (_preempt :1055), prompt-delay
-heuristic (_passed_delay :1140), artificial-preemption test hook (:21-24),
-and SequenceGroupMetadata assembly incl. block tables + computed prefix
-blocks (schedule :939-1015).
+Capability parity with the reference scheduler (vllm/core/scheduler.py):
+three request pools (waiting / running / swapped), a per-step token+seq
+admission budget, the prefill-first default policy (:730) and the
+decode-first chunked-prefill policy (:824), preemption by recompute or
+by swapping KV to the host tier (:1055), the prompt-delay batching
+heuristic (:1140), the artificial-preemption test hook (:21-24), and
+wire-format SequenceGroupMetadata assembly (:939-1015).
 
-TPU note: swap "copies" become host↔HBM block DMAs executed by the cache
-engine; everything here is device-agnostic host Python and deliberately
-kept allocation-light — it runs once per engine step on the critical path.
+The structure is not the reference's: because the TPU engine is a
+single synchronous controller (no per-GPU worker RPC), one scheduling
+step here is three *admission passes* — keep-running, resume-swapped,
+admit-waiting — that all write into a single mutable ``_StepPlan``.
+The plan is then frozen into ``SchedulerOutputs``. Swap directives
+become host<->HBM block DMA lists executed by the cache engine; block
+"copies" are copy-on-write forks. Chunk boundaries are block-aligned
+(unlike the reference) so the fused Pallas cache-write path always
+emits whole-block DMAs.
 """
 from __future__ import annotations
 
@@ -20,7 +25,8 @@ import random
 import time
 from collections import deque
 from dataclasses import dataclass, field
-from typing import Deque, Dict, Iterable, List, Optional, Set, Tuple, Union
+from typing import (Deque, Dict, Iterable, List, Optional, Set, Tuple,
+                    Union)
 
 from vllm_legacy_tpu import envs
 from vllm_legacy_tpu.config import CacheConfig, LoRAConfig, SchedulerConfig
@@ -32,82 +38,87 @@ from vllm_legacy_tpu.sequence import (Sequence, SequenceData, SequenceGroup,
 
 logger = init_logger(__name__)
 
-# Test hook (reference: VLLM_TEST_ENABLE_ARTIFICIAL_PREEMPT,
-# core/scheduler.py:21-24).
+# Fault-injection hook used by the preemption tests (reference:
+# VLLM_TEST_ENABLE_ARTIFICIAL_PREEMPT, core/scheduler.py:21-24).
 ENABLE_ARTIFICIAL_PREEMPT = bool(envs.VLT_TEST_ENABLE_ARTIFICIAL_PREEMPT)
 ARTIFICIAL_PREEMPTION_PROB = 0.5
 ARTIFICIAL_PREEMPTION_MAX_CNT = 500
 
 
 class PreemptionMode(enum.Enum):
-    """SWAP: move KV blocks to the host tier and back. RECOMPUTE: drop KV
-    and re-prefill later (cheaper for short sequences)."""
+    """How a victim gives up its KV blocks: SWAP moves them to the host
+    tier (multi-seq groups, where regenerating is ambiguous); RECOMPUTE
+    drops them and re-prefills later (cheaper for single sequences)."""
     SWAP = enum.auto()
     RECOMPUTE = enum.auto()
 
 
-@dataclass
 class SchedulingBudget:
-    """Per-step token and sequence budget (reference: scheduler.py:41)."""
-    token_budget: int
-    max_num_seqs: int
-    _request_ids_num_batched_tokens: Set[str] = field(default_factory=set)
-    _request_ids_num_curr_seqs: Set[str] = field(default_factory=set)
-    _num_batched_tokens: int = 0
-    _num_curr_seqs: int = 0
+    """Step-wide admission ledger (reference: scheduler.py:41).
 
-    def can_schedule(self, *, num_new_tokens: int, num_new_seqs: int):
-        assert num_new_tokens != 0
-        assert num_new_seqs != 0
-        return (self.num_batched_tokens + num_new_tokens <= self.token_budget
-                and self.num_curr_seqs + num_new_seqs <= self.max_num_seqs)
+    Tokens and sequence seats are booked per request id, so a group the
+    passes visit twice is only counted once, and a booking can be
+    released exactly once. ``can_schedule`` is the single gate every
+    pass consults before admitting more work.
+    """
+
+    def __init__(self, token_budget: int, max_num_seqs: int) -> None:
+        self.token_budget = token_budget
+        self.max_num_seqs = max_num_seqs
+        self._token_bookings: Dict[str, int] = {}
+        self._seat_bookings: Dict[str, int] = {}
+        self._tokens_booked = 0
+        self._seats_booked = 0
+
+    def can_schedule(self, *, num_new_tokens: int,
+                     num_new_seqs: int) -> bool:
+        assert num_new_tokens != 0 and num_new_seqs != 0
+        return (self._tokens_booked + num_new_tokens <= self.token_budget
+                and self._seats_booked + num_new_seqs <= self.max_num_seqs)
 
     def remaining_token_budget(self) -> int:
-        return self.token_budget - self.num_batched_tokens
+        return self.token_budget - self._tokens_booked
 
-    def add_num_batched_tokens(self, req_id: str,
-                               num_batched_tokens: int) -> None:
-        if req_id in self._request_ids_num_batched_tokens:
-            return
-        self._request_ids_num_batched_tokens.add(req_id)
-        self._num_batched_tokens += num_batched_tokens
+    def add_num_batched_tokens(self, req_id: str, num_tokens: int) -> None:
+        if req_id not in self._token_bookings:
+            self._token_bookings[req_id] = num_tokens
+            self._tokens_booked += num_tokens
 
     def subtract_num_batched_tokens(self, req_id: str,
-                                    num_batched_tokens: int) -> None:
-        if req_id in self._request_ids_num_batched_tokens:
-            self._request_ids_num_batched_tokens.remove(req_id)
-            self._num_batched_tokens -= num_batched_tokens
+                                    num_tokens: int) -> None:
+        if req_id in self._token_bookings:
+            self._tokens_booked -= self._token_bookings.pop(req_id)
 
-    def add_num_seqs(self, req_id: str, num_curr_seqs: int) -> None:
-        if req_id in self._request_ids_num_curr_seqs:
-            return
-        self._request_ids_num_curr_seqs.add(req_id)
-        self._num_curr_seqs += num_curr_seqs
+    def add_num_seqs(self, req_id: str, num_seqs: int) -> None:
+        if req_id not in self._seat_bookings:
+            self._seat_bookings[req_id] = num_seqs
+            self._seats_booked += num_seqs
 
-    def subtract_num_seqs(self, req_id: str, num_curr_seqs: int) -> None:
-        if req_id in self._request_ids_num_curr_seqs:
-            self._request_ids_num_curr_seqs.remove(req_id)
-            self._num_curr_seqs -= num_curr_seqs
+    def subtract_num_seqs(self, req_id: str, num_seqs: int) -> None:
+        if req_id in self._seat_bookings:
+            self._seats_booked -= self._seat_bookings.pop(req_id)
 
     @property
     def num_batched_tokens(self) -> int:
-        return self._num_batched_tokens
+        return self._tokens_booked
 
     @property
     def num_curr_seqs(self) -> int:
-        return self._num_curr_seqs
+        return self._seats_booked
 
 
 @dataclass
 class ScheduledSequenceGroup:
     seq_group: SequenceGroup
-    # Tokens to compute this step (< prompt len under chunked prefill).
+    # How many of the group's tokens the model computes this step
+    # (smaller than the remaining prompt under chunked prefill).
     token_chunk_size: int
 
 
 @dataclass
 class SchedulerOutputs:
-    """Result of one schedule() call (reference: scheduler.py:112)."""
+    """Frozen result of one scheduling step (reference: scheduler.py:112);
+    consumed by the engine to build the ExecuteModelRequest."""
     scheduled_seq_groups: List[ScheduledSequenceGroup]
     num_prefill_groups: int
     num_batched_tokens: int
@@ -120,18 +131,18 @@ class SchedulerOutputs:
     preempted: int = 0
 
     def __post_init__(self) -> None:
+        # A step swaps in XOR out; the cache engine issues one direction.
         assert not (self.blocks_to_swap_in and self.blocks_to_swap_out)
         self.num_loras = len(self.lora_requests)
         if self.num_loras > 0:
-            self._sort_by_lora_ids()
+            # Group batch rows per adapter so the LoRA layer applies one
+            # gathered einsum per adapter slot.
+            self.scheduled_seq_groups.sort(key=lambda g: (
+                g.seq_group.lora_int_id, g.seq_group.request_id))
 
     def is_empty(self) -> bool:
         return (not self.scheduled_seq_groups and not self.blocks_to_swap_in
                 and not self.blocks_to_swap_out and not self.blocks_to_copy)
-
-    def _sort_by_lora_ids(self) -> None:
-        self.scheduled_seq_groups.sort(
-            key=lambda g: (g.seq_group.lora_int_id, g.seq_group.request_id))
 
     @property
     def lora_requests(self) -> Set:
@@ -142,53 +153,59 @@ class SchedulerOutputs:
         }
 
 
-@dataclass
-class SchedulerRunningOutputs:
-    decode_seq_groups: List[ScheduledSequenceGroup]
-    prefill_seq_groups: List[ScheduledSequenceGroup]
-    preempted: List[SequenceGroup]
-    swapped_out: List[SequenceGroup]
-    blocks_to_swap_out: Dict[int, int]
-    blocks_to_copy: Dict[int, List[int]]
-    num_lookahead_slots: int
+class _StepPlan:
+    """Mutable accumulator the three admission passes write into.
 
-    @classmethod
-    def create_empty(cls) -> "SchedulerRunningOutputs":
-        return cls([], [], [], [], {}, {}, 0)
+    Replaces the reference's per-pass output dataclasses
+    (SchedulerRunningOutputs/SwappedInOutputs/PrefillOutputs) + caller
+    merge dance: every pass appends directly, and ``finalize`` emits
+    the SchedulerOutputs once.
+    """
 
+    def __init__(self) -> None:
+        self.new_prefills: List[ScheduledSequenceGroup] = []
+        # Prefills continuing from RUNNING/SWAPPED under chunking.
+        self.carry_prefills: List[ScheduledSequenceGroup] = []
+        self.decodes: List[ScheduledSequenceGroup] = []
+        self.to_recompute: List[SequenceGroup] = []  # back to waiting
+        self.to_host: List[SequenceGroup] = []  # swapped out
+        self.rejected: List[SequenceGroup] = []  # ignored / infeasible
+        self.swap_in: Dict[int, int] = {}
+        self.swap_out: Dict[int, int] = {}
+        self.copies: Dict[int, List[int]] = {}
+        self.lookahead = 0
 
-@dataclass
-class SchedulerSwappedInOutputs:
-    decode_seq_groups: List[ScheduledSequenceGroup]
-    prefill_seq_groups: List[ScheduledSequenceGroup]
-    blocks_to_swap_in: Dict[int, int]
-    blocks_to_copy: Dict[int, List[int]]
-    num_lookahead_slots: int
-    infeasible_seq_groups: List[SequenceGroup]
+    @property
+    def num_preempted(self) -> int:
+        return len(self.to_recompute) + len(self.to_host)
 
-    @classmethod
-    def create_empty(cls) -> "SchedulerSwappedInOutputs":
-        return cls([], [], {}, {}, 0, [])
+    def add_copies(self, cows: Dict[int, List[int]]) -> None:
+        for src, dsts in cows.items():
+            self.copies.setdefault(src, []).extend(dsts)
 
-
-@dataclass
-class SchedulerPrefillOutputs:
-    seq_groups: List[ScheduledSequenceGroup]
-    ignored_seq_groups: List[SequenceGroup]
-    num_lookahead_slots: int
-
-    @classmethod
-    def create_empty(cls) -> "SchedulerPrefillOutputs":
-        return cls([], [], 0)
-
-
-def merge_dicts(dst: Dict[int, List[int]],
-                src: Dict[int, List[int]]) -> None:
-    for k, v in src.items():
-        dst.setdefault(k, []).extend(v)
+    def finalize(self, budget: SchedulingBudget,
+                 running_queue_size: int) -> SchedulerOutputs:
+        # Batch layout contract: prefill rows precede decode rows (the
+        # model runner splits the batch on this boundary).
+        ordered = self.new_prefills + self.carry_prefills + self.decodes
+        return SchedulerOutputs(
+            scheduled_seq_groups=ordered,
+            num_prefill_groups=(len(self.new_prefills) +
+                                len(self.carry_prefills)),
+            num_batched_tokens=budget.num_batched_tokens,
+            blocks_to_swap_in=self.swap_in,
+            blocks_to_swap_out=self.swap_out,
+            blocks_to_copy=self.copies,
+            ignored_seq_groups=self.rejected,
+            num_lookahead_slots=self.lookahead,
+            running_queue_size=running_queue_size,
+            preempted=self.num_preempted,
+        )
 
 
 class Scheduler:
+    """One instance per engine; runs synchronously inside every engine
+    step, so everything here stays allocation-light host Python."""
 
     def __init__(
         self,
@@ -200,17 +217,12 @@ class Scheduler:
         self.cache_config = cache_config
         self.lora_config = lora_config
 
-        version = "v1"
-        if self.scheduler_config.embedding_mode:
-            version = "embedding"
-        BlockSpaceManagerImpl = (
-            BlockSpaceManager.get_block_space_manager_class(version))
-        num_gpu_blocks = cache_config.num_gpu_blocks or 0
-        num_cpu_blocks = cache_config.num_cpu_blocks or 0
-        self.block_manager = BlockSpaceManagerImpl(
+        manager_cls = BlockSpaceManager.get_block_space_manager_class(
+            "embedding" if scheduler_config.embedding_mode else "v1")
+        self.block_manager = manager_cls(
             block_size=cache_config.block_size,
-            num_gpu_blocks=num_gpu_blocks,
-            num_cpu_blocks=num_cpu_blocks,
+            num_gpu_blocks=cache_config.num_gpu_blocks or 0,
+            num_cpu_blocks=cache_config.num_cpu_blocks or 0,
             sliding_window=cache_config.sliding_window,
             enable_caching=cache_config.enable_prefix_caching,
         )
@@ -219,18 +231,17 @@ class Scheduler:
         self.running: Deque[SequenceGroup] = deque()
         self.swapped: Deque[SequenceGroup] = deque()
 
+        # Prompt-delay heuristic state (_passed_delay).
         self.prev_time = 0.0
         self.prev_prompt = False
         self.last_prompt_latency = 0.0
-        self.user_specified_preemption_mode = \
-            scheduler_config.preemption_mode
 
+        self.user_specified_preemption_mode = (
+            scheduler_config.preemption_mode)
         self.num_cumulative_preemption = 0
-        # Artificial preemption for tests (reference: scheduler.py:920-929).
         self.enable_artificial_preemption = ENABLE_ARTIFICIAL_PREEMPT
         self.artificial_preempt_cnt = (ARTIFICIAL_PREEMPTION_MAX_CNT
-                                       if self.enable_artificial_preemption
-                                       else 0)
+                                       if ENABLE_ARTIFICIAL_PREEMPT else 0)
 
     @property
     def lora_enabled(self) -> bool:
@@ -240,562 +251,386 @@ class Scheduler:
     def num_decoding_tokens_per_seq(self) -> int:
         return 1
 
-    # -------------------------------------------------------------- intake
+    # ------------------------------------------------------------- intake
 
     def add_seq_group(self, seq_group: SequenceGroup) -> None:
         self.waiting.append(seq_group)
 
-    def abort_seq_group(self, request_id: Union[str,
-                                                Iterable[str]]) -> None:
-        if isinstance(request_id, str):
-            request_id = (request_id, )
-        request_ids = set(request_id)
-        for state_queue in (self.waiting, self.running, self.swapped):
-            aborted_groups: List[SequenceGroup] = []
-            for seq_group in state_queue:
-                if not request_ids:
-                    break
-                if seq_group.request_id in request_ids:
-                    aborted_groups.append(seq_group)
-                    request_ids.remove(seq_group.request_id)
-            for aborted_group in aborted_groups:
-                state_queue.remove(aborted_group)
-                for seq in aborted_group.get_seqs():
-                    if seq.is_finished():
-                        continue
-                    seq.status = SequenceStatus.FINISHED_ABORTED
-                    self.free_seq(seq)
+    def abort_seq_group(
+            self, request_id: Union[str, Iterable[str]]) -> None:
+        targets = ({request_id} if isinstance(request_id, str)
+                   else set(request_id))
+        for pool in (self.waiting, self.running, self.swapped):
+            if not targets:
+                break
+            hit = [g for g in pool if g.request_id in targets]
+            for group in hit:
+                pool.remove(group)
+                targets.discard(group.request_id)
+                for seq in group.get_seqs():
+                    if not seq.is_finished():
+                        seq.status = SequenceStatus.FINISHED_ABORTED
+                        self.free_seq(seq)
 
     def has_unfinished_seqs(self) -> bool:
-        return bool(self.waiting) or bool(self.running) or bool(self.swapped)
+        return bool(self.waiting or self.running or self.swapped)
 
     def get_num_unfinished_seq_groups(self) -> int:
         return len(self.waiting) + len(self.running) + len(self.swapped)
 
-    # ---------------------------------------------------------- scheduling
+    # --------------------------------------------------- admission passes
 
-    def _schedule_running(
-        self,
-        running_queue: Deque[SequenceGroup],
-        budget: SchedulingBudget,
-        curr_loras: Optional[Set[int]],
-        policy: Policy,
-        enable_chunking: bool = False,
-    ) -> Tuple[Deque[SequenceGroup], SchedulerRunningOutputs]:
-        """Keep running groups running; preempt lowest priority on OOM
-        (reference: scheduler.py:367)."""
-        blocks_to_swap_out: Dict[int, int] = {}
-        blocks_to_copy: Dict[int, List[int]] = {}
-        decode_seq_groups: List[ScheduledSequenceGroup] = []
-        prefill_seq_groups: List[ScheduledSequenceGroup] = []
-        preempted: List[SequenceGroup] = []
-        swapped_out: List[SequenceGroup] = []
+    def _keep_running(self, plan: _StepPlan, budget: SchedulingBudget,
+                      active_loras: Optional[Set[int]],
+                      policy: Policy, chunking: bool) -> None:
+        """Pass 1: keep RUNNING groups on the device.
 
+        Walks the pool highest-priority first; when a group cannot grow
+        its KV allocation, victims are preempted lowest-priority first
+        (the tail of the FCFS order) until it can — or the group
+        preempts itself if it is the last one standing. Groups that
+        don't fit the budget stay in the pool untouched.
+        """
         now = time.time()
-        running_queue = policy.sort_by_priority(now, running_queue)
+        queue = policy.sort_by_priority(now, self.running)
 
-        while running_queue:
-            seq_group = running_queue[0]
-            num_running_tokens = self._get_num_new_tokens(
-                seq_group, SequenceStatus.RUNNING, enable_chunking, budget)
-            if num_running_tokens == 0:
-                break
-            running_queue.popleft()
-            while not self._can_append_slots(seq_group):
-                budget.subtract_num_batched_tokens(seq_group.request_id,
-                                                   num_running_tokens)
-                num_running_seqs = seq_group.get_max_num_running_seqs()
-                budget.subtract_num_seqs(seq_group.request_id,
-                                         num_running_seqs)
-                if curr_loras is not None and seq_group.lora_int_id > 0:
-                    curr_loras.discard(seq_group.lora_int_id)
-                if running_queue:
-                    # Preempt the lowest-priority group.
-                    victim_seq_group = running_queue.pop()
-                    preempted_mode = self._preempt(victim_seq_group,
-                                                   blocks_to_swap_out)
-                    if preempted_mode == PreemptionMode.RECOMPUTE:
-                        preempted.append(victim_seq_group)
-                    else:
-                        swapped_out.append(victim_seq_group)
-                else:
-                    # Preempt the current group itself.
-                    preempted_mode = self._preempt(seq_group,
-                                                   blocks_to_swap_out)
-                    if preempted_mode == PreemptionMode.RECOMPUTE:
-                        preempted.append(seq_group)
-                    else:
-                        swapped_out.append(seq_group)
+        while queue:
+            group = queue[0]
+            step_tokens = self._tokens_this_step(
+                group, SequenceStatus.RUNNING, chunking, budget)
+            if step_tokens == 0:
+                break  # out of token budget; the rest stay running
+            queue.popleft()
+
+            survived = True
+            while not self._can_append_slots(group):
+                # Release whatever this group had booked while we evict.
+                budget.subtract_num_batched_tokens(group.request_id,
+                                                   step_tokens)
+                budget.subtract_num_seqs(
+                    group.request_id, group.get_max_num_running_seqs())
+                if active_loras is not None and group.lora_int_id > 0:
+                    active_loras.discard(group.lora_int_id)
+                victim = queue.pop() if queue else group
+                mode = self._preempt(victim, plan.swap_out)
+                dest = (plan.to_recompute if mode is
+                        PreemptionMode.RECOMPUTE else plan.to_host)
+                dest.append(victim)
+                if victim is group:
+                    survived = False
                     break
+            if not survived:
+                continue
+
+            self._grow_kv(group, plan.copies)
+            if group.is_prefill():
+                plan.carry_prefills.append(
+                    ScheduledSequenceGroup(group, step_tokens))
             else:
-                self._append_slots(seq_group, blocks_to_copy)
-                is_prefill = seq_group.is_prefill()
-                if is_prefill:
-                    prefill_seq_groups.append(
-                        ScheduledSequenceGroup(
-                            seq_group=seq_group,
-                            token_chunk_size=num_running_tokens))
-                else:
-                    decode_seq_groups.append(
-                        ScheduledSequenceGroup(seq_group=seq_group,
-                                               token_chunk_size=1))
-                budget.add_num_batched_tokens(seq_group.request_id,
-                                              num_running_tokens)
-                if enable_chunking:
-                    num_running_seqs = seq_group.get_max_num_running_seqs()
-                    budget.add_num_seqs(seq_group.request_id,
-                                        num_running_seqs)
-                if curr_loras is not None and seq_group.lora_int_id > 0:
-                    curr_loras.add(seq_group.lora_int_id)
+                plan.decodes.append(ScheduledSequenceGroup(group, 1))
+            budget.add_num_batched_tokens(group.request_id, step_tokens)
+            if chunking:
+                budget.add_num_seqs(group.request_id,
+                                    group.get_max_num_running_seqs())
+            if active_loras is not None and group.lora_int_id > 0:
+                active_loras.add(group.lora_int_id)
 
-        return running_queue, SchedulerRunningOutputs(
-            decode_seq_groups=decode_seq_groups,
-            prefill_seq_groups=prefill_seq_groups,
-            preempted=preempted,
-            swapped_out=swapped_out,
-            blocks_to_swap_out=blocks_to_swap_out,
-            blocks_to_copy=blocks_to_copy,
-            num_lookahead_slots=self._get_num_lookahead_slots(
-                is_prefill=False),
-        )
+        self.running = queue
+        plan.lookahead += self._lookahead_slots(is_prefill=False)
 
-    def _schedule_swapped(
-        self,
-        swapped_queue: Deque[SequenceGroup],
-        budget: SchedulingBudget,
-        curr_loras: Optional[Set[int]],
-        policy: Policy,
-        enable_chunking: bool = False,
-    ) -> Tuple[Deque[SequenceGroup], SchedulerSwappedInOutputs]:
-        """Swap groups back in as budget allows (reference:
-        scheduler.py:482)."""
-        blocks_to_swap_in: Dict[int, int] = {}
-        blocks_to_copy: Dict[int, List[int]] = {}
-        decode_seq_groups: List[ScheduledSequenceGroup] = []
-        prefill_seq_groups: List[ScheduledSequenceGroup] = []
-        infeasible_seq_groups: List[SequenceGroup] = []
+    def _resume_swapped(self, plan: _StepPlan, budget: SchedulingBudget,
+                        active_loras: Optional[Set[int]],
+                        policy: Policy, chunking: bool = False) -> None:
+        """Pass 2: bring swapped-out groups back from the host tier while
+        free blocks and budget allow. Groups whose total KV can never fit
+        the pool are failed permanently."""
+        queue = policy.sort_by_priority(time.time(), self.swapped)
+        lora_deferred: List[SequenceGroup] = []
 
-        now = time.time()
-        swapped_queue = policy.sort_by_priority(now, swapped_queue)
-        leftover_swapped: Deque[SequenceGroup] = deque()
-
-        while swapped_queue:
-            seq_group = swapped_queue[0]
-            is_prefill = seq_group.is_prefill()
-            alloc_status = self.block_manager.can_swap_in(
-                seq_group,
-                self._get_num_lookahead_slots(is_prefill) * 0)
-            if alloc_status == AllocStatus.LATER:
+        while queue:
+            group = queue[0]
+            verdict = self.block_manager.can_swap_in(
+                group,
+                # Swap-in re-admits at the current length; lookahead
+                # slots are granted by _grow_kv below.
+                0)
+            if verdict == AllocStatus.LATER:
                 break
-            if alloc_status == AllocStatus.NEVER:
+            if verdict == AllocStatus.NEVER:
                 logger.warning(
-                    "Failing the request %s because there's not enough KV "
-                    "cache blocks to run the entire sequence.",
-                    seq_group.request_id)
-                for seq in seq_group.get_seqs():
+                    "Request %s needs more KV blocks than the pool has; "
+                    "failing it permanently.", group.request_id)
+                for seq in group.get_seqs():
                     seq.status = SequenceStatus.FINISHED_IGNORED
-                infeasible_seq_groups.append(seq_group)
-                swapped_queue.popleft()
+                plan.rejected.append(group)
+                queue.popleft()
                 continue
 
-            lora_int_id = 0
-            if self.lora_enabled:
-                lora_int_id = seq_group.lora_int_id
-                assert curr_loras is not None
-                assert self.lora_config is not None
-                if (lora_int_id > 0 and (lora_int_id not in curr_loras)
-                        and len(curr_loras) >= self.lora_config.max_loras):
-                    leftover_swapped.appendleft(seq_group)
-                    swapped_queue.popleft()
-                    continue
+            if self._defer_for_lora(group, active_loras):
+                lora_deferred.append(group)
+                queue.popleft()
+                continue
 
-            num_new_seqs = seq_group.get_max_num_running_seqs()
-            num_new_tokens = self._get_num_new_tokens(
-                seq_group, SequenceStatus.SWAPPED, enable_chunking, budget)
-            if (num_new_tokens == 0 or not budget.can_schedule(
-                    num_new_tokens=num_new_tokens,
-                    num_new_seqs=num_new_seqs)):
+            seats = group.get_max_num_running_seqs()
+            step_tokens = self._tokens_this_step(
+                group, SequenceStatus.SWAPPED, chunking, budget)
+            if step_tokens == 0 or not budget.can_schedule(
+                    num_new_tokens=step_tokens, num_new_seqs=seats):
                 break
 
-            if lora_int_id > 0 and curr_loras is not None:
-                curr_loras.add(lora_int_id)
-            swapped_queue.popleft()
-            self._swap_in(seq_group, blocks_to_swap_in)
-            self._append_slots(seq_group, blocks_to_copy)
-            if seq_group.is_prefill():
-                prefill_seq_groups.append(
-                    ScheduledSequenceGroup(seq_group,
-                                           token_chunk_size=num_new_tokens))
+            if active_loras is not None and group.lora_int_id > 0:
+                active_loras.add(group.lora_int_id)
+            queue.popleft()
+            self._swap_in(group, plan.swap_in)
+            self._grow_kv(group, plan.copies)
+            if group.is_prefill():
+                plan.carry_prefills.append(
+                    ScheduledSequenceGroup(group, step_tokens))
             else:
-                decode_seq_groups.append(
-                    ScheduledSequenceGroup(seq_group, token_chunk_size=1))
-            budget.add_num_batched_tokens(seq_group.request_id,
-                                          num_new_tokens)
-            budget.add_num_seqs(seq_group.request_id, num_new_seqs)
+                plan.decodes.append(ScheduledSequenceGroup(group, 1))
+            budget.add_num_batched_tokens(group.request_id, step_tokens)
+            budget.add_num_seqs(group.request_id, seats)
 
-        swapped_queue.extendleft(leftover_swapped)
-        return swapped_queue, SchedulerSwappedInOutputs(
-            decode_seq_groups=decode_seq_groups,
-            prefill_seq_groups=prefill_seq_groups,
-            blocks_to_swap_in=blocks_to_swap_in,
-            blocks_to_copy=blocks_to_copy,
-            num_lookahead_slots=self._get_num_lookahead_slots(
-                is_prefill=False),
-            infeasible_seq_groups=infeasible_seq_groups,
-        )
+        for group in reversed(lora_deferred):
+            queue.appendleft(group)  # retry next step, order preserved
+        self.swapped = queue
+        plan.lookahead += self._lookahead_slots(is_prefill=False)
 
-    def _get_prompt_limit(self, seq_group: SequenceGroup) -> int:
-        if self.scheduler_config.enable_chunked_prefill:
-            prompt_limit = self.scheduler_config.max_model_len
-        else:
-            prompt_limit = min(
-                self.scheduler_config.max_model_len,
-                self.scheduler_config.max_num_batched_tokens)
-        # Truncated prompts can exceed the limit pre-truncation.
-        if (seq_group.sampling_params
-                and seq_group.sampling_params.truncate_prompt_tokens):
-            prompt_limit = max(
-                prompt_limit,
-                seq_group.sampling_params.truncate_prompt_tokens)
-        return prompt_limit
+    def _admit_waiting(self, plan: _StepPlan, budget: SchedulingBudget,
+                       active_loras: Optional[Set[int]],
+                       chunking: bool = False) -> None:
+        """Pass 3: admit new prompts FCFS while blocks + budget allow.
+        Prompts that can never fit are marked ignored; under chunking
+        only a block-aligned slice of the prompt is admitted."""
+        queue = deque(self.waiting)
+        lora_deferred: List[SequenceGroup] = []
 
-    def _schedule_prefills(
-        self,
-        waiting_queue: Deque[SequenceGroup],
-        budget: SchedulingBudget,
-        curr_loras: Optional[Set[int]],
-        enable_chunking: bool = False,
-    ) -> Tuple[Deque[SequenceGroup], SchedulerPrefillOutputs]:
-        """Admit waiting groups FCFS while budget + blocks allow
-        (reference: scheduler.py:609)."""
-        ignored_seq_groups: List[SequenceGroup] = []
-        seq_groups: List[ScheduledSequenceGroup] = []
-        waiting_queue = deque([s for s in waiting_queue])
-        leftover_waiting_sequences: Deque[SequenceGroup] = deque()
+        # _passed_delay first: it also updates the delay-heuristic clock.
+        while self._passed_delay(time.time()) and queue:
+            group = queue[0]
+            prompt_seqs = group.get_seqs(status=SequenceStatus.WAITING)
+            assert len(prompt_seqs) == 1, (
+                "a waiting group carries exactly one prompt sequence")
+            step_tokens = self._tokens_this_step(
+                group, SequenceStatus.WAITING, chunking, budget)
+            if not chunking:
+                assert step_tokens == prompt_seqs[0].get_len()
 
-        while self._passed_delay(time.time()) and waiting_queue:
-            seq_group = waiting_queue[0]
-            waiting_seqs = seq_group.get_seqs(
-                status=SequenceStatus.WAITING)
-            assert len(waiting_seqs) == 1, (
-                "Waiting sequence group should have only one prompt "
-                "sequence.")
-            num_new_tokens = self._get_num_new_tokens(
-                seq_group, SequenceStatus.WAITING, enable_chunking, budget)
-            if not enable_chunking:
-                num_prompt_tokens = waiting_seqs[0].get_len()
-                assert num_new_tokens == num_prompt_tokens
-
-            prompt_limit = self._get_prompt_limit(seq_group)
-            if num_new_tokens > prompt_limit:
+            if step_tokens > self._prompt_limit(group):
                 logger.warning(
-                    "Input prompt (%d tokens) is too long and exceeds "
-                    "limit of %d", num_new_tokens, prompt_limit)
-                for seq in waiting_seqs:
-                    seq.status = SequenceStatus.FINISHED_IGNORED
-                ignored_seq_groups.append(seq_group)
-                waiting_queue.popleft()
+                    "Prompt of %d tokens exceeds the admission limit %d; "
+                    "ignoring request %s.", step_tokens,
+                    self._prompt_limit(group), group.request_id)
+                prompt_seqs[0].status = SequenceStatus.FINISHED_IGNORED
+                plan.rejected.append(group)
+                queue.popleft()
                 continue
 
-            can_allocate = self.block_manager.can_allocate(seq_group)
-            if can_allocate == AllocStatus.LATER:
+            verdict = self.block_manager.can_allocate(group)
+            if verdict == AllocStatus.LATER:
                 break
-            if can_allocate == AllocStatus.NEVER:
+            if verdict == AllocStatus.NEVER:
                 logger.warning(
-                    "Input prompt (%d tokens) is too long and exceeds the "
-                    "capacity of block_manager", num_new_tokens)
-                for seq in waiting_seqs:
-                    seq.status = SequenceStatus.FINISHED_IGNORED
-                ignored_seq_groups.append(seq_group)
-                waiting_queue.popleft()
+                    "Prompt of %d tokens can never fit the KV pool; "
+                    "ignoring request %s.", step_tokens, group.request_id)
+                prompt_seqs[0].status = SequenceStatus.FINISHED_IGNORED
+                plan.rejected.append(group)
+                queue.popleft()
                 continue
 
-            lora_int_id = 0
-            if self.lora_enabled:
-                lora_int_id = seq_group.lora_int_id
-                assert curr_loras is not None
-                assert self.lora_config is not None
-                if (lora_int_id > 0 and lora_int_id not in curr_loras
-                        and len(curr_loras) >= self.lora_config.max_loras):
-                    leftover_waiting_sequences.appendleft(seq_group)
-                    waiting_queue.popleft()
-                    continue
+            if self._defer_for_lora(group, active_loras):
+                lora_deferred.append(group)
+                queue.popleft()
+                continue
 
-            num_new_seqs = seq_group.get_max_num_running_seqs()
-            if (num_new_tokens == 0 or not budget.can_schedule(
-                    num_new_tokens=num_new_tokens,
-                    num_new_seqs=num_new_seqs)):
+            seats = group.get_max_num_running_seqs()
+            if step_tokens == 0 or not budget.can_schedule(
+                    num_new_tokens=step_tokens, num_new_seqs=seats):
                 break
 
-            if curr_loras is not None and lora_int_id > 0:
-                curr_loras.add(lora_int_id)
-            waiting_queue.popleft()
-            self._allocate_and_set_running(seq_group)
-            seq_groups.append(
-                ScheduledSequenceGroup(seq_group=seq_group,
-                                       token_chunk_size=num_new_tokens))
-            budget.add_num_batched_tokens(seq_group.request_id,
-                                          num_new_tokens)
-            budget.add_num_seqs(seq_group.request_id, num_new_seqs)
+            if active_loras is not None and group.lora_int_id > 0:
+                active_loras.add(group.lora_int_id)
+            queue.popleft()
+            self.block_manager.allocate(group)
+            for seq in group.get_seqs(status=SequenceStatus.WAITING):
+                seq.status = SequenceStatus.RUNNING
+            plan.new_prefills.append(
+                ScheduledSequenceGroup(group, step_tokens))
+            budget.add_num_batched_tokens(group.request_id, step_tokens)
+            budget.add_num_seqs(group.request_id, seats)
 
-        waiting_queue.extendleft(leftover_waiting_sequences)
-        if len(seq_groups) > 0:
+        for group in reversed(lora_deferred):
+            queue.appendleft(group)
+        self.waiting = queue
+        if plan.new_prefills:
             self.prev_prompt = True
-        return waiting_queue, SchedulerPrefillOutputs(
-            seq_groups=seq_groups,
-            ignored_seq_groups=ignored_seq_groups,
-            num_lookahead_slots=self._get_num_lookahead_slots(
-                is_prefill=True),
-        )
+        plan.lookahead += self._lookahead_slots(is_prefill=True)
 
-    def _schedule_default(self) -> SchedulerOutputs:
-        """Prefill-first batching: schedule as many waiting prefills as fit;
-        otherwise run decodes (reference: scheduler.py:730)."""
+    def _defer_for_lora(self, group: SequenceGroup,
+                        active_loras: Optional[Set[int]]) -> bool:
+        """True when admitting this group would exceed the adapter-slot
+        capacity; it is parked and retried next step."""
+        if not self.lora_enabled or group.lora_int_id <= 0:
+            return False
+        assert active_loras is not None and self.lora_config is not None
+        return (group.lora_int_id not in active_loras
+                and len(active_loras) >= self.lora_config.max_loras)
+
+    # ------------------------------------------------------ step policies
+
+    def _plan_prefill_first(self) -> SchedulerOutputs:
+        """Default policy: a step is either all-prefill or all-decode
+        (reference: scheduler.py:730). New prompts take precedence over
+        decodes; swapped groups block new admissions until resumed."""
         budget = SchedulingBudget(
             token_budget=self.scheduler_config.max_num_batched_tokens,
-            max_num_seqs=self.scheduler_config.max_num_seqs,
-        )
-        for seq_group in self.running:
-            budget.add_num_seqs(seq_group.request_id,
-                                seq_group.get_max_num_running_seqs())
-        curr_loras = (set(
-            seq_group.lora_int_id for seq_group in self.running
-            if seq_group.lora_int_id > 0) if self.lora_enabled else None)
+            max_num_seqs=self.scheduler_config.max_num_seqs)
+        # Seats of everything already on the device are spoken for.
+        for group in self.running:
+            budget.add_num_seqs(group.request_id,
+                                group.get_max_num_running_seqs())
+        active_loras = (set(g.lora_int_id for g in self.running
+                            if g.lora_int_id > 0)
+                        if self.lora_enabled else None)
 
-        remaining_waiting, prefills = (
-            self.waiting, SchedulerPrefillOutputs.create_empty())
-        remaining_running, running_scheduled = (
-            self.running, SchedulerRunningOutputs.create_empty())
-        remaining_swapped, swapped_in = (
-            self.swapped, SchedulerSwappedInOutputs.create_empty())
-
-        # Prefill-first: don't mix prefill with decode in one batch.
+        plan = _StepPlan()
         if not self.swapped:
-            remaining_waiting, prefills = self._schedule_prefills(
-                self.waiting, budget, curr_loras, enable_chunking=False)
-
-        fcfs_policy = PolicyFactory.get_policy(policy_name="fcfs")
-        if len(prefills.seq_groups) == 0:
-            remaining_running, running_scheduled = self._schedule_running(
-                self.running,
-                budget,
-                curr_loras,
-                fcfs_policy,
-                enable_chunking=False)
-            # Swap in only if nothing was preempted this step.
-            if (len(running_scheduled.preempted) +
-                    len(running_scheduled.swapped_out) == 0):
-                remaining_swapped, swapped_in = self._schedule_swapped(
-                    self.swapped, budget, curr_loras, fcfs_policy)
+            self._admit_waiting(plan, budget, active_loras,
+                                chunking=False)
+        if not plan.new_prefills:
+            fcfs = PolicyFactory.get_policy(policy_name="fcfs")
+            self._keep_running(plan, budget, active_loras, fcfs,
+                               chunking=False)
+            if plan.num_preempted == 0:
+                # Preemption means the pool is already too tight.
+                self._resume_swapped(plan, budget, active_loras, fcfs)
 
         assert (budget.num_batched_tokens <=
                 self.scheduler_config.max_num_batched_tokens)
         assert budget.num_curr_seqs <= self.scheduler_config.max_num_seqs
 
-        self.waiting = remaining_waiting
-        self.running = remaining_running
-        self.swapped = remaining_swapped
+        self._requeue(plan)
+        return plan.finalize(budget, len(self.running))
 
-        self.waiting.extendleft(running_scheduled.preempted)
-        self.running.extend([s.seq_group for s in prefills.seq_groups])
-        self.running.extend(
-            [s.seq_group for s in running_scheduled.decode_seq_groups])
-        self.running.extend(
-            [s.seq_group for s in swapped_in.decode_seq_groups])
-        self.swapped.extend(running_scheduled.swapped_out)
-        preempted = (len(running_scheduled.preempted) +
-                     len(running_scheduled.swapped_out))
-
-        # Default path never chunks: there are either prefills XOR decodes.
-        if len(prefills.seq_groups) > 0:
-            scheduled_seq_groups = prefills.seq_groups
-            num_prefill_groups = len(prefills.seq_groups)
-        else:
-            scheduled_seq_groups = running_scheduled.decode_seq_groups
-            scheduled_seq_groups.extend(swapped_in.decode_seq_groups)
-            num_prefill_groups = 0
-
-        blocks_to_copy = running_scheduled.blocks_to_copy
-        merge_dicts(blocks_to_copy, swapped_in.blocks_to_copy)
-        ignored_seq_groups = prefills.ignored_seq_groups
-        ignored_seq_groups.extend(swapped_in.infeasible_seq_groups)
-
-        return SchedulerOutputs(
-            scheduled_seq_groups=scheduled_seq_groups,
-            num_prefill_groups=num_prefill_groups,
-            num_batched_tokens=budget.num_batched_tokens,
-            blocks_to_swap_in=swapped_in.blocks_to_swap_in,
-            blocks_to_swap_out=running_scheduled.blocks_to_swap_out,
-            blocks_to_copy=blocks_to_copy,
-            ignored_seq_groups=ignored_seq_groups,
-            num_lookahead_slots=(prefills.num_lookahead_slots +
-                                 running_scheduled.num_lookahead_slots +
-                                 swapped_in.num_lookahead_slots),
-            running_queue_size=len(self.running),
-            preempted=preempted,
-        )
-
-    def _schedule_chunked_prefill(self) -> SchedulerOutputs:
-        """Decode-first batching with prefills chunked into leftover budget
-        (reference: scheduler.py:824)."""
+    def _plan_chunked(self) -> SchedulerOutputs:
+        """Chunked-prefill policy: decodes admitted first (they bound
+        inter-token latency), prompt chunks fill the leftover token
+        budget (reference: scheduler.py:824)."""
         budget = SchedulingBudget(
             token_budget=self.scheduler_config.max_num_batched_tokens,
-            max_num_seqs=self.scheduler_config.max_num_seqs,
-        )
-        curr_loras: Set[int] = set()
+            max_num_seqs=self.scheduler_config.max_num_seqs)
+        active_loras: Set[int] = set()
 
-        remaining_waiting, prefills = (
-            self.waiting, SchedulerPrefillOutputs.create_empty())
-        remaining_running, running_scheduled = (
-            self.running, SchedulerRunningOutputs.create_empty())
-        remaining_swapped, swapped_in = (
-            self.swapped, SchedulerSwappedInOutputs.create_empty())
-
-        fcfs_policy = PolicyFactory.get_policy(policy_name="fcfs")
-        # Decodes first: they bound inter-token latency.
-        remaining_running, running_scheduled = self._schedule_running(
-            self.running,
-            budget,
-            curr_loras,
-            fcfs_policy,
-            enable_chunking=True)
-        if (len(running_scheduled.preempted) +
-                len(running_scheduled.swapped_out) == 0):
-            remaining_swapped, swapped_in = self._schedule_swapped(
-                self.swapped, budget, curr_loras, fcfs_policy)
-        # Fill leftover token budget with (chunked) prefills.
-        remaining_waiting, prefills = self._schedule_prefills(
-            self.waiting, budget, curr_loras, enable_chunking=True)
+        plan = _StepPlan()
+        fcfs = PolicyFactory.get_policy(policy_name="fcfs")
+        self._keep_running(plan, budget, active_loras, fcfs,
+                           chunking=True)
+        if plan.num_preempted == 0:
+            self._resume_swapped(plan, budget, active_loras, fcfs,
+                                 chunking=True)
+        self._admit_waiting(plan, budget, active_loras, chunking=True)
 
         assert (budget.num_batched_tokens <=
                 self.scheduler_config.max_num_batched_tokens)
         assert budget.num_curr_seqs <= self.scheduler_config.max_num_seqs
 
-        self.waiting = remaining_waiting
-        self.running = remaining_running
-        self.swapped = remaining_swapped
+        self._requeue(plan)
+        return plan.finalize(budget, len(self.running))
 
-        self.waiting.extendleft(running_scheduled.preempted)
-        self.running.extend([s.seq_group for s in prefills.seq_groups])
-        self.running.extend(
-            [s.seq_group for s in running_scheduled.decode_seq_groups])
-        self.running.extend(
-            [s.seq_group for s in running_scheduled.prefill_seq_groups])
-        self.running.extend(
-            [s.seq_group for s in swapped_in.decode_seq_groups])
-        self.running.extend(
-            [s.seq_group for s in swapped_in.prefill_seq_groups])
-        self.swapped.extend(running_scheduled.swapped_out)
-
-        blocks_to_copy = running_scheduled.blocks_to_copy
-        merge_dicts(blocks_to_copy, swapped_in.blocks_to_copy)
-
-        # Batch layout contract: prefill groups first, then decodes
-        # (model runner relies on this; reference scheduler.py:1021).
-        scheduled_seq_groups = (
-            prefills.seq_groups + running_scheduled.prefill_seq_groups +
-            swapped_in.prefill_seq_groups +
-            running_scheduled.decode_seq_groups +
-            swapped_in.decode_seq_groups)
-        num_prefill_groups = (len(prefills.seq_groups) +
-                              len(running_scheduled.prefill_seq_groups) +
-                              len(swapped_in.prefill_seq_groups))
-
-        return SchedulerOutputs(
-            scheduled_seq_groups=scheduled_seq_groups,
-            num_prefill_groups=num_prefill_groups,
-            num_batched_tokens=budget.num_batched_tokens,
-            blocks_to_swap_in=swapped_in.blocks_to_swap_in,
-            blocks_to_swap_out=running_scheduled.blocks_to_swap_out,
-            blocks_to_copy=blocks_to_copy,
-            ignored_seq_groups=(prefills.ignored_seq_groups +
-                                swapped_in.infeasible_seq_groups),
-            num_lookahead_slots=(prefills.num_lookahead_slots +
-                                 running_scheduled.num_lookahead_slots +
-                                 swapped_in.num_lookahead_slots),
-            running_queue_size=len(self.running),
-            preempted=(len(running_scheduled.preempted) +
-                       len(running_scheduled.swapped_out)),
-        )
+    def _requeue(self, plan: _StepPlan) -> None:
+        """Put every group the passes touched back into its pool.
+        Recompute victims rejoin the FRONT of waiting (they were running,
+        so they outrank never-started prompts)."""
+        self.waiting.extendleft(plan.to_recompute)
+        self.running.extend(s.seq_group for s in plan.new_prefills)
+        self.running.extend(s.seq_group for s in plan.carry_prefills)
+        self.running.extend(s.seq_group for s in plan.decodes)
+        self.swapped.extend(plan.to_host)
 
     def _schedule(self) -> SchedulerOutputs:
         if self.scheduler_config.enable_chunked_prefill:
-            return self._schedule_chunked_prefill()
-        return self._schedule_default()
+            return self._plan_chunked()
+        return self._plan_prefill_first()
 
-    def _can_append_slots(self, seq_group: SequenceGroup) -> bool:
+    def _inject_preemption(self) -> bool:
+        """Artificial preemption fault injection (tests only)."""
         if (self.enable_artificial_preemption
-                and random.uniform(0, 1) < ARTIFICIAL_PREEMPTION_PROB
-                and self.artificial_preempt_cnt > 0):
+                and self.artificial_preempt_cnt > 0
+                and random.uniform(0, 1) < ARTIFICIAL_PREEMPTION_PROB):
             self.artificial_preempt_cnt -= 1
+            return True
+        return False
+
+    # The _can_append_slots name is kept for test monkeypatching parity.
+    def _can_append_slots(self, seq_group: SequenceGroup) -> bool:
+        if self._inject_preemption():
             return False
         return self.block_manager.can_append_slots(
             seq_group=seq_group,
-            num_lookahead_slots=self._get_num_lookahead_slots(
-                is_prefill=False))
+            num_lookahead_slots=self._lookahead_slots(is_prefill=False))
+
+    # ----------------------------------------------------- wire assembly
 
     def schedule(
-            self
+        self
     ) -> Tuple[List[SequenceGroupMetadata], SchedulerOutputs]:
-        """Run one scheduling iteration and build the wire-format metadata
-        (reference: scheduler.py:939-1015)."""
-        scheduler_outputs = self._schedule()
+        """Run one scheduling step and build the metadata the model
+        runner consumes (reference: scheduler.py:939-1015)."""
+        outputs = self._schedule()
         now = time.time()
 
-        seq_group_metadata_list: List[SequenceGroupMetadata] = []
-        for i, scheduled_seq_group in enumerate(
-                scheduler_outputs.scheduled_seq_groups):
-            seq_group = scheduled_seq_group.seq_group
-            token_chunk_size = scheduled_seq_group.token_chunk_size
-            seq_group.maybe_set_first_scheduled_time(now)
+        metadata_list: List[SequenceGroupMetadata] = []
+        for scheduled in outputs.scheduled_seq_groups:
+            group = scheduled.seq_group
+            group.maybe_set_first_scheduled_time(now)
 
             seq_data: Dict[int, SequenceData] = {}
             block_tables: Dict[int, List[int]] = {}
-            for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-                seq_id = seq.seq_id
-                seq_data[seq_id] = seq.data
-                block_tables[seq_id] = self.block_manager.get_block_table(
-                    seq)
+            for seq in group.get_seqs(status=SequenceStatus.RUNNING):
+                seq_data[seq.seq_id] = seq.data
+                block_tables[seq.seq_id] = (
+                    self.block_manager.get_block_table(seq))
                 self.block_manager.access_all_blocks_in_seq(seq, now)
 
-            common_computed_block_nums = (
-                self.block_manager.get_common_computed_block_ids(
-                    seq_group.get_seqs(status=SequenceStatus.RUNNING)))
+            prefix_blocks = self.block_manager.get_common_computed_block_ids(
+                group.get_seqs(status=SequenceStatus.RUNNING))
 
+            is_prompt = group.is_prefill()
             do_sample = True
-            if seq_group.is_prefill():
-                seqs = seq_group.get_seqs()
-                assert len(seqs) == 1
-                # Sample only when the whole prompt is processed this step.
-                if token_chunk_size + seqs[0].data.get_num_computed_tokens(
-                ) < seqs[0].data.get_len():
+            if is_prompt:
+                (seq, ) = group.get_seqs()
+                # A chunk that leaves prompt tokens uncomputed must not
+                # sample — only the final chunk produces a token.
+                if (scheduled.token_chunk_size +
+                        seq.data.get_num_computed_tokens() <
+                        seq.data.get_len()):
                     do_sample = False
 
-            is_prompt = seq_group.is_prefill()
-            seq_group_metadata = SequenceGroupMetadata(
-                request_id=seq_group.request_id,
-                is_prompt=is_prompt,
-                seq_data=seq_data,
-                sampling_params=seq_group.sampling_params,
-                block_tables=block_tables,
-                do_sample=do_sample,
-                pooling_params=seq_group.pooling_params,
-                token_chunk_size=token_chunk_size,
-                lora_request=seq_group.lora_request,
-                computed_block_nums=common_computed_block_nums,
-                state=seq_group.state,
-                multi_modal_data=seq_group.multi_modal_data
-                if is_prompt else None,
-            )
-            seq_group_metadata_list.append(seq_group_metadata)
+            metadata_list.append(
+                SequenceGroupMetadata(
+                    request_id=group.request_id,
+                    is_prompt=is_prompt,
+                    seq_data=seq_data,
+                    sampling_params=group.sampling_params,
+                    block_tables=block_tables,
+                    do_sample=do_sample,
+                    pooling_params=group.pooling_params,
+                    token_chunk_size=scheduled.token_chunk_size,
+                    lora_request=group.lora_request,
+                    computed_block_nums=prefix_blocks,
+                    state=group.state,
+                    multi_modal_data=(group.multi_modal_data
+                                      if is_prompt else None),
+                ))
 
-        # Mark scheduled blocks as computed for future prefix-cache hits
-        # (they will be computed by the imminent, synchronous model step).
-        for scheduled_seq_group in scheduler_outputs.scheduled_seq_groups:
-            self.block_manager.mark_blocks_as_computed(
-                scheduled_seq_group.seq_group)
+        # The model step is synchronous and imminent: scheduled blocks
+        # can be marked computed now for future prefix-cache hits.
+        for scheduled in outputs.scheduled_seq_groups:
+            self.block_manager.mark_blocks_as_computed(scheduled.seq_group)
 
-        return seq_group_metadata_list, scheduler_outputs
+        return metadata_list, outputs
+
+    # ------------------------------------------------------ pool plumbing
 
     def fork_seq(self, parent_seq: Sequence, child_seq: Sequence) -> None:
         self.block_manager.fork(parent_seq, child_seq)
@@ -804,126 +639,138 @@ class Scheduler:
         self.block_manager.free(seq)
 
     def free_finished_seq_groups(self) -> None:
-        self.running = deque(seq_group for seq_group in self.running
-                             if not seq_group.is_finished())
+        self.running = deque(g for g in self.running if not g.is_finished())
 
-    def _allocate_and_set_running(self, seq_group: SequenceGroup) -> None:
-        self.block_manager.allocate(seq_group)
-        for seq in seq_group.get_seqs(status=SequenceStatus.WAITING):
-            seq.status = SequenceStatus.RUNNING
+    def _grow_kv(self, seq_group: SequenceGroup,
+                 copies: Dict[int, List[int]]) -> None:
+        """Extend each running sequence's block table by one step (plus
+        lookahead); records any copy-on-write block splits."""
+        lookahead = self._lookahead_slots(is_prefill=False)
+        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
+            for src, dsts in self.block_manager.append_slots(
+                    seq, lookahead).items():
+                copies.setdefault(src, []).extend(dsts)
 
+    # Back-compat alias (used by tests mirroring the reference name).
     def _append_slots(self, seq_group: SequenceGroup,
                       blocks_to_copy: Dict[int, List[int]]) -> None:
-        num_lookahead = self._get_num_lookahead_slots(is_prefill=False)
-        for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
-            cows = self.block_manager.append_slots(seq, num_lookahead)
-            merge_dicts(blocks_to_copy, cows)
+        self._grow_kv(seq_group, blocks_to_copy)
 
     def _preempt(self, seq_group: SequenceGroup,
                  blocks_to_swap_out: Dict[int, int],
                  preemption_mode: Optional[PreemptionMode] = None
                  ) -> PreemptionMode:
-        """RECOMPUTE for single-seq groups (cheaper), SWAP otherwise
-        (reference: scheduler.py:1055)."""
-        if self.user_specified_preemption_mode is None:
-            if seq_group.get_max_num_running_seqs() == 1:
-                preemption_mode = PreemptionMode.RECOMPUTE
-            else:
-                preemption_mode = PreemptionMode.SWAP
-        elif self.user_specified_preemption_mode == "swap":
+        """Pick the eviction flavor (reference: scheduler.py:1055):
+        single-seq groups recompute (re-prefill is one cheap batched
+        pass on the MXU); multi-seq groups swap (their shared-prefix
+        fork state cannot be regenerated deterministically)."""
+        if self.user_specified_preemption_mode == "swap":
             preemption_mode = PreemptionMode.SWAP
-        else:
+        elif self.user_specified_preemption_mode == "recompute":
             preemption_mode = PreemptionMode.RECOMPUTE
+        elif preemption_mode is None:
+            preemption_mode = (PreemptionMode.RECOMPUTE
+                               if seq_group.get_max_num_running_seqs() == 1
+                               else PreemptionMode.SWAP)
 
         if self.num_cumulative_preemption % 50 == 0:
             logger.warning(
-                "Sequence group %s is preempted by %s mode because there "
-                "is not enough KV cache space. This can affect the "
-                "end-to-end performance. Increase hbm_utilization or "
-                "tensor_parallel_size to provide more KV cache memory. "
-                "total_num_cumulative_preemption=%d",
-                seq_group.request_id, preemption_mode,
-                self.num_cumulative_preemption + 1)
+                "Preempting request %s (%s): KV pool is full. Raise "
+                "hbm_utilization or add chips for more KV space. "
+                "cumulative_preemptions=%d", seq_group.request_id,
+                preemption_mode, self.num_cumulative_preemption + 1)
         self.num_cumulative_preemption += 1
 
-        if preemption_mode == PreemptionMode.RECOMPUTE:
-            self._preempt_by_recompute(seq_group)
-        elif preemption_mode == PreemptionMode.SWAP:
-            self._preempt_by_swap(seq_group, blocks_to_swap_out)
+        if preemption_mode is PreemptionMode.RECOMPUTE:
+            seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)
+            assert len(seqs) == 1, "recompute only fits single-seq groups"
+            seqs[0].status = SequenceStatus.WAITING
+            self.free_seq(seqs[0])
+            seqs[0].reset_state_for_recompute()
         else:
-            raise AssertionError("Invalid preemption mode.")
+            self._swap_out(seq_group, blocks_to_swap_out)
         return preemption_mode
-
-    def _preempt_by_recompute(self, seq_group: SequenceGroup) -> None:
-        seqs = seq_group.get_seqs(status=SequenceStatus.RUNNING)
-        assert len(seqs) == 1
-        for seq in seqs:
-            seq.status = SequenceStatus.WAITING
-            self.free_seq(seq)
-            seq.reset_state_for_recompute()
-
-    def _preempt_by_swap(self, seq_group: SequenceGroup,
-                         blocks_to_swap_out: Dict[int, int]) -> None:
-        self._swap_out(seq_group, blocks_to_swap_out)
 
     def _swap_in(self, seq_group: SequenceGroup,
                  blocks_to_swap_in: Dict[int, int]) -> None:
-        mapping = self.block_manager.swap_in(seq_group)
-        blocks_to_swap_in.update(mapping)
+        blocks_to_swap_in.update(self.block_manager.swap_in(seq_group))
         for seq in seq_group.get_seqs(status=SequenceStatus.SWAPPED):
             seq.status = SequenceStatus.RUNNING
 
     def _swap_out(self, seq_group: SequenceGroup,
                   blocks_to_swap_out: Dict[int, int]) -> None:
         if not self.block_manager.can_swap_out(seq_group):
-            # Should never happen: swap space is sized to hold preemptions.
+            # Swap space is sized at engine start to absorb preemptions;
+            # hitting this means the configuration is inconsistent.
             raise RuntimeError(
-                "Aborted due to the lack of CPU swap space. Please "
-                "increase the swap space to avoid this error.")
-        mapping = self.block_manager.swap_out(seq_group)
-        blocks_to_swap_out.update(mapping)
+                "Out of host swap space; increase swap_space_gb.")
+        blocks_to_swap_out.update(self.block_manager.swap_out(seq_group))
         for seq in seq_group.get_seqs(status=SequenceStatus.RUNNING):
             seq.status = SequenceStatus.SWAPPED
 
+    # ---------------------------------------------------------- heuristics
+
     def _passed_delay(self, now: float) -> bool:
-        """Prompt-delay heuristic: batch waiting prompts together
-        (reference: scheduler.py:1140)."""
+        """Hold new prompts briefly so arrivals batch into one prefill
+        (reference: scheduler.py:1140). The wait scales with the last
+        prefill's latency via delay_factor."""
         if self.prev_prompt:
             self.last_prompt_latency = now - self.prev_time
         self.prev_time, self.prev_prompt = now, False
-        if self.scheduler_config.delay_factor > 0 and self.waiting:
-            earliest_arrival_time = min(
-                e.metrics.arrival_time for e in self.waiting)
-            passed_delay = ((now - earliest_arrival_time) >
-                            (self.scheduler_config.delay_factor *
-                             self.last_prompt_latency) or not self.running)
+        if self.scheduler_config.delay_factor <= 0 or not self.waiting:
+            return True
+        oldest_arrival = min(g.metrics.arrival_time for g in self.waiting)
+        return (not self.running
+                or (now - oldest_arrival) >
+                self.scheduler_config.delay_factor *
+                self.last_prompt_latency)
+
+    def _prompt_limit(self, seq_group: SequenceGroup) -> int:
+        if self.scheduler_config.enable_chunked_prefill:
+            limit = self.scheduler_config.max_model_len
         else:
-            passed_delay = True
-        return passed_delay
+            limit = min(self.scheduler_config.max_model_len,
+                        self.scheduler_config.max_num_batched_tokens)
+        # A truncate_prompt_tokens request may arrive longer than the
+        # limit; it is clipped downstream, so admit it.
+        params = seq_group.sampling_params
+        if params and params.truncate_prompt_tokens:
+            limit = max(limit, params.truncate_prompt_tokens)
+        return limit
+
+    # Back-compat alias (reference name, used by subclasses/tests).
+    def _get_prompt_limit(self, seq_group: SequenceGroup) -> int:
+        return self._prompt_limit(seq_group)
+
+    def _lookahead_slots(self, is_prefill: bool) -> int:
+        """KV slots to reserve beyond the sampled token (speculative /
+        multi-step decode); prefill steps never need them."""
+        return (0 if is_prefill
+                else self.scheduler_config.num_lookahead_slots)
 
     def _get_num_lookahead_slots(self, is_prefill: bool) -> int:
-        """Slots beyond the sampled token (spec decode); prefills never
-        need lookahead (reference: scheduler.py:1156)."""
-        if is_prefill:
-            return 0
-        return self.scheduler_config.num_lookahead_slots
+        return self._lookahead_slots(is_prefill)
 
+    def _tokens_this_step(self, seq_group: SequenceGroup,
+                          status: SequenceStatus, chunking: bool,
+                          budget: SchedulingBudget) -> int:
+        """Uncomputed tokens this group would contribute to the batch.
+        Under chunking, single-seq prefills clip to the leftover budget
+        rounded DOWN to a whole number of KV blocks — the fused Pallas
+        cache write emits whole-block DMAs, so chunks must start and
+        end on block boundaries (ops/pallas/paged_attention.py)."""
+        seqs = seq_group.get_seqs(status=status)
+        total = sum(seq.get_num_new_tokens() for seq in seqs)
+        if chunking and len(seqs) == 1:
+            room = budget.remaining_token_budget()
+            if room < total:
+                block = self.cache_config.block_size
+                total = (room // block) * block
+        return total
+
+    # Back-compat alias (reference name).
     def _get_num_new_tokens(self, seq_group: SequenceGroup,
                             status: SequenceStatus, enable_chunking: bool,
                             budget: SchedulingBudget) -> int:
-        """Uncomputed tokens for this step; chunked prefill clips to the
-        remaining token budget (reference: scheduler.py:1169)."""
-        num_new_tokens = 0
-        seqs = seq_group.get_seqs(status=status)
-        for seq in seqs:
-            num_new_tokens += seq.get_num_new_tokens()
-        # Chunk only single-seq prefill groups. Chunk boundaries are
-        # block-aligned so every prefill call starts on a block boundary
-        # (the fused Pallas cache write emits whole-block DMAs —
-        # ops/pallas/paged_attention.py alignment invariants).
-        if enable_chunking and len(seqs) == 1:
-            remaining = budget.remaining_token_budget()
-            if remaining < num_new_tokens:
-                block_size = self.cache_config.block_size
-                num_new_tokens = (remaining // block_size) * block_size
-        return num_new_tokens
+        return self._tokens_this_step(seq_group, status, enable_chunking,
+                                      budget)

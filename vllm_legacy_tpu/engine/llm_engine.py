@@ -174,6 +174,15 @@ class LLMEngine:
         self._check_v_offload_request(params)
         processed = self.process_model_inputs(request_id, inputs,
                                               lora_request)
+        self._enqueue_processed_request(request_id, processed, params,
+                                        arrival_time, lora_request)
+
+    def _enqueue_processed_request(self, request_id: str,
+                                   processed: LLMInputs, params,
+                                   arrival_time: float,
+                                   lora_request) -> None:
+        """Tokenized-input tail of add_request; shared with the async
+        engine (which tokenizes in the event loop)."""
         if len(processed["prompt_token_ids"]) > \
                 self.model_config.max_model_len:
             raise ValueError(
@@ -233,21 +242,28 @@ class LLMEngine:
         seq_group_metadata_list, scheduler_outputs = \
             self.scheduler.schedule()
 
-        if not scheduler_outputs.is_empty():
-            request = ExecuteModelRequest(
-                seq_group_metadata_list=seq_group_metadata_list,
-                blocks_to_swap_in=scheduler_outputs.blocks_to_swap_in,
-                blocks_to_swap_out=scheduler_outputs.blocks_to_swap_out,
-                blocks_to_copy=scheduler_outputs.blocks_to_copy,
-                num_lookahead_slots=scheduler_outputs.num_lookahead_slots,
-                running_queue_size=scheduler_outputs.running_queue_size,
-            )
-            outputs = self.model_executor.execute_model(request)
-        else:
-            outputs = []
+        request = self._wire_execute_request(seq_group_metadata_list,
+                                             scheduler_outputs)
+        outputs = (self.model_executor.execute_model(request)
+                   if request is not None else [])
+        return self._process_model_outputs(outputs, scheduler_outputs)
 
-        return self._process_model_outputs(outputs,
-                                           scheduler_outputs)
+    @staticmethod
+    def _wire_execute_request(seq_group_metadata_list,
+                              scheduler_outputs
+                              ) -> Optional[ExecuteModelRequest]:
+        """Freeze one step's schedule into the executor wire format;
+        None when there is nothing to run. Shared with step_async."""
+        if scheduler_outputs.is_empty():
+            return None
+        return ExecuteModelRequest(
+            seq_group_metadata_list=seq_group_metadata_list,
+            blocks_to_swap_in=scheduler_outputs.blocks_to_swap_in,
+            blocks_to_swap_out=scheduler_outputs.blocks_to_swap_out,
+            blocks_to_copy=scheduler_outputs.blocks_to_copy,
+            num_lookahead_slots=scheduler_outputs.num_lookahead_slots,
+            running_queue_size=scheduler_outputs.running_queue_size,
+        )
 
     def _process_model_outputs(
             self, outputs: List[SamplerOutput],
