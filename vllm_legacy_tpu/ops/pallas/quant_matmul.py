@@ -79,10 +79,11 @@ def _dequant_matmul_4bit_kernel(x_even_ref, x_odd_ref, qw_ref, scales_ref,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    packed = qw_ref[...]  # [bk//2, bn] uint8
-    # Mosaic has no direct uint8->f32 cast; widen to int32 first
-    lo = (packed & 0xF).astype(jnp.int32).astype(jnp.float32)
-    hi = (packed >> 4).astype(jnp.int32).astype(jnp.float32)
+    # Mosaic cannot shift or cast 8-bit vectors (arith.shrui on i8
+    # fails to legalize); widen to int32 BEFORE the nibble unpack.
+    packed = qw_ref[...].astype(jnp.int32)  # [bk//2, bn] uint8 -> i32
+    lo = (packed & 0xF).astype(jnp.float32)
+    hi = (packed >> 4).astype(jnp.float32)
     scales = scales_ref[...]  # [groups_per_tile, bn]
     szeros = szeros_ref[...]
     half_group = group_size // 2  # byte rows per group
@@ -152,39 +153,49 @@ def quant_matmul(
     n_k = k // bk
     groups_per_tile = max(bk // group_size, 1)
 
-    if bits == 4:
-        qw_spec = pl.BlockSpec((bk // 2, bn),
-                               lambda i, j, kk: (kk, j))
-    else:
-        qw_spec = pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j))
-
     # Block row kk covers groups [kk * groups_per_tile, (kk+1) * g_p_t):
     # with bk always a multiple of group_size (adjusted above), the
     # (groups_per_tile, bn) block at index (kk, j) is exactly the tile's
     # group rows.
     scale_spec = pl.BlockSpec((groups_per_tile, bn),
                               lambda i, j, kk: (kk, j))
+    # f32 x is truncated to bf16 on the MXU at DEFAULT precision — the
+    # right trade for weight-bandwidth-bound serving matmuls; interpret
+    # mode (CPU tests) computes exact f32 regardless.
+    precision = jax.lax.Precision.DEFAULT
 
-    kernel = functools.partial(_dequant_matmul_kernel, bits=bits,
-                               group_size=min(group_size, bk), bk=bk,
-                               n_k=n_k)
+    if bits == 4:
+        # Pre-split x into even/odd K columns (see kernel docstring);
+        # a [m, k/2, 2] reshape keeps it a no-copy relayout for XLA.
+        xr = x.reshape(m, k // 2, 2)
+        operands = (xr[:, :, 0], xr[:, :, 1], qweight, scales, szeros)
+        kernel = functools.partial(_dequant_matmul_4bit_kernel,
+                                   group_size=min(group_size, bk),
+                                   n_k=n_k, precision=precision)
+        x_specs = [
+            pl.BlockSpec((bm, bk // 2), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((bm, bk // 2), lambda i, j, kk: (i, kk)),
+        ]
+        qw_spec = pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j))
+    else:
+        operands = (x, qweight, scales, szeros)
+        kernel = functools.partial(_dequant_matmul_8bit_kernel,
+                                   group_size=min(group_size, bk),
+                                   n_k=n_k, precision=precision)
+        x_specs = [pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk))]
+        qw_spec = pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j))
 
     out = pl.pallas_call(
         kernel,
         grid=(n_m, n_n, n_k),
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk)),
-            qw_spec,
-            scale_spec,
-            scale_spec,
-        ],
+        in_specs=x_specs + [qw_spec, scale_spec, scale_spec],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j)),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
-    )(x, qweight, scales, szeros)
+    )(*operands)
     return out
 
 
