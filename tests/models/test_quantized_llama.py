@@ -1,7 +1,14 @@
-"""Quantized-model path: a synthetic GPTQ checkpoint loaded through
-LlamaForCausalLM must produce the same logits as a dense model whose
-weights equal the dequantized values (loader plumbing + param specs +
-linear dispatch under shard_map)."""
+"""Quantized-model path: synthetic checkpoints in every supported
+serialization (GPTQ incl. act-order/8-bit/group sizes, AWQ, marlin
+dense, marlin 2:4 sparse) loaded through LlamaForCausalLM must produce
+the same logits as a dense model whose weights equal the exact
+dequantized values (loader plumbing + param specs + linear dispatch
+under shard_map).
+
+Reference parity targets: gptq.py:134-217 exact dequant math,
+awq.py:164-172 zeros convention, marlin.py / gptq_marlin_24.py
+serialized layouts.
+"""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,7 +16,10 @@ import pytest
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
+from vllm_legacy_tpu.layers.quantization.awq import AWQ_ORDER, AWQConfig
 from vllm_legacy_tpu.layers.quantization.gptq import GPTQConfig
+from vllm_legacy_tpu.layers.quantization.marlin import (GPTQMarlin24Config,
+                                                        MarlinConfig)
 from vllm_legacy_tpu.models.attention import (AttentionMetadata,
                                               padded_head_size)
 from vllm_legacy_tpu.models.llama import LlamaForCausalLM
@@ -17,56 +27,156 @@ from vllm_legacy_tpu.ops.pallas.quant_matmul import dequantize_reference
 from vllm_legacy_tpu.parallel.mesh import build_mesh
 from vllm_legacy_tpu.testing_utils import tiny_llama_hf_config
 
-GROUP = 32
 
-
-def quantize_dense(w: np.ndarray, rng):
-    """w [in, out] f32 -> GPTQ-checkpoint-format tensors (in-major)."""
+# ---------------------------------------------------------------- packers
+def quantize_gptq(w, rng, group, bits=4, desc_act=False,
+                  checkpoint_format="gptq"):
+    """w [in, out] f32 -> AutoGPTQ serialization (in-major int32)."""
     k, n = w.shape
-    n_groups = k // GROUP
-    wg = w.reshape(n_groups, GROUP, n)
-    scale = np.abs(wg).max(axis=1) / 7.0 + 1e-8  # [n_groups, n]
-    z = 8
-    q = np.clip(np.round(wg / scale[:, None, :]) + z, 0,
-                15).astype(np.uint32).reshape(k, n)
-    qw = np.zeros((k // 8, n), np.uint32)
-    for i in range(8):
-        qw |= q[i::8] << (4 * i)
-    qz = np.full((n_groups, n), z - 1, np.uint32)  # v1 stores z-1
-    qzp = np.zeros((n_groups, n // 8), np.uint32)
-    for i in range(8):
-        qzp |= qz[:, i::8] << (4 * i)
-    return {
+    n_groups = k // group
+    if desc_act:
+        g_idx = rng.permutation(np.repeat(np.arange(n_groups),
+                                          group)).astype(np.int32)
+    else:
+        g_idx = np.repeat(np.arange(n_groups), group).astype(np.int32)
+    vals = 1 << bits
+    zp = vals // 2
+    # per-(group, out) scale from the rows belonging to that group
+    scale = np.zeros((n_groups, n), np.float32)
+    for g in range(n_groups):
+        scale[g] = np.abs(w[g_idx == g]).max(axis=0) / (zp - 1) + 1e-8
+    q = np.clip(np.round(w / scale[g_idx]) + zp, 0,
+                vals - 1).astype(np.uint32)
+    truth = scale[g_idx] * (q.astype(np.float32) - zp)
+
+    zoff = 0 if checkpoint_format == "gptq_v2" else 1
+    zeros = np.full((n_groups, n), zp - zoff, np.uint32)
+    if bits == 4:
+        qw = np.zeros((k // 8, n), np.uint32)
+        for i in range(8):
+            qw |= q[i::8] << (4 * i)
+        qz = np.zeros((n_groups, n // 8), np.uint32)
+        for i in range(8):
+            qz |= zeros[:, i::8] << (4 * i)
+    else:
+        qw = np.zeros((k // 4, n), np.uint32)
+        for i in range(4):
+            qw |= q[i::4] << (8 * i)
+        qz = np.zeros((n_groups, n // 4), np.uint32)
+        for i in range(4):
+            qz |= zeros[:, i::4] << (8 * i)
+    tensors = {
         "qweight": qw.astype(np.int32),
-        "qzeros": qzp.astype(np.int32),
+        "qzeros": qz.astype(np.int32),
         "scales": scale.astype(np.float16),
-        "g_idx": np.repeat(np.arange(n_groups), GROUP).astype(np.int32),
+        "g_idx": g_idx,
     }
+    return tensors, truth
 
 
-def test_quantized_llama_matches_dequantized_dense():
-    hf = tiny_llama_hf_config(vocab_size=256, hidden_size=64,
-                              intermediate_size=96,
+def quantize_awq(w, rng, group):
+    """w [in, out] f32 -> AWQ serialization (column-packed nibbles in
+    AWQ_ORDER; zeros stored as-is, awq.py:164-172)."""
+    k, n = w.shape
+    n_groups = k // group
+    g_idx = np.repeat(np.arange(n_groups), group)
+    scale = np.abs(w).reshape(n_groups, group, n).max(axis=1) / 7.0 + 1e-8
+    zeros = rng.randint(0, 16, size=(n_groups, n)).astype(np.uint32)
+    q = np.clip(np.round(w / scale[g_idx]) + zeros[g_idx], 0,
+                15).astype(np.uint32)
+    truth = scale[g_idx] * (q.astype(np.float32) -
+                            zeros[g_idx].astype(np.float32))
+
+    def pack_cols(a):
+        out = np.zeros((*a.shape[:-1], a.shape[-1] // 8), np.uint32)
+        for j, col in enumerate(AWQ_ORDER):
+            out |= a[..., col::8] << (4 * j)
+        return out.astype(np.int32)
+
+    tensors = {
+        "qweight": pack_cols(q),
+        "qzeros": pack_cols(zeros),
+        "scales": scale.astype(np.float16),
+    }
+    return tensors, truth
+
+
+def quantize_marlin(w, rng, group, sparse24=False):
+    """w [in, out] f32 -> marlin-serialized tensors (B/s or
+    B_24/B_meta/s) + the exact dequant truth."""
+    from tests.kernels.test_marlin_convert import compress_24, pack_marlin
+    k, n = w.shape
+    zp = 8
+    n_groups = k // group
+    g_idx = np.repeat(np.arange(n_groups), group)
+    scale = np.abs(w).reshape(n_groups, group, n).max(axis=1) / 7.0 + 1e-8
+    q = np.clip(np.round(w / scale[g_idx]) + zp, 0, 15).astype(np.uint8)
+    if sparse24:
+        # prune to 2:4 along K (keep the two largest per quad)
+        mag = np.abs(q.astype(np.int32) - zp).reshape(k // 4, 4, n)
+        order = np.argsort(mag, axis=1)
+        qq = q.reshape(k // 4, 4, n).copy()
+        np.put_along_axis(qq, order[:, :2, :], zp, axis=1)
+        q = qq.reshape(k, n)
+    truth = scale[g_idx] * (q.astype(np.float32) - zp)
+    if sparse24:
+        q_comp, meta = compress_24(q, zp)
+        b24, s = pack_marlin(q_comp, scale.astype(np.float16), 4, group,
+                             sparse24=True, scale_size_k=k)
+        tensors = {"B_24": b24, "B_meta": meta.reshape(k // 32, n * 2),
+                   "s": s}
+    else:
+        b, s = pack_marlin(q, scale.astype(np.float16), 4, group)
+        tensors = {"B": b, "s": s}
+    return tensors, truth
+
+
+SCHEMES = {
+    # name: (sizes(h, inter, heads), quant_cfg, packer)
+    "gptq4_g32": ((64, 96, 2), GPTQConfig(4, 32, False),
+                  lambda w, rng: quantize_gptq(w, rng, 32)),
+    "gptq4_g64_actorder": ((64, 128, 2), GPTQConfig(4, 64, True),
+                           lambda w, rng: quantize_gptq(
+                               w, rng, 64, desc_act=True)),
+    "gptq4_g128_v2": ((128, 256, 2),
+                      GPTQConfig(4, 128, False,
+                                 checkpoint_format="gptq_v2"),
+                      lambda w, rng: quantize_gptq(
+                          w, rng, 128, checkpoint_format="gptq_v2")),
+    "gptq8_g32": ((64, 96, 2), GPTQConfig(8, 32, False),
+                  lambda w, rng: quantize_gptq(w, rng, 32, bits=8)),
+    "awq4_g32": ((64, 96, 2), AWQConfig(4, 32, True),
+                 lambda w, rng: quantize_awq(w, rng, 32)),
+    "marlin4_g64": ((64, 128, 2), MarlinConfig(group_size=64),
+                    lambda w, rng: quantize_marlin(w, rng, 64)),
+    "marlin24_g64": ((64, 128, 2), GPTQMarlin24Config(4, 64),
+                     lambda w, rng: quantize_marlin(w, rng, 64,
+                                                    sparse24=True)),
+}
+
+
+@pytest.mark.parametrize("scheme", sorted(SCHEMES))
+def test_quantized_llama_matches_dequantized_dense(scheme):
+    (h, inter, nh), quant_cfg, packer = SCHEMES[scheme]
+    d = h // nh
+    vocab = 256
+    hf = tiny_llama_hf_config(vocab_size=vocab, hidden_size=h,
+                              intermediate_size=inter,
                               num_hidden_layers=2,
-                              num_attention_heads=2,
-                              num_key_value_heads=2)
+                              num_attention_heads=nh,
+                              num_key_value_heads=nh)
     rng = np.random.RandomState(0)
-    quant_cfg = GPTQConfig(weight_bits=4, group_size=GROUP,
-                           desc_act=False)
     dense = LlamaForCausalLM(hf, dtype=jnp.float32)
     quant = LlamaForCausalLM(hf, dtype=jnp.float32,
                              quant_config=quant_cfg)
 
-    # Build a synthetic checkpoint: random dense weights, linears also
-    # emitted in GPTQ format.
     def weights():
         def t(shape, scale=0.05):
             return (rng.randn(*shape) * scale).astype(np.float32)
 
-        yield "model.embed_tokens.weight", t((256, 64))
-        yield "model.norm.weight", np.ones((64, ), np.float32)
-        yield "lm_head.weight", t((256, 64))
-        h, inter, nh, d = 64, 96, 2, 32
+        yield "model.embed_tokens.weight", t((vocab, h))
+        yield "model.norm.weight", np.ones((h, ), np.float32)
+        yield "lm_head.weight", t((vocab, h))
         for i in range(2):
             p = f"model.layers.{i}."
             yield p + "input_layernorm.weight", np.ones((h, ), np.float32)
@@ -86,40 +196,56 @@ def test_quantized_llama_matches_dequantized_dense():
     ckpt = list(weights())
     dense_params = dense.load_weights(iter(ckpt))
 
-    # quantized checkpoint: replace linear weights by gptq tensors
+    # quantized checkpoint: linear weights emitted in the scheme's
+    # serialization; remember the exact dequant truth per projection.
     qckpt = []
+    truths = {}
     for name, w in ckpt:
         if ("self_attn" in name or "mlp" in name) and name.endswith(
                 ".weight"):
-            tensors = quantize_dense(w.T.astype(np.float32), rng)
+            tensors, truth = packer(w.T.astype(np.float32), rng)
             base = name[:-len(".weight")]
+            truths[base] = truth
             for k, v in tensors.items():
                 qckpt.append((base + "." + k, v))
         else:
             qckpt.append((name, w))
     quant_params = quant.load_weights(iter(qckpt))
 
-    # overwrite dense linears with the dequantized values so outputs
-    # must agree exactly (same numbers through both code paths)
-    for i in range(2):
-        for proj in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj",
-                     "up_proj", "down_proj"):
-            qp = quant_params["layers"][i][proj]
-            deq = np.asarray(
-                dequantize_reference(jnp.asarray(qp["qweight"]),
-                                     jnp.asarray(qp["scales"]),
-                                     jnp.asarray(qp["szeros"]), bits=4,
-                                     group_size=GROUP))
-            dense_params["layers"][i][proj]["weight"] = deq.astype(
-                np.float32)
+    # 1) the loaded packed params must dequantize to the exact truth
+    # (act-order: rows come back group-sorted; undo via in_perm)
+    for base, truth in truths.items():
+        parts = base.split(".")
+        qp = quant_params["layers"][int(parts[2])][parts[4]]
+        bits = 4 if qp["qweight"].dtype == np.uint8 else 8
+        k_rows = qp["qweight"].shape[0] * (2 if bits == 4 else 1)
+        group = k_rows // qp["scales"].shape[0]
+        deq = np.asarray(
+            dequantize_reference(jnp.asarray(qp["qweight"]),
+                                 jnp.asarray(qp["scales"]),
+                                 jnp.asarray(qp["szeros"]), bits=bits,
+                                 group_size=group))[:k_rows]
+        if "in_perm" in qp:
+            undo = np.empty_like(qp["in_perm"])
+            undo[qp["in_perm"]] = np.arange(len(undo))
+            deq = deq[undo]
+        np.testing.assert_allclose(deq[:truth.shape[0]], truth,
+                                   atol=2e-3, rtol=2e-3)
+
+    # 2) end-to-end logits through the quantized path must match the
+    # dense model loaded with the dequantized weights
+    for base, truth in truths.items():
+        parts = base.split(".")
+        dense_params["layers"][int(parts[2])][parts[4]]["weight"] = (
+            truth.astype(np.float32))
 
     mesh = build_mesh(1, 1)
     b, l = 2, 16  # L must be a whole number of KV blocks (fused writes)
-    tokens = jnp.asarray(rng.randint(0, 255, (b, l)), jnp.int32)
+    tokens = jnp.asarray(rng.randint(0, vocab - 1, (b, l)), jnp.int32)
     positions = jnp.tile(jnp.arange(l, dtype=jnp.int32)[None], (b, 1))
-    d_pad = padded_head_size(32)
-    kv = (jnp.zeros((2, 8, 2, 16, d_pad), jnp.float32),
-          jnp.zeros((2, 8, 2, 16, d_pad), jnp.float32))
+    d_pad = padded_head_size(d)
+    kv = (jnp.zeros((2, 8, nh, 16, d_pad), jnp.float32),
+          jnp.zeros((2, 8, nh, 16, d_pad), jnp.float32))
     md = AttentionMetadata(
         slot_mapping=jnp.arange(b * l, dtype=jnp.int32),
         block_tables=jnp.tile(jnp.arange(4, dtype=jnp.int32)[None],

@@ -20,6 +20,8 @@ from vllm_legacy_tpu.layers.quantization.deepspeedfp import (
     DeepSpeedFPConfig)
 from vllm_legacy_tpu.layers.quantization.fp8 import Fp8Config
 from vllm_legacy_tpu.layers.quantization.gptq import GPTQConfig
+from vllm_legacy_tpu.layers.quantization.marlin import (GPTQMarlin24Config,
+                                                        MarlinConfig)
 from vllm_legacy_tpu.layers.quantization.squeezellm import SqueezeLLMConfig
 
 QUANTIZATION_METHODS: Dict[str, Type[QuantizationConfig]] = {
@@ -32,10 +34,13 @@ QUANTIZATION_METHODS: Dict[str, Type[QuantizationConfig]] = {
     # sparseml / compressed-tensors int8 w8a8
     "sparseml": CompressedTensorsConfig,
     "compressed-tensors": CompressedTensorsConfig,
-    # CUDA-layout aliases: same checkpoints, repacked to the TPU layout.
-    "marlin": GPTQConfig,
+    # marlin-SERIALIZED checkpoints (B/s layout) decode at load;
+    # "gptq_marlin" checkpoints are plain GPTQ tensors on disk (the
+    # reference repacks them at load, gptq_marlin.py) so GPTQConfig
+    # reads them directly.
+    "marlin": MarlinConfig,
     "gptq_marlin": GPTQConfig,
-    "gptq_marlin_24": GPTQConfig,
+    "gptq_marlin_24": GPTQMarlin24Config,
 }
 
 

@@ -379,11 +379,15 @@ class LlamaForCausalLM:
         quant_kinds = ("qweight", "qzeros", "scales", "g_idx",
                        "lookup_table", "codes", "codebooks",
                        "weight_scale", "input_scale",
-                       "weight_zero_point", "input_zero_point")
+                       "weight_zero_point", "input_zero_point",
+                       # marlin-serialized (dense B/s, 2:4 B_24/B_meta)
+                       "B", "B_24", "B_meta", "s")
 
         for name, w in weights:
             if name.endswith("rotary_emb.inv_freq"):
                 continue
+            if name.endswith(".workspace"):
+                continue  # marlin GPU scratch; meaningless on TPU
             w = np.asarray(w)
             kind = name.split(".")[-1]
             if (w.dtype != np_dtype and w.dtype.kind == "f"
