@@ -1,0 +1,90 @@
+"""Multi-host engine test: 2 localhost processes x 2 virtual CPU devices
+run one tp=4 mesh via jax.distributed; greedy outputs must match a
+single-process engine bit-for-bit.
+
+Capability parity target: the reference's multi-node Ray executor
+(vllm/executor/ray_gpu_executor.py:63). Here the cross-host control
+plane is the broadcast protocol in parallel/multihost.py.
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+WORKER = os.path.join(REPO, "tests", "distributed", "mh_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _spawn(rank: int, port: int, tp: int, dp: int):
+    env = dict(os.environ)
+    env.update(
+        MH_RANK=str(rank),
+        MH_NPROCS="2",
+        MH_PORT=str(port),
+        MH_TP=str(tp),
+        MH_DP=str(dp),
+    )
+    # the entry script sets its own platform/device-count flags
+    env.pop("PYTEST_CURRENT_TEST", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen([sys.executable, WORKER],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE,
+                            env=env, text=True)
+
+
+def _reference_tokens(tp: int, dp: int):
+    """Same engine, same config, one process (8 virtual devices)."""
+    from vllm_legacy_tpu.engine.llm_engine import LLMEngine
+    from vllm_legacy_tpu.sampling_params import SamplingParams
+    from vllm_legacy_tpu.testing_utils import (make_dummy_engine_config,
+                                               tiny_llama_hf_config)
+    cfg = make_dummy_engine_config(
+        tiny_llama_hf_config(), max_model_len=128, max_num_seqs=4,
+        num_tpu_blocks_override=64,
+        tensor_parallel_size=tp, data_parallel_size=dp, swap_space_gb=0)
+    engine = LLMEngine(cfg, log_stats=False)
+    params = SamplingParams(temperature=0.0, max_tokens=8,
+                            ignore_eos=True, detokenize=False)
+    prompts = {"a": [11, 12, 13, 14, 15], "b": [7, 8, 9]}
+    for rid, toks in prompts.items():
+        engine.add_request(rid, {"prompt_token_ids": toks}, params)
+    done = {}
+    while engine.has_unfinished_requests():
+        for out in engine.step():
+            if out.finished:
+                done[out.request_id] = list(out.outputs[0].token_ids)
+    return done
+
+
+@pytest.mark.slow
+def test_two_process_tp4_greedy_equality():
+    tp, dp = 4, 1
+    port = _free_port()
+    procs = [_spawn(rank, port, tp, dp) for rank in range(2)]
+    try:
+        out0, err0 = procs[0].communicate(timeout=600)
+        out1, err1 = procs[1].communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    assert procs[0].returncode == 0, f"primary failed:\n{err0[-4000:]}"
+    assert procs[1].returncode == 0, f"follower failed:\n{err1[-4000:]}"
+
+    line = [l for l in out0.splitlines() if l.startswith("RESULT ")]
+    assert line, f"no RESULT line in primary stdout:\n{out0[-2000:]}"
+    got = json.loads(line[0][len("RESULT "):])
+
+    want = _reference_tokens(tp, dp)
+    assert got == want, (got, want)

@@ -105,6 +105,8 @@ def make_dummy_engine_config(
     dtype: str = "bfloat16",
     max_model_len: Optional[int] = 1024,
     tensor_parallel_size: int = 1,
+    data_parallel_size: int = 1,
+    swap_space_gb: float = 1.0,
     max_num_seqs: int = 64,
     block_size: int = 16,
     num_tpu_blocks_override: Optional[int] = None,
@@ -129,13 +131,14 @@ def make_dummy_engine_config(
     cache_config = CacheConfig(
         block_size=block_size,
         hbm_utilization=hbm_utilization,
-        swap_space_gb=1.0,
+        swap_space_gb=swap_space_gb,
         cache_dtype=kv_cache_dtype,
         num_tpu_blocks_override=num_tpu_blocks_override,
         enable_prefix_caching=enable_prefix_caching,
     )
     parallel_config = ParallelConfig(
-        tensor_parallel_size=tensor_parallel_size)
+        tensor_parallel_size=tensor_parallel_size,
+        data_parallel_size=data_parallel_size)
     scheduler_config = SchedulerConfig(
         max_num_batched_tokens=max_num_batched_tokens
         or max(max_model_len or 2048, 2048),

@@ -164,20 +164,20 @@ class CacheEngine:
                 "(%.1fx V HBM saving at full context)", num_v_slots,
                 self.num_gpu_blocks,
                 max(self.num_gpu_blocks / num_v_slots, 1.0))
+        def alloc(s):
+            # Zeros are produced ON device with the target sharding (a
+            # host-side zeros + device_put would materialize the full
+            # global buffer per host and break multi-process runs).
+            return jax.jit(lambda: jnp.zeros(s, self.dtype),
+                           out_shardings=self.cache_sharding)()
+
         if self.fused:
             # ONE buffer holds K and V (block = per-head K rows then V
             # rows) — a block's K+V arrive in one DMA and the decode
             # kernel is the gang-batched fused_decode path
-            self.gpu_cache: Tuple[jax.Array, ...] = (
-                jax.device_put(jnp.zeros(shape, self.dtype),
-                               self.cache_sharding), )
+            self.gpu_cache: Tuple[jax.Array, ...] = (alloc(shape), )
         else:
-            self.gpu_cache = (
-                jax.device_put(jnp.zeros(shape, self.dtype),
-                               self.cache_sharding),
-                jax.device_put(jnp.zeros(v_shape, self.dtype),
-                               self.cache_sharding),
-            )
+            self.gpu_cache = (alloc(shape), alloc(v_shape))
         # Host swap tier (reference: pinned-CPU swap pool).
         self.cpu_cache: Optional[Tuple[np.ndarray, ...]] = None
         if self.num_cpu_blocks > 0:

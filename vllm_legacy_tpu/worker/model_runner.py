@@ -85,8 +85,15 @@ def _unpack_fn(spec):
 _unpack_cache: Dict[Any, Any] = {}
 
 
-def stage_arrays(named: List[Tuple[str, np.ndarray]]) -> Dict[str, Any]:
-    """Ship many small host arrays in one H2D transfer + one dispatch."""
+def stage_arrays(named: List[Tuple[str, np.ndarray]],
+                 replicate_sharding=None) -> Dict[str, Any]:
+    """Ship many small host arrays in one H2D transfer + one dispatch.
+
+    ``replicate_sharding``: in multi-process (multi-host) runs, step
+    inputs must be GLOBAL arrays; pass NamedSharding(mesh, P()) and the
+    identical host bytes on every process become one replicated global
+    array (single-process leaves the committed-local fast path alone).
+    """
     specs = []
     parts = []
     for name, arr in named:
@@ -103,7 +110,11 @@ def stage_arrays(named: List[Tuple[str, np.ndarray]]) -> Dict[str, Any]:
             raise TypeError(f"stage_arrays: {name} has dtype {a.dtype}")
         specs.append((arr.shape, tag, a.size))
         parts.append(a.ravel())
-    buf = jnp.asarray(np.concatenate(parts))  # the one H2D
+    host_buf = np.concatenate(parts)
+    if replicate_sharding is not None:
+        buf = jax.device_put(host_buf, replicate_sharding)  # the one H2D
+    else:
+        buf = jnp.asarray(host_buf)  # the one H2D
     key = tuple(specs)
     if key not in _unpack_cache:
         _unpack_cache[key] = _unpack_fn(key)
@@ -180,6 +191,10 @@ class ModelRunner:
         self.scheduler_config = scheduler_config
         self.cache_config = cache_config
         self.mesh = mesh
+        # Multi-host: step inputs must be global replicated arrays
+        # (parallel/multihost.py); single-process keeps committed-local.
+        self._replicated = (NamedSharding(mesh, P())
+                            if jax.process_count() > 1 else None)
         self.block_size = cache_config.block_size
         self.max_blocks_per_seq = cdiv(model_config.max_model_len,
                                        self.block_size)
@@ -871,7 +886,8 @@ class ModelRunner:
         staged = stage_arrays([(k, arrays[k]) for k in
                                ("tokens", "positions", "slot_mapping",
                                 "context_lens", "query_lens",
-                                "block_tables")])
+                                "block_tables")],
+                              replicate_sharding=self._replicated)
         md = AttentionMetadata(
             slot_mapping=staged["slot_mapping"],
             block_tables=staged["block_tables"],
@@ -1008,7 +1024,7 @@ class ModelRunner:
             ("slot_mapping", np.zeros((b_pad * l_pad, ), np.int32)),
             ("block_tables", tables), ("context_lens", ctx_arr),
             ("query_lens", qlen_arr), ("sel", sel)
-        ])
+        ], replicate_sharding=self._replicated)
         md = AttentionMetadata(
             slot_mapping=staged["slot_mapping"],
             block_tables=staged["block_tables"],
@@ -1128,7 +1144,7 @@ class ModelRunner:
             ("block_tables", tables), ("context_lens", ctx_arr),
             ("query_lens", qlen_arr), ("sel", sel),
             ("proposals", props_arr)
-        ])
+        ], replicate_sharding=self._replicated)
         md = AttentionMetadata(
             slot_mapping=staged["slot_mapping"],
             block_tables=staged["block_tables"],
@@ -1147,6 +1163,8 @@ class ModelRunner:
                 num_spec, greedy)
         fn = self._jit_step_cache[cache_key]
         self._step_key, key = jax.random.split(self._step_key)
+        if self._replicated is not None:
+            key = jax.device_put(np.asarray(key), self._replicated)
         kv_caches, out_tokens, num_emitted, tok_lp = fn(
             self._merged_params(), kv_caches, staged["tokens"],
             staged["positions"], md, staged["sel"],
@@ -1321,7 +1339,8 @@ class ModelRunner:
             for i, off in enumerate(lora_rope_offsets):
                 if off:
                     arrays["positions"][i, :] += off
-        staged = stage_arrays(named)
+        staged = stage_arrays(named,
+                              replicate_sharding=self._replicated)
         md = AttentionMetadata(
             slot_mapping=staged["slot_mapping"],
             block_tables=staged["block_tables"],
@@ -1339,6 +1358,8 @@ class ModelRunner:
             if k in staged
         }
         self._step_key, key = jax.random.split(self._step_key)
+        if self._replicated is not None:
+            key = jax.device_put(np.asarray(key), self._replicated)
         t_prep = time.perf_counter()
 
         out = step_fn(params, kv_caches, staged["tokens"],
