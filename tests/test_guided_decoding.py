@@ -324,3 +324,44 @@ def test_engine_min_tokens_masks_eos(guided_llm):
     toks = list(out.outputs[0].token_ids)
     assert len(toks) == 32
     assert eos not in toks[:-1]
+
+
+def test_lmfe_backend_any_key_order():
+    """The lm-format-enforcer dialect admits object keys in any order;
+    outlines pins schema declaration order (reference behavioral
+    difference, lm_format_enforcer_decoding.py:70)."""
+    import re
+
+    schema = {
+        "type": "object",
+        "properties": {"a": {"type": "integer"},
+                       "b": {"type": "boolean"}},
+        "required": ["a", "b"],
+    }
+    strict = build_regex_from_schema(schema)
+    loose = build_regex_from_schema(schema, any_order=True)
+    in_order = '{"a": 3, "b": true}'
+    swapped = '{"b": true, "a": 3}'
+    assert re.fullmatch(strict, in_order)
+    assert not re.fullmatch(strict, swapped)
+    assert re.fullmatch(loose, in_order)
+    assert re.fullmatch(loose, swapped)
+
+
+def test_custom_whitespace_pattern():
+    """guided_whitespace_pattern overrides inter-token whitespace
+    (reference: protocol.py guided_whitespace_pattern)."""
+    import re
+
+    schema = {"type": "object",
+              "properties": {"x": {"type": "integer"}},
+              "required": ["x"]}
+    no_ws = build_regex_from_schema(schema, whitespace_pattern="")
+    assert re.fullmatch(no_ws, '{"x":1}')
+    assert not re.fullmatch(no_ws, '{"x": 1}')
+
+
+def test_backend_validation():
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="backend"):
+        get_guided_fsm(None, guided_regex="a+", backend="nope")

@@ -95,6 +95,10 @@ class CompletionRequest(OpenAIBaseModel):
     guided_regex: Optional[str] = None
     guided_choice: Optional[List[str]] = None
     guided_grammar: Optional[str] = None
+    # per-request override of the engine's guided backend + the JSON
+    # inter-token whitespace pattern (reference protocol.py:218-228)
+    guided_decoding_backend: Optional[str] = None
+    guided_whitespace_pattern: Optional[str] = None
     response_format: Optional[Dict[str, str]] = None
 
     def to_sampling_params(self) -> SamplingParams:
@@ -168,6 +172,10 @@ class ChatCompletionRequest(OpenAIBaseModel):
     guided_regex: Optional[str] = None
     guided_choice: Optional[List[str]] = None
     guided_grammar: Optional[str] = None
+    # per-request override of the engine's guided backend + the JSON
+    # inter-token whitespace pattern (reference protocol.py:218-228)
+    guided_decoding_backend: Optional[str] = None
+    guided_whitespace_pattern: Optional[str] = None
     response_format: Optional[Dict[str, str]] = None
 
     def to_sampling_params(self) -> SamplingParams:

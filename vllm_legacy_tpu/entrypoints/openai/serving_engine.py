@@ -33,6 +33,10 @@ class OpenAIServing:
         self.max_model_len = 0
         self.tokenizer = None
         self.lora_requests: List = []
+        decoding = getattr(engine.engine.engine_config,
+                           "decoding_config", None)
+        self.default_guided_backend = (
+            decoding.guided_decoding_backend if decoding else "outlines")
 
     async def _post_init(self):
         model_config = await self.engine.get_model_config()
@@ -83,6 +87,8 @@ class OpenAIServing:
                 or request.guided_choice or request.guided_grammar
                 or json_object):
             return
+        backend = (getattr(request, "guided_decoding_backend", None)
+                   or self.default_guided_backend)
         fsm = await asyncio.to_thread(
             get_guided_fsm,
             self.tokenizer,
@@ -91,6 +97,9 @@ class OpenAIServing:
             guided_choice=request.guided_choice,
             guided_grammar=request.guided_grammar,
             json_object=json_object,
+            backend=backend,
+            whitespace_pattern=getattr(request,
+                                       "guided_whitespace_pattern", None),
         )
         sampling_params.guided_fsm = fsm
 

@@ -48,10 +48,21 @@ def get_guided_fsm(
     guided_choice: Optional[List[str]] = None,
     guided_grammar: Optional[str] = None,
     json_object: bool = False,
+    backend: str = "outlines",
+    whitespace_pattern: Optional[str] = None,
 ) -> Optional[TokenFSM]:
     """Build (or fetch from cache) the token FSM for a request's guided-
     decoding options (reference dispatch: guided_decoding/__init__.py
-    get_guided_decoding_logits_processor)."""
+    get_guided_decoding_logits_processor).
+
+    ``backend`` selects the JSON dialect: "outlines" pins object keys to
+    schema declaration order; "lm-format-enforcer" admits any key order
+    (the reference packages' observable behavioral difference,
+    lm_format_enforcer_decoding.py:70). Both compile to the same token
+    DFA machinery here."""
+    if backend not in ("outlines", "lm-format-enforcer"):
+        raise ValueError(f"unknown guided decoding backend {backend!r}")
+    any_order = backend == "lm-format-enforcer"
     n_set = sum(
         x is not None
         for x in (guided_regex, guided_json, guided_choice, guided_grammar))
@@ -73,11 +84,14 @@ def get_guided_fsm(
         schema = guided_json
         if isinstance(schema, str):
             schema = json.loads(schema)
-        pattern = build_regex_from_schema(schema)
+        pattern = build_regex_from_schema(
+            schema, whitespace_pattern=whitespace_pattern,
+            any_order=any_order)
     elif json_object:
         # OpenAI response_format {"type": "json_object"}: any JSON value
         # (objects nested up to the schema builder's default depth).
-        pattern = build_regex_from_schema({})
+        pattern = build_regex_from_schema(
+            {}, whitespace_pattern=whitespace_pattern)
     else:
         return None
     return get_token_fsm(pattern, tokenizer)

@@ -41,23 +41,28 @@ def _escape_json_literal(value: Any) -> str:
     return re.escape(json.dumps(value, ensure_ascii=False))
 
 
-def _any_value(depth: int) -> str:
+def _any_value(depth: int, ws: str = _WS) -> str:
     prim = f"({_STRING}|{_NUMBER}|{_BOOLEAN}|{_NULL})"
     if depth <= 0:
         return prim
-    inner = _any_value(depth - 1)
+    inner = _any_value(depth - 1, ws)
     # star quantifiers (not bounded repeats): bounded repeats copy the
     # inner NFA per repetition, which explodes for the recursive case.
-    arr = (rf"\[{_WS}({inner}({_WS},{_WS}{inner})*)?{_WS}\]")
-    kv = f"{_STRING}{_WS}:{_WS}{inner}"
-    obj = rf"\{{{_WS}({kv}({_WS},{_WS}{kv})*)?{_WS}\}}"
+    arr = (rf"\[{ws}({inner}({ws},{ws}{inner})*)?{ws}\]")
+    kv = f"{_STRING}{ws}:{ws}{inner}"
+    obj = rf"\{{{ws}({kv}({ws},{ws}{kv})*)?{ws}\}}"
     return f"({prim}|{arr}|{obj})"
 
 
 class _Builder:
-    def __init__(self, root: Dict[str, Any], any_depth: int):
+    def __init__(self, root: Dict[str, Any], any_depth: int,
+                 ws: str = _WS, any_order: bool = False):
         self.root = root
         self.any_depth = any_depth
+        self.ws = ws
+        # lm-format-enforcer semantics: object keys may appear in any
+        # order (outlines pins schema declaration order)
+        self.any_order = any_order
 
     def _resolve_ref(self, ref: str) -> Dict[str, Any]:
         if not ref.startswith("#/"):
@@ -144,24 +149,30 @@ class _Builder:
         if items:
             item = self.build(items, depth - 1)
         else:
-            item = _any_value(min(depth - 1, self.any_depth))
+            item = _any_value(min(depth - 1, self.any_depth), self.ws)
         lo = int(schema.get("minItems", 0))
         hi = schema.get("maxItems")
-        rest = f"({_WS},{_WS}{item})"
+        ws = self.ws
+        rest = f"({ws},{ws}{item})"
         if hi is None:
             tail = f"{rest}{{{max(lo - 1, 0)},}}"
         else:
             if hi < lo:
                 raise ValueError("maxItems < minItems")
             if hi == 0:
-                return rf"\[{_WS}\]"
+                return rf"\[{ws}\]"
             tail = f"{rest}{{{max(lo - 1, 0)},{hi - 1}}}"
         body = f"{item}{tail}"
         if lo == 0:
             body = f"({body})?"
-        return rf"\[{_WS}{body}{_WS}\]"
+        return rf"\[{ws}{body}{ws}\]"
+
+    # any-order objects (lm-format-enforcer semantics) enumerate key
+    # permutations; cap the total property count so the DFA stays sane.
+    _MAX_ANY_ORDER_PROPS = 5
 
     def _object(self, schema: Dict[str, Any], depth: int) -> str:
+        ws = self.ws
         props: Dict[str, Any] = schema.get("properties", {})
         required = list(schema.get("required", []))
         if props:
@@ -173,11 +184,14 @@ class _Builder:
                     "are unsupported (subset enumeration)")
 
             def kv(key: str) -> str:
-                return (f"{_escape_json_literal(key)}{_WS}:{_WS}"
+                return (f"{_escape_json_literal(key)}{ws}:{ws}"
                         f"{self.build(props[key], depth - 1)}")
 
-            # every legal subset: required props (declaration order) plus
-            # any subset of optional ones, comma-joined in order.
+            any_order = (self.any_order
+                         and len(props) <= self._MAX_ANY_ORDER_PROPS)
+            # every legal subset: required props plus any subset of
+            # optional ones — in schema order, or (any_order) in every
+            # permutation.
             alts: List[str] = []
             for bits in range(1 << len(opt)):
                 keys = req + [o for i, o in enumerate(opt)
@@ -185,27 +199,42 @@ class _Builder:
                 keys = [k for k in props if k in keys]  # schema order
                 if not keys:
                     continue
-                alts.append((_WS + "," + _WS).join(kv(k) for k in keys))
+                if any_order:
+                    from itertools import permutations
+                    for order in permutations(keys):
+                        alts.append((ws + "," + ws).join(
+                            kv(k) for k in order))
+                else:
+                    alts.append((ws + "," + ws).join(kv(k) for k in keys))
             if not alts:
-                return rf"\{{{_WS}\}}"
+                return rf"\{{{ws}\}}"
             body = "(" + "|".join(alts) + ")"
             if not req:
                 body += "?"
-            return rf"\{{{_WS}{body}{_WS}\}}"
+            return rf"\{{{ws}{body}{ws}\}}"
 
         addl = schema.get("additionalProperties")
         if addl in (None, True):
-            val = _any_value(min(depth - 1, self.any_depth))
+            val = _any_value(min(depth - 1, self.any_depth), ws)
         elif addl is False:
-            return rf"\{{{_WS}\}}"
+            return rf"\{{{ws}\}}"
         else:
             val = self.build(addl, depth - 1)
-        kv_pat = f"{_STRING}{_WS}:{_WS}{val}"
-        return rf"\{{{_WS}({kv_pat}({_WS},{_WS}{kv_pat})*)?{_WS}\}}"
+        kv_pat = f"{_STRING}{ws}:{ws}{val}"
+        return rf"\{{{ws}({kv_pat}({ws},{ws}{kv_pat})*)?{ws}\}}"
 
 
 def build_regex_from_schema(schema: Dict[str, Any],
-                            any_depth: int = _DEFAULT_ANY_DEPTH) -> str:
-    """JSON Schema (dict) -> full-match regex for its value language."""
-    builder = _Builder(schema, any_depth)
+                            any_depth: int = _DEFAULT_ANY_DEPTH,
+                            whitespace_pattern: str = None,
+                            any_order: bool = False) -> str:
+    """JSON Schema (dict) -> full-match regex for its value language.
+
+    ``whitespace_pattern`` overrides the inter-token whitespace regex
+    (reference: outlines' whitespace_pattern / the request field
+    guided_whitespace_pattern). ``any_order`` admits object keys in any
+    order — the lm-format-enforcer behavioral difference
+    (lm_format_enforcer_decoding.py:70)."""
+    ws = _WS if whitespace_pattern is None else whitespace_pattern
+    builder = _Builder(schema, any_depth, ws=ws, any_order=any_order)
     return builder.build(schema, depth=16)
