@@ -46,6 +46,11 @@ def build_config(model: str, input_len: int, output_len: int,
         num_scheduler_steps=num_steps,
         max_num_batched_tokens=batched,
         block_size=block_size,
+        # Reservation admission: when KV demand exceeds HBM (7B+ at
+        # high batch), admit only what fits at full length instead of
+        # preempt-recompute thrashing (BENCH_r03: 7b_int4 276 -> see
+        # RESULTS.md with reserve)
+        admission_control=os.getenv("BENCH_ADMISSION", "reserve"),
     )
     if model == "tinyllama_bf16":
         return make_dummy_engine_config(tinyllama_1_1b_hf_config(),

@@ -274,3 +274,61 @@ def test_fork_seq_shares_blocks():
     scheduler.fork_seq(prompt, child)
     assert (scheduler.block_manager.get_block_table(prompt) ==
             scheduler.block_manager.get_block_table(child))
+
+
+def test_reserve_admission_prevents_preemption():
+    """admission_control="reserve": prompts are admitted only when the
+    pool can hold them at FULL length (prompt + max_tokens), so decode
+    growth never preempts; "optimistic" admits both and must preempt."""
+    from vllm_legacy_tpu.sampling_params import SamplingParams
+
+    def build(mode):
+        scheduler_config = SchedulerConfig(
+            max_num_batched_tokens=64,
+            max_num_seqs=8,
+            max_model_len=64,
+            admission_control=mode,
+        )
+        cache_config = CacheConfig(block_size=4, hbm_utilization=0.9,
+                                   swap_space_gb=1)
+        cache_config.num_tpu_blocks = 8  # 32 token slots
+        cache_config.num_cpu_blocks = 8
+        return Scheduler(scheduler_config, cache_config, None)
+
+    def add(scheduler, rid):
+        # 16-token prompt + max_tokens=16 -> full length 32 = the pool
+        _, g = create_dummy_prompt(rid, 16, block_size=4)
+        g.sampling_params = SamplingParams(max_tokens=16,
+                                           ignore_eos=True)
+        scheduler.add_seq_group(g)
+        return g
+
+    res = build("reserve")
+    g1, g2 = add(res, "1"), add(res, "2")
+    _, out = schedule_and_update_computed_tokens(res)
+    # only g1 fits at full length; g2 held in waiting (not ignored)
+    assert [s.seq_group.request_id for s in out.scheduled_seq_groups] \
+        == ["1"]
+    assert len(res.waiting) == 1 and not out.ignored_seq_groups
+    # decode g1 to the end of the pool: no preemption ever
+    for _ in range(4):
+        append_new_token(g1, 100)
+        _, out = schedule_and_update_computed_tokens(res)
+        assert out.preempted == 0
+    # g1 finishes -> its reservation frees -> g2 admitted
+    for seq in g1.get_seqs():
+        seq.status = SequenceStatus.FINISHED_STOPPED
+    res.free_finished_seq_groups()
+    res.block_manager.free(g1.get_seqs()[0])
+    _, out = schedule_and_update_computed_tokens(res)
+    assert [s.seq_group.request_id for s in out.scheduled_seq_groups] \
+        == ["2"]
+
+    opt = build("optimistic")
+    o1, o2 = add(opt, "1"), add(opt, "2")
+    _, out = schedule_and_update_computed_tokens(opt)
+    assert out.num_prefill_groups == 2  # both admitted...
+    append_new_token(o1, 100)
+    append_new_token(o2, 100)
+    _, out = schedule_and_update_computed_tokens(opt)
+    assert out.preempted == 1  # ...and growth preempts

@@ -272,6 +272,7 @@ class CacheConfig:
         sliding_window: Optional[int] = None,
         enable_prefix_caching: bool = False,
         v_offload_window: Optional[int] = None,
+        kv_offload: bool = False,
     ) -> None:
         self.block_size = block_size
         self.hbm_utilization = hbm_utilization
@@ -285,6 +286,13 @@ class CacheConfig:
         # per-sequence ring of sink + window blocks; K stays full so
         # the sparse top-k scores exactly within the window. Tokens.
         self.v_offload_window = v_offload_window
+        # KV-offload (fork CACHE_ENGINE=offload_kv, KVMapCacheEngine
+        # map_cache_engine.py:369): K joins V in the ring pool, so
+        # NEITHER cache scales with context — the TPU analogue of the
+        # fork's UVM-managed K/V. Selection is already window-restricted
+        # under V-offload, so in-ring K preserves the served attention
+        # exactly; logical KV blocks become free bookkeeping entries.
+        self.kv_offload = kv_offload
         self._verify_args()
 
         # Set after cache-size computation (worker/cache_engine.py).
@@ -302,6 +310,10 @@ class CacheConfig:
         self.num_tpu_blocks = v
 
     def _verify_args(self) -> None:
+        if self.kv_offload and not self.v_offload_window:
+            raise ValueError(
+                "kv_offload extends the V-offload ring to K; set "
+                "v_offload_window as well")
         if self.hbm_utilization > 1.0 or self.hbm_utilization <= 0:
             raise ValueError(
                 "hbm_utilization must be in (0, 1]. Got "
@@ -372,6 +384,13 @@ class SchedulerConfig:
     enable_chunked_prefill: bool = False
     embedding_mode: bool = False
     preemption_mode: Optional[str] = None  # "recompute" | "swap" | None
+    # "optimistic" admits prompts whenever their prefill fits (reference
+    # behavior; decode growth may preempt later). "reserve" admits only
+    # if the KV pool can hold every admitted request at its FULL length
+    # (prompt + max_tokens): no preemption thrash, at the cost of lower
+    # occupancy when requests finish early. HBM is fixed per chip, so
+    # heavily oversubscribed serving benefits from "reserve".
+    admission_control: str = "optimistic"
 
     def __post_init__(self) -> None:
         if self.num_scheduler_steps > 1:
@@ -395,6 +414,10 @@ class SchedulerConfig:
         if self.max_num_batched_tokens < self.max_num_seqs:
             raise ValueError(
                 "max_num_batched_tokens must be >= max_num_seqs.")
+        if self.admission_control not in ("optimistic", "reserve"):
+            raise ValueError(
+                f"admission_control must be 'optimistic' or 'reserve', "
+                f"got {self.admission_control!r}")
 
 
 @dataclass

@@ -35,6 +35,7 @@ from vllm_legacy_tpu.core.policy import Policy, PolicyFactory
 from vllm_legacy_tpu.logger import init_logger
 from vllm_legacy_tpu.sequence import (Sequence, SequenceData, SequenceGroup,
                                       SequenceGroupMetadata, SequenceStatus)
+from vllm_legacy_tpu.utils import cdiv
 
 logger = init_logger(__name__)
 
@@ -238,6 +239,11 @@ class Scheduler:
 
         self.user_specified_preemption_mode = (
             scheduler_config.preemption_mode)
+        # "reserve" admission: only admit prompts whose FULL length (to
+        # max_tokens) fits alongside everything already admitted — no
+        # decode-time preemption thrash (config.py admission_control).
+        self.reserve_admission = (
+            scheduler_config.admission_control == "reserve")
         self.num_cumulative_preemption = 0
         self.enable_artificial_preemption = ENABLE_ARTIFICIAL_PREEMPT
         self.artificial_preempt_cnt = (ARTIFICIAL_PREEMPTION_MAX_CNT
@@ -396,6 +402,21 @@ class Scheduler:
         self.swapped = queue
         plan.lookahead += self._lookahead_slots(is_prefill=False)
 
+    def _full_length_blocks(self, group: SequenceGroup) -> int:
+        """KV blocks this group needs if every sequence runs to its
+        sampling limit — the reservation unit for "reserve" admission."""
+        bs = self.cache_config.block_size
+        params = group.sampling_params
+        seqs = [s for s in group.get_seqs() if not s.is_finished()]
+        if not seqs:
+            return 0
+        limit = seqs[0].get_prompt_len()
+        if params is not None and params.max_tokens:
+            limit += params.max_tokens
+        limit = min(limit, self.scheduler_config.max_model_len)
+        per_seq = cdiv(limit, bs)
+        return per_seq * max(len(seqs), group.get_max_num_running_seqs())
+
     def _admit_waiting(self, plan: _StepPlan, budget: SchedulingBudget,
                        active_loras: Optional[Set[int]],
                        chunking: bool = False) -> None:
@@ -404,6 +425,13 @@ class Scheduler:
         only a block-aligned slice of the prompt is admitted."""
         queue = deque(self.waiting)
         lora_deferred: List[SequenceGroup] = []
+        reserved = usable = 0
+        if self.reserve_admission:
+            usable = (self.block_manager.num_total_gpu_blocks -
+                      self.block_manager.watermark_blocks)
+            reserved = sum(
+                self._full_length_blocks(g)
+                for pool in (self.running, self.swapped) for g in pool)
 
         # _passed_delay first: it also updates the delay-heuristic clock.
         while self._passed_delay(time.time()) and queue:
@@ -442,6 +470,15 @@ class Scheduler:
                 lora_deferred.append(group)
                 queue.popleft()
                 continue
+
+            if self.reserve_admission:
+                need = self._full_length_blocks(group)
+                # Oversized singletons (> whole pool) fall back to
+                # optimistic admission; can_allocate rejects the truly
+                # impossible ones above.
+                if need <= usable and reserved + need > usable:
+                    break  # FCFS: hold until reserved capacity frees
+                reserved += need
 
             seats = group.get_max_num_running_seqs()
             if step_tokens == 0 or not budget.can_schedule(

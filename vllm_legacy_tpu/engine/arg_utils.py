@@ -56,6 +56,7 @@ class EngineArgs:
     enable_chunked_prefill: bool = False
     num_scheduler_steps: int = 1
     preemption_mode: Optional[str] = None
+    admission_control: str = "optimistic"
     delay_factor: float = 0.0
 
     # LoRA
@@ -79,6 +80,7 @@ class EngineArgs:
     hip_k: int = 1024
     # fork CACHE_ENGINE=offload_v equivalent; tokens of resident V
     v_offload_window: Optional[int] = None
+    kv_offload: bool = False
     hip_dense_layers: int = 3
 
     # Self-extend RoPE (reference env SE_WINDOW / SE_SCALE)
@@ -157,6 +159,7 @@ class EngineArgs:
             sliding_window=model_config.get_sliding_window(),
             enable_prefix_caching=self.enable_prefix_caching,
             v_offload_window=self._v_offload_window(),
+            kv_offload=self.kv_offload,
         )
         parallel_config = ParallelConfig(
             pipeline_parallel_size=self.pipeline_parallel_size,
@@ -182,6 +185,7 @@ class EngineArgs:
             num_scheduler_steps=self.num_scheduler_steps,
             num_lookahead_slots=self.num_speculative_tokens or 0,
             preemption_mode=preemption_mode,
+            admission_control=self.admission_control,
             delay_factor=self.delay_factor,
         )
         long_factors = self.long_lora_scaling_factors

@@ -115,6 +115,7 @@ def make_dummy_engine_config(
     enable_prefix_caching: bool = False,
     kv_cache_dtype: str = "auto",
     num_scheduler_steps: int = 1,
+    admission_control: str = "optimistic",
     max_num_batched_tokens: Optional[int] = None,
     sparse_attention=None,
 ) -> EngineConfig:
@@ -146,6 +147,7 @@ def make_dummy_engine_config(
         max_model_len=model_config.max_model_len,
         enable_chunked_prefill=enable_chunked_prefill,
         num_scheduler_steps=num_scheduler_steps,
+        admission_control=admission_control,
     )
     return EngineConfig(
         model_config=model_config,
