@@ -164,6 +164,11 @@ class CacheEngine:
                 "(%.1fx V HBM saving at full context)", num_v_slots,
                 self.num_gpu_blocks,
                 max(self.num_gpu_blocks / num_v_slots, 1.0))
+            if cache_config.kv_offload:
+                # fork offload_kv: K shares the ring geometry, so
+                # NEITHER cache scales with context; logical blocks
+                # are bookkeeping-only (worker sizes them virtually)
+                shape = v_shape
         def alloc(s):
             # Zeros are produced ON device with the target sharding (a
             # host-side zeros + device_put would materialize the full

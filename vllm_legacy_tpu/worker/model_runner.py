@@ -483,7 +483,22 @@ class ModelRunner:
                     pixels[i] = m
             arrays["pixel_values"] = pixels
         if self.cache_config.v_offload_window:
-            arrays["v_block_tables"] = self._assign_v_rings(rows)
+            vt = self._assign_v_rings(rows)
+            arrays["v_block_tables"] = vt
+            if self.cache_config.kv_offload:
+                # fork offload_kv: K shares the V ring pool, so every K
+                # access (write slots, reads, top-k scoring) routes
+                # through the same ring tables; logical block tables
+                # stay host-side bookkeeping only.
+                arrays["block_tables"] = vt
+                ring_sm = np.full((b_pad, l_pad), -1, np.int32)
+                for i in range(n):
+                    ql = query_lens[i]
+                    pos_np = np.asarray(pos_rows[i], np.int64)
+                    ring_sm[i, :ql] = (
+                        vt[i][pos_np // self.block_size].astype(np.int64)
+                        * self.block_size + pos_np % self.block_size)
+                arrays["slot_mapping"] = ring_sm.reshape(-1)
         if is_prefill and any(e is not None for e in emb_rows):
             hdim = next(e[0].shape[-1] for e in emb_rows
                         if e is not None)

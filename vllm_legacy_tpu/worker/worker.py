@@ -135,6 +135,32 @@ class Worker:
         num_tpu, num_cpu = compute_num_blocks(
             hbm, param_bytes, self.cache_config, self.model_config,
             self.parallel_config, extra_block_bytes=extra_block_bytes)
+        if self.cache_config.kv_offload:
+            # fork offload_kv: K and V both live in fixed-size ring
+            # pools, so logical blocks cost no HBM — hand the scheduler
+            # enough to address every sequence at max_model_len, and
+            # verify the rings themselves fit the budget.
+            from vllm_legacy_tpu.utils import cdiv as _cdiv
+            from vllm_legacy_tpu.worker.cache_engine import (
+                get_cache_block_size, v_ring_blocks)
+            max_blocks = _cdiv(self.model_config.max_model_len,
+                               self.cache_config.block_size)
+            per_ring_block = get_cache_block_size(
+                self.cache_config, self.model_config,
+                self.parallel_config)  # K-only bytes under v_offload
+            slots = (self.scheduler_config.max_num_seqs *
+                     v_ring_blocks(self.cache_config, self.model_config)
+                     + 1)
+            ring_bytes = 2 * slots * per_ring_block
+            budget = int(hbm * self.cache_config.hbm_utilization
+                         ) - param_bytes
+            if ring_bytes > budget:
+                raise ValueError(
+                    f"kv_offload ring pools need {ring_bytes >> 20} MiB "
+                    f"but only {max(budget, 0) >> 20} MiB fit; lower "
+                    "max_num_seqs or v_offload_window")
+            num_tpu = self.scheduler_config.max_num_seqs * max_blocks
+            num_cpu = 0  # rings cannot swap (recompute-only)
         if self.cache_config.num_tpu_blocks_override is not None:
             num_tpu = self.cache_config.num_tpu_blocks_override
         return num_tpu, num_cpu
