@@ -79,3 +79,31 @@ def test_mixtral_expert_parallel_matches_single(tiny_mixtral_path):
     base = engine_greedy(tiny_mixtral_path, PROMPTS, 8, tp=1)
     ep = engine_greedy(tiny_mixtral_path, PROMPTS, 8, tp=2)
     assert ep == base
+
+
+@pytest.fixture(scope="module")
+def tiny_mixtral8_path(tmp_path_factory):
+    """8 experts so tp=2 leaves e_local=4 > top_k=2 — exercises the
+    expert-sorted sharded grouped-GEMM path (fused_moe.py
+    _grouped_moe_sharded); tp=4 (e_local=2=k) keeps the dense form."""
+    import torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+    path = tmp_path_factory.mktemp("tiny_mixtral8")
+    cfg = MixtralConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, num_local_experts=8,
+        num_experts_per_tok=2, max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    MixtralForCausalLM(cfg).to(torch.float32).save_pretrained(
+        path, safe_serialization=True)
+    return str(path)
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_mixtral8_tp_grouped_matches_single(tiny_mixtral8_path, tp):
+    base = engine_greedy(tiny_mixtral8_path, PROMPTS, 8, tp=1)
+    sharded = engine_greedy(tiny_mixtral8_path, PROMPTS, 8, tp=tp)
+    assert sharded == base

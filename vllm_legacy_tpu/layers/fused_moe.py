@@ -64,6 +64,20 @@ def fused_moe(
         return _grouped_moe(x, w1, w2, top_w, top_ids,
                             num_experts).astype(x.dtype)
 
+    # FLOPs per shard (T tokens, k = top_k, E_local local experts):
+    #   dense:   E_local * T row-GEMMs (every local expert, every token)
+    #   sorted:  T * k row-GEMMs (all routed pairs; non-local pairs hit
+    #            a zeroed dummy expert — XLA's static shapes preclude a
+    #            data-dependent row count)
+    # The sorted form wins by E_local / k; at E_local <= k (high TP,
+    # e.g. Mixtral-8 on tp=4 with k=2) it is a wash and dense keeps the
+    # simpler schedule. Reference capability: fused_moe.py:465 computes
+    # exactly the routed tokens (dynamic shapes are native on GPU).
+    if e_local > top_k:
+        out = _grouped_moe_sharded(x, w1, w2, top_w, top_ids,
+                                   num_experts, e_offset, e_local)
+        return jax.lax.psum(out, MODEL_AXIS).astype(x.dtype)
+
     # dense expert compute: [E_local, T, 2I] -> act -> [E_local, T, H]
     h1 = jnp.einsum("th,ehi->eti", x, w1,
                     preferred_element_type=jnp.float32).astype(x.dtype)
@@ -102,3 +116,51 @@ def _grouped_moe(x, w1, w2, top_w, top_ids, num_experts):
     w_flat = top_w.reshape(-1)[order].astype(jnp.float32)
     out = jnp.zeros((t, h), jnp.float32)
     return out.at[tok_idx].add(h2 * w_flat[:, None])
+
+
+def _grouped_moe_sharded(x, w1, w2, top_w, top_ids, num_experts,
+                         e_offset, e_local):
+    """Expert-sorted grouped GEMM per shard: each shard runs its LOCAL
+    experts over exactly the pairs routed to them.
+
+    All T*k (token, expert) pairs are sorted by expert id, then rolled
+    so this shard's segment starts at row 0; ragged groups cover the
+    local experts plus one ZEROED dummy expert absorbing every non-local
+    row (static shape, defined output — never uninitialized memory).
+    Non-local rows also get weight 0, so only the psum'd local
+    contributions survive. e_offset may be a traced axis_index.
+    """
+    t, h = x.shape
+    k = top_ids.shape[1]
+    flat_e = top_ids.reshape(-1)  # [T*k]
+    order = jnp.argsort(flat_e, stable=True)
+    tok_idx = order // k
+    sizes_all = jnp.bincount(flat_e, length=num_experts)  # [E]
+    # first sorted row belonging to expert e_offset
+    csum = jnp.concatenate([jnp.zeros((1, ), sizes_all.dtype),
+                            jnp.cumsum(sizes_all)])
+    start = jax.lax.dynamic_index_in_dim(csum, e_offset, keepdims=False)
+    local_sizes = jax.lax.dynamic_slice(sizes_all, (e_offset, ),
+                                        (e_local, ))
+    local_count = jnp.sum(local_sizes)
+
+    xs = jnp.roll(x[tok_idx], -start, axis=0)  # local pairs first
+    rolled_tok = jnp.roll(tok_idx, -start)
+    rolled_w = jnp.roll(top_w.reshape(-1)[order], -start)
+
+    group_sizes = jnp.concatenate(
+        [local_sizes, (t * k - local_count)[None]]).astype(jnp.int32)
+    zero1 = jnp.zeros((1, ) + w1.shape[1:], w1.dtype)
+    zero2 = jnp.zeros((1, ) + w2.shape[1:], w2.dtype)
+    h1 = jax.lax.ragged_dot(xs, jnp.concatenate([w1, zero1]),
+                            group_sizes,
+                            preferred_element_type=jnp.float32)
+    gate, up = jnp.split(h1.astype(x.dtype), 2, axis=-1)
+    act = jax.nn.silu(gate) * up
+    h2 = jax.lax.ragged_dot(act, jnp.concatenate([w2, zero2]),
+                            group_sizes,
+                            preferred_element_type=jnp.float32)
+    is_local = jnp.arange(t * k) < local_count
+    w_masked = jnp.where(is_local, rolled_w.astype(jnp.float32), 0.0)
+    out = jnp.zeros((t, h), jnp.float32)
+    return out.at[rolled_tok].add(h2 * w_masked[:, None])
