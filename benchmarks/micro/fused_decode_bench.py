@@ -11,9 +11,10 @@ CTX = int(os.getenv('CTX', '384'))
 BS = int(os.getenv('BLOCK_SIZE', '64'))
 PAIR = bool(int(os.getenv('PAIR', '1')))
 CHECK = bool(int(os.getenv('CHECK', '0')))
-LNUM = 22
-HKV, HQ = 4, 32
-D = 64 if PAIR else 128
+LNUM = int(os.getenv('LNUM', '22'))
+HKV = int(os.getenv('HKV', '4'))
+HQ = int(os.getenv('HQ', '32'))
+D = int(os.getenv('D', '64' if PAIR else '128'))
 RD = 2 * D if PAIR else D
 ROWS = BS // 2 if PAIR else BS
 R = HKV * ROWS

@@ -62,3 +62,44 @@ def test_preemption_matches_unconstrained(model_path, mode):
     assert tight.scheduler.num_cumulative_preemption > 0, (
         "test did not actually trigger preemption")
     assert got == want
+
+
+def test_swap_mode_with_v_offload_forced_to_recompute(tmp_path_factory):
+    """Adversarial pairing: user asks for swap-mode preemption with the
+    V-offload ring enabled. Ring slots are per-sequence and cannot swap
+    (worker._validate_v_offload), so the engine must silently force
+    recompute — and survive actual block pressure without ever issuing
+    a swap."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from vllm_legacy_tpu.engine.arg_utils import EngineArgs
+    from vllm_legacy_tpu.engine.llm_engine import LLMEngine
+    path = tmp_path_factory.mktemp("voff_swap")
+    cfg = LlamaConfig(vocab_size=256, hidden_size=64,
+                      intermediate_size=96, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      max_position_embeddings=512,
+                      tie_word_embeddings=False)
+    torch.manual_seed(0)
+    LlamaForCausalLM(cfg).to(torch.float32).save_pretrained(
+        path, safe_serialization=True)
+
+    args = EngineArgs(model=str(path), dtype="float32", max_model_len=256,
+                      num_tpu_blocks_override=20,
+                      preemption_mode="swap",  # adversarial request
+                      hip_attention=True, hip_k=32, hip_dense_layers=0,
+                      v_offload_window=64, max_num_seqs=8,
+                      skip_tokenizer_init=True, disable_log_stats=True)
+    engine = LLMEngine.from_engine_args(args)
+    assert engine.scheduler.user_specified_preemption_mode == "recompute"
+
+    prompts = _prompts(4, 48)
+    got = run_batch(engine, prompts)
+    sch = engine.scheduler
+    assert sch.num_cumulative_preemption > 0, "no preemption triggered"
+    assert len(sch.swapped) == 0
+    assert all(len(x) == 24 for x in got)
+    # determinism across an identical run (ring reuse + recompute)
+    engine2 = LLMEngine.from_engine_args(args)
+    assert run_batch(engine2, prompts) == got

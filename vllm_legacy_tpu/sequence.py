@@ -123,15 +123,13 @@ class SequenceData:
         self.computed = 0
         self.stage = SequenceStage.PREFILL
 
-    # -- views ----------------------------------------------------------
-    def get_len(self) -> int:
-        return len(self.prompt_token_ids) + len(self.output_token_ids)
+    # -- views (one-line delegation idiom used repo-wide) ---------------
+    def get_len(self) -> int: return (len(self.prompt_token_ids)
+                                      + len(self.output_token_ids))  # noqa: E704,E501
 
-    def get_prompt_len(self) -> int:
-        return len(self.prompt_token_ids)
+    def get_prompt_len(self) -> int: return len(self.prompt_token_ids)  # noqa: E704,E501
 
-    def get_output_len(self) -> int:
-        return len(self.output_token_ids)
+    def get_output_len(self) -> int: return len(self.output_token_ids)  # noqa: E704,E501
 
     def get_token_ids(self) -> List[int]:
         return self.prompt_token_ids + self.output_token_ids
@@ -145,8 +143,7 @@ class SequenceData:
                     tuple(self.output_token_ids[:past_prompt]))
         return tuple(self.prompt_token_ids[:num_tokens]), None
 
-    def get_num_computed_tokens(self) -> int:
-        return self.computed
+    def get_num_computed_tokens(self) -> int: return self.computed  # noqa: E704,E501
 
     def get_num_uncomputed_tokens(self) -> int:
         return self.get_len() - self.computed
@@ -249,24 +246,19 @@ class Sequence:
         self.output_logprobs.append(logprobs)
         self.data.append_token_id(token_id, logprobs[token_id].logprob)
 
-    # -- delegating views (wire-format API parity) ----------------------
-    def get_len(self) -> int:
-        return self.data.get_len()
+    # -- delegating views (wire-format API parity; one-liner idiom) -----
+    def get_len(self) -> int: return self.data.get_len()  # noqa: E704
 
-    def get_prompt_len(self) -> int:
-        return self.data.get_prompt_len()
+    def get_prompt_len(self) -> int: return self.data.get_prompt_len()  # noqa: E704,E501
 
-    def get_output_len(self) -> int:
-        return self.data.get_output_len()
+    def get_output_len(self) -> int: return self.data.get_output_len()  # noqa: E704,E501
 
-    def get_token_ids(self) -> List[int]:
-        return self.data.get_token_ids()
+    def get_token_ids(self) -> List[int]: return self.data.get_token_ids()  # noqa: E704,E501
 
     def get_prompt_token_ids(self) -> List[int]:
         return self.data.prompt_token_ids
 
-    def get_last_token_id(self) -> int:
-        return self.data.get_last_token_id()
+    def get_last_token_id(self) -> int: return self.data.get_last_token_id()  # noqa: E704,E501
 
     def get_output_token_ids(self) -> List[int]:
         return self.data.output_token_ids
@@ -274,8 +266,7 @@ class Sequence:
     def get_cumulative_logprob(self) -> float:
         return self.data.cumulative_logprob
 
-    def get_beam_search_score(self,
-                              length_penalty: float = 1.0,
+    def get_beam_search_score(self, length_penalty: float = 1.0,
                               seq_len: Optional[int] = None,
                               eos_token_id: Optional[int] = None) -> float:
         """Sequence score with HF-compatible length penalty (reference:
@@ -283,8 +274,9 @@ class Sequence:
         if seq_len is None:
             seq_len = self.get_len()
             # an eos tail does not count toward the penalty
-            if (eos_token_id is not None
-                    and self.get_last_token_id() == eos_token_id):
+            ends_with_eos = (eos_token_id is not None
+                             and self.get_last_token_id() == eos_token_id)
+            if ends_with_eos:
                 seq_len -= 1
         return self.get_cumulative_logprob() / (seq_len**length_penalty)
 
@@ -399,18 +391,21 @@ class SequenceGroup:
         self,
         status: Optional[SequenceStatus] = None,
     ) -> List[Sequence]:
-        seqs = self.seqs_dict.values()
-        return [s for s in seqs
-                if status is None or s.status == status]
+        members = list(self.seqs_dict.values())
+        if status is None:
+            return members
+        return [s for s in members if s.status == status]
 
     def is_encoder_decoder(self) -> bool:
         return False
 
     def get_unfinished_seqs(self) -> List[Sequence]:
-        return [s for s in self.seqs_dict.values() if not s.is_finished()]
+        return [s for s in self.seqs_dict.values()
+                if not s.is_finished()]
 
     def get_finished_seqs(self) -> List[Sequence]:
-        return [s for s in self.seqs_dict.values() if s.is_finished()]
+        return [s for s in self.seqs_dict.values()
+                if s.is_finished()]
 
     def update_num_computed_tokens(self, num_new_computed: int) -> None:
         for seq in self.get_unfinished_seqs():
@@ -423,17 +418,15 @@ class SequenceGroup:
     def num_seqs(self, status: Optional[SequenceStatus] = None) -> int:
         return len(self.get_seqs(status))
 
-    def num_unfinished_seqs(self) -> int:
-        return len(self.get_unfinished_seqs())
+    def num_unfinished_seqs(self) -> int: return len(self.get_unfinished_seqs())  # noqa: E704,E501
 
-    def num_finished_seqs(self) -> int:
-        return len(self.get_finished_seqs())
+    def num_finished_seqs(self) -> int: return len(self.get_finished_seqs())  # noqa: E704,E501
 
     def find(self, seq_id: int) -> Sequence:
-        try:
-            return self.seqs_dict[seq_id]
-        except KeyError:
-            raise ValueError(f"Sequence {seq_id} not found.") from None
+        seq = self.seqs_dict.get(seq_id)
+        if seq is None:
+            raise ValueError(f"Sequence {seq_id} not found.")
+        return seq
 
     def add(self, seq: Sequence) -> None:
         if seq.seq_id in self.seqs_dict:
