@@ -281,10 +281,17 @@ def _decode_kernel(
                 sel = sel * _eq(lane_half, half_v)
             else:
                 sel = sel * jnp.ones((1, 1, 1, rd), jnp.float32)
-            sel = sel.astype(kv_buf.dtype)  # {0, 1}: exact either way
-            tile = kv_buf[slot]  # [GANG, KBLK, 2R, rd]
+            # Blend in a Mosaic-arithmetic dtype: fp8 vectors have no
+            # VPU mul/sub lowering, and e4m3/e5m2 values round-trip
+            # bf16 exactly (wider mantissa + exponent range), so the
+            # cast-blend-cast is exact for {0,1} selects either way.
+            blend_dt = (jnp.bfloat16 if kv_buf.dtype.itemsize == 1
+                        else kv_buf.dtype)
+            sel = sel.astype(blend_dt)
+            tile = kv_buf[slot].astype(blend_dt)  # [GANG, KBLK, 2R, rd]
             kv_buf[slot] = (tile * (1.0 - sel) +
-                            src.astype(kv_buf.dtype) * sel)
+                            src.astype(blend_dt) * sel
+                            ).astype(kv_buf.dtype)
             # async writebacks straight from the unit buffer: the slot
             # is reused two units later and writebacks drain at the
             # NEXT unit, so the buffer is stable for the DMA's life
