@@ -332,3 +332,51 @@ def test_reserve_admission_prevents_preemption():
     append_new_token(o2, 100)
     _, out = schedule_and_update_computed_tokens(opt)
     assert out.preempted == 1  # ...and growth preempts
+
+
+def test_reserve_admission_under_chunked_policy():
+    """Regression: the chunked policy runs the keep-running pass FIRST,
+    which pops scheduled groups out of self.running before the waiting
+    pass computes its reservation sum — the sum must also count groups
+    already moved into the step plan, or reserve over-admits and decode
+    growth preempts anyway."""
+    from vllm_legacy_tpu.sampling_params import SamplingParams
+
+    scheduler_config = SchedulerConfig(
+        max_num_batched_tokens=256,
+        max_num_seqs=16,
+        max_model_len=80,
+        enable_chunked_prefill=True,
+        admission_control="reserve",
+    )
+    cache_config = CacheConfig(block_size=16, hbm_utilization=0.9,
+                               swap_space_gb=1)
+    cache_config.num_tpu_blocks = 30  # 6 x 4-block reservations max
+    cache_config.num_cpu_blocks = 8
+    scheduler = Scheduler(scheduler_config, cache_config, None)
+
+    groups = []
+    for i in range(16):
+        _, g = create_dummy_prompt(str(i), 32, block_size=16)
+        g.sampling_params = SamplingParams(max_tokens=32, ignore_eos=True)
+        scheduler.add_seq_group(g)
+        groups.append(g)
+    need = scheduler._full_length_blocks(groups[0])
+    cap = 30 // need
+
+    admitted = set()
+    for _ in range(6):  # several steps: admissions happen incrementally
+        _, out = schedule_and_update_computed_tokens(scheduler)
+        for s in out.scheduled_seq_groups:
+            admitted.add(s.seq_group.request_id)
+        append_new_token_to_running(scheduler)
+        assert len(scheduler.running) <= cap, (
+            f"over-admitted: {len(scheduler.running)} running > cap {cap}")
+        assert out.preempted == 0
+
+
+def append_new_token_to_running(scheduler):
+    for g in scheduler.running:
+        for seq in g.get_seqs(status=SequenceStatus.RUNNING):
+            if not seq.is_prefill():
+                seq.append_token_id(100, {100: Logprob(0.0)})

@@ -414,6 +414,9 @@ class Scheduler:
         if params is not None and params.max_tokens:
             limit += params.max_tokens
         limit = min(limit, self.scheduler_config.max_model_len)
+        # multi-step / speculative decode appends lookahead slots past
+        # the sampled token — they consume blocks too
+        limit += self.scheduler_config.num_lookahead_slots
         per_seq = cdiv(limit, bs)
         return per_seq * max(len(seqs), group.get_max_num_running_seqs())
 
@@ -429,9 +432,17 @@ class Scheduler:
         if self.reserve_admission:
             usable = (self.block_manager.num_total_gpu_blocks -
                       self.block_manager.watermark_blocks)
-            reserved = sum(
-                self._full_length_blocks(g)
-                for pool in (self.running, self.swapped) for g in pool)
+            # Everything holding (or about to re-hold) device blocks:
+            # the pools PLUS groups earlier passes already moved into
+            # the plan this step (under the chunked policy the running
+            # pass runs first and pops them out of self.running).
+            holders = [g for pool in (self.running, self.swapped)
+                       for g in pool]
+            holders += [x.seq_group for x in (plan.decodes +
+                                              plan.carry_prefills +
+                                              plan.new_prefills)]
+            holders += plan.to_host  # will re-reserve on swap-in
+            reserved = sum(self._full_length_blocks(g) for g in holders)
 
         # _passed_delay first: it also updates the delay-heuristic clock.
         while self._passed_delay(time.time()) and queue:

@@ -57,6 +57,13 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # 5-D caches (models/attention.use_fused_kv)
     "VLT_FUSED_KV":
     lambda: int(os.getenv("VLT_FUSED_KV", "1")),
+    # gang decode kernel tuning: sequences per grid cell and KV blocks
+    # per pipelined superblock unit (ops/pallas/fused_decode.py);
+    # defaults measured best on v5e for block_size 64
+    "VLT_DECODE_GANG":
+    lambda: int(os.getenv("VLT_DECODE_GANG", "16")),
+    "VLT_DECODE_KBLK":
+    lambda: int(os.getenv("VLT_DECODE_KBLK", "4")),
 }
 
 

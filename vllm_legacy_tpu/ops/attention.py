@@ -66,6 +66,7 @@ def fused_decode(q, k_new, v_new, kv_cache, layer_idx, block_tables,
             sliding_window=sliding_window, soft_cap=soft_cap,
             alibi_slopes=alibi_slopes, blocksparse=blocksparse,
             bs_phases=bs_phases)
+    from vllm_legacy_tpu import envs
     from vllm_legacy_tpu.ops.pallas.fused_decode import \
         fused_decode_attention
     return fused_decode_attention(
@@ -73,7 +74,8 @@ def fused_decode(q, k_new, v_new, kv_cache, layer_idx, block_tables,
         context_lens, scale=scale, num_kv_heads=num_kv_heads,
         sliding_window=sliding_window, soft_cap=soft_cap,
         alibi_slopes=alibi_slopes, blocksparse=blocksparse,
-        bs_phases=bs_phases, interpret=_interpret())
+        bs_phases=bs_phases, kblk=envs.VLT_DECODE_KBLK,
+        gang=envs.VLT_DECODE_GANG, interpret=_interpret())
 
 
 def paged_attention_prefill(q, k_new, v_new, k_cache, v_cache, layer_idx,
