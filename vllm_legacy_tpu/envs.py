@@ -60,6 +60,11 @@ environment_variables: dict[str, Callable[[], Any]] = {
     # gang decode kernel tuning: sequences per grid cell and KV blocks
     # per pipelined superblock unit (ops/pallas/fused_decode.py);
     # defaults measured best on v5e for block_size 64
+    # decode new-token write strategy: 1 = XLA scatter into the HBM
+    # cache before the kernel (blocks stream in already updated; no
+    # in-kernel merge); 0 = in-kernel tile merge + writeback DMAs
+    "VLT_DECODE_PREWRITE":
+    lambda: int(os.getenv("VLT_DECODE_PREWRITE", "0")),
     "VLT_DECODE_GANG":
     lambda: int(os.getenv("VLT_DECODE_GANG", "16")),
     "VLT_DECODE_KBLK":

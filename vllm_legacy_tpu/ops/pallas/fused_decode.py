@@ -97,6 +97,7 @@ def _decode_kernel(
     has_alibi: bool,
     blocksparse: Optional[Tuple[int, int, int]],
     exact: bool,
+    prewrite: bool = False,
 ):
     # exact=False (bf16 caches): operands stay/cast to bf16 and the
     # MXU runs single-pass — HIGHEST on f32 operands costs 6 passes,
@@ -219,7 +220,11 @@ def _decode_kernel(
         # ---- fused new-token write: ONE batched RMW over the whole
         # unit buffer. Per-member merge graphs (16x onehot matmul +
         # selects + branches) were the dominant FIXED cost per cell —
-        # ~250us/layer-call regardless of context length.
+        # ~250us/layer-call regardless of context length. Under
+        # prewrite the rows were scattered into HBM by XLA before the
+        # kernel, so the streamed blocks already carry them and the
+        # whole merge/writeback stage vanishes (the tile blend cost
+        # ~2.7 ms of an 11.3 ms decode call at batch 256).
         merge_g = []
         for s in range(gang):
             merge_g.append(jnp.logical_and(
@@ -230,7 +235,7 @@ def _decode_kernel(
         for mgs in merge_g[1:]:
             any_merge = jnp.logical_or(any_merge, mgs)
 
-        @pl.when(any_merge)
+        @pl.when(jnp.logical_and(any_merge, not prewrite))
         def _merge():
             def stack(vals, dt):
                 return jnp.concatenate([
@@ -269,29 +274,50 @@ def _decode_kernel(
                           for s in range(gang)], jnp.int32)
             gate_v = stack([m.astype(jnp.int32) for m in merge_g],
                            jnp.int32)
-            r_of = ((sub % r) % rows)[None, None]  # [1, 1, 2R, 1]
-            jidx = jax.lax.broadcasted_iota(
-                jnp.int32, (1, kblk, 1, 1), 1)
-            sel = (_eq(r_of, row_v) * _eq(jidx, jl_v) *
-                   gate_v.astype(jnp.float32))
+            r_of = ((sub % r) % rows)[None]  # [1, 2R, 1]
+            base_sel = (_eq(r_of, row_v[:, 0]) *
+                        gate_v[:, 0].astype(jnp.float32))  # [GANG,2R,1]
             if pair:
                 half_v = stack([p % 2 for p in qpos_l], jnp.int32)
                 lane_half = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, 1, 1, rd), 3) // d
-                sel = sel * _eq(lane_half, half_v)
-            else:
-                sel = sel * jnp.ones((1, 1, 1, rd), jnp.float32)
+                    jnp.int32, (1, 1, rd), 2) // d
+                base_sel = base_sel * _eq(lane_half, half_v[:, 0])
             # Blend in a Mosaic-arithmetic dtype: fp8 vectors have no
             # VPU mul/sub lowering, and e4m3/e5m2 values round-trip
             # bf16 exactly (wider mantissa + exponent range), so the
             # cast-blend-cast is exact for {0,1} selects either way.
             blend_dt = (jnp.bfloat16 if kv_buf.dtype.itemsize == 1
                         else kv_buf.dtype)
-            sel = sel.astype(blend_dt)
-            tile = kv_buf[slot].astype(blend_dt)  # [GANG, KBLK, 2R, rd]
-            kv_buf[slot] = (tile * (1.0 - sel) +
-                            src.astype(blend_dt) * sel
-                            ).astype(kv_buf.dtype)
+            src3 = src[:, 0].astype(blend_dt)  # [GANG, 2R, rd]
+            # Per-COLUMN blend: a decode step lands each member's new
+            # row in ONE block column, and gang members usually share
+            # it (equal-phase contexts), so blending only the affected
+            # [GANG, 2R, rd] column(s) cuts the RMW traffic kblk-fold
+            # vs the previous whole-tile blend (~2.7 ms of an 11.3 ms
+            # batch-256 decode call).
+            for jcol in range(kblk):
+                in_col = [jnp.logical_and(merge_g[s],
+                                          jl_v[s, 0, 0, 0] == jcol)
+                          for s in range(gang)]
+                any_col = in_col[0]
+                for ic in in_col[1:]:
+                    any_col = jnp.logical_or(any_col, ic)
+
+                @pl.when(any_col)
+                def _(jcol=jcol, in_col=in_col):
+                    # full-sublane per-member gates: a [G,1,1]->[G,2R,rd]
+                    # scalar broadcast is an unimplemented Mosaic
+                    # relayout; materializing the sublane dim up front
+                    # keeps every broadcast single-axis
+                    colgate = jnp.concatenate([
+                        jnp.full((1, two_r, 1), ic, jnp.float32)
+                        for ic in in_col
+                    ], axis=0)  # [GANG, 2R, 1]
+                    sel = (base_sel * colgate).astype(blend_dt)
+                    tile = kv_buf[slot, :, jcol].astype(blend_dt)
+                    kv_buf[slot, :, jcol] = (
+                        tile * (1.0 - sel) + src3 * sel
+                    ).astype(kv_buf.dtype)
             # async writebacks straight from the unit buffer: the slot
             # is reused two units later and writebacks drain at the
             # NEXT unit, so the buffer is stable for the DMA's life
@@ -450,10 +476,16 @@ def fused_decode_attention(
     bs_phases: Optional[jax.Array] = None,
     kblk: int = 4,
     gang: int = 16,
+    prewrite: Optional[bool] = None,
     interpret: bool = False,
 ):
     """Returns (out [B, num_q_heads, d], kv_cache) — cache updated in
-    place (aliased) with the new K/V rows at position ctx-1."""
+    place (aliased) with the new K/V rows at position ctx-1.
+
+    ``prewrite`` (default VLT_DECODE_PREWRITE): scatter the new rows
+    into the HBM cache via XLA BEFORE the kernel instead of merging
+    them into the streamed tiles inside it — the blocks then arrive
+    already up to date and the in-kernel merge/writeback disappears."""
     batch, num_q_heads, d = q.shape
     hkv = num_kv_heads
     group = num_q_heads // hkv
@@ -474,6 +506,47 @@ def fused_decode_attention(
         assert rd == 2 * d, (kv_cache.shape, d)
     rows = r // hkv
     block_size = rows * (2 if pair else 1)
+
+    if prewrite is None:
+        from vllm_legacy_tpu import envs
+        prewrite = bool(envs.VLT_DECODE_PREWRITE)
+    if prewrite:
+        # Scatter the new K/V rows into the cache up front (XLA keeps
+        # the donated buffer in place); dead batch rows (ctx == 0)
+        # target block -1 and are dropped.
+        lyr = layer_idx.astype(jnp.int32)[0]
+        qpos = context_lens.astype(jnp.int32) - 1  # [B]
+        safe_qpos = jnp.maximum(qpos, 0)
+        blk = jnp.take_along_axis(
+            block_tables, (safe_qpos // block_size)[:, None],
+            axis=1)[:, 0]
+        blk = jnp.where(qpos >= 0, blk, -1)  # drop dead rows
+        head_base = jnp.arange(hkv, dtype=jnp.int32) * 2 * rows
+        if pair:
+            rrow = (safe_qpos % block_size) // 2
+            half = (safe_qpos % 2)[:, None, None]
+            krows = head_base[None, :] + rrow[:, None]  # [B, hkv]
+            vrows = krows + rows
+            lane = (jnp.arange(rd, dtype=jnp.int32) // d)[None, None, :]
+            sel = lane == half
+            old_k = kv_cache[lyr, blk[:, None], krows]  # [B, hkv, rd]
+            old_v = kv_cache[lyr, blk[:, None], vrows]
+            nk = jnp.where(sel, jnp.concatenate([k_new, k_new],
+                                                -1).astype(kv_cache.dtype),
+                           old_k)
+            nv = jnp.where(sel, jnp.concatenate([v_new, v_new],
+                                                -1).astype(kv_cache.dtype),
+                           old_v)
+        else:
+            rrow = safe_qpos % block_size
+            krows = head_base[None, :] + rrow[:, None]
+            vrows = krows + rows
+            nk = k_new.astype(kv_cache.dtype)
+            nv = v_new.astype(kv_cache.dtype)
+        kv_cache = kv_cache.at[lyr, blk[:, None], krows].set(
+            nk, mode="drop")
+        kv_cache = kv_cache.at[lyr, blk[:, None], vrows].set(
+            nv, mode="drop")
 
     ncores = 2 if batch % 2 == 0 else 1
     # gang: as large as divides the per-core batch
@@ -531,6 +604,7 @@ def fused_decode_attention(
         has_alibi=has_alibi,
         blocksparse=blocksparse,
         exact=jnp.dtype(kv_cache.dtype) != jnp.bfloat16,
+        prewrite=prewrite,
     )
 
     def kernel_flat(lr, bt, cl, al, ph, q5, kn5, vn5, kvc, o5, kvo,
