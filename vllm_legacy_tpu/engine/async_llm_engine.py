@@ -195,7 +195,7 @@ class RequestTracker:
         return bool(self._arrivals)
 
     async def wait_for_new_requests(self):
-        if not self.has_new_requests():
+        if not self.has_new_requests():  # else: drain without sleeping
             await self.new_requests_event.wait()
         self.new_requests_event.clear()
 
@@ -299,6 +299,7 @@ class AsyncLLMEngine:
         self._errored_with = exc
 
     def _error_callback(self, exc: Exception) -> None:
+        # record first, then fail every open stream
         self.set_errored(exc)
         if self._request_tracker:
             self._request_tracker.propagate_exception(exc)
@@ -366,14 +367,10 @@ class AsyncLLMEngine:
 
     # ----------------------------------------------------------- intake
 
-    async def add_request(
-        self,
-        request_id: str,
-        inputs: PromptInputs,
-        params: Union[SamplingParams, PoolingParams],
-        arrival_time: Optional[float] = None,
-        lora_request=None,
-    ) -> AsyncStream:
+    async def add_request(self, request_id: str, inputs: PromptInputs,
+                          params: Union[SamplingParams, PoolingParams],
+                          arrival_time: Optional[float] = None,
+                          lora_request=None) -> AsyncStream:
         if self.log_requests:
             preview = inputs if isinstance(inputs, str) else \
                 inputs.get("prompt")
@@ -437,9 +434,9 @@ class AsyncLLMEngine:
         return self.engine.get_model_config()
 
     async def check_health(self) -> None:
-        t = time.perf_counter()
-        logger.debug("Starting health check...")
+        started = time.perf_counter()
         if self.is_stopped:
             raise AsyncEngineDeadError("Background loop is stopped.")
         await self.engine.check_health_async()
-        logger.debug("Health check took %fs", time.perf_counter() - t)
+        logger.debug("Health check took %fs",
+                     time.perf_counter() - started)
