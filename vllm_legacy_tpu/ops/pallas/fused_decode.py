@@ -603,7 +603,12 @@ def fused_decode_attention(
         soft_cap=soft_cap,
         has_alibi=has_alibi,
         blocksparse=blocksparse,
-        exact=jnp.dtype(kv_cache.dtype) != jnp.bfloat16,
+        # exact (f32 ops + HIGHEST precision, ~6x MXU passes) is for
+        # float32-cache unit tests ONLY. FP8 caches must take the bf16
+        # fast path — e4m3/e5m2 upcast to bf16 exactly, and HIGHEST on
+        # their f32 upcasts was costing ~7x decode time (104 ms/iter on
+        # Llama-13B FP8-KV vs ~15 ms roofline).
+        exact=jnp.dtype(kv_cache.dtype) == jnp.float32,
         prewrite=prewrite,
     )
 
