@@ -21,7 +21,9 @@ R = HKV * ROWS
 nblk = -(-CTX // BS)
 NBLK = B * nblk + 8
 rng = np.random.RandomState(0)
-dt = np.float32 if CHECK else jnp.bfloat16
+DT = os.getenv('DT', 'bf16')
+dt = (np.float32 if CHECK else
+      jnp.float8_e4m3fn if DT == 'fp8' else jnp.bfloat16)
 
 kv = rng.randn(LNUM, NBLK, 2 * R, RD).astype(np.float32) * 0.3
 q = rng.randn(B, HQ, D).astype(np.float32)
@@ -38,8 +40,9 @@ if os.getenv('SHUFFLE', '0') == '1':
 for i in range(B):
     tables[i, :nblk] = perm[i * nblk:(i + 1) * nblk] + 1
 
-kvj = jnp.asarray(kv, dt); qj = jnp.asarray(q, dt)
-knj = jnp.asarray(kn, dt); vnj = jnp.asarray(vn, dt)
+act_dt = jnp.bfloat16 if DT == 'fp8' else dt  # activations stay bf16
+kvj = jnp.asarray(kv, dt); qj = jnp.asarray(q, act_dt)
+knj = jnp.asarray(kn, act_dt); vnj = jnp.asarray(vn, act_dt)
 bt = jnp.asarray(tables); cl = jnp.asarray(ctx_lens)
 lidx = jnp.zeros((1,), jnp.int32)
 scale = D ** -0.5
