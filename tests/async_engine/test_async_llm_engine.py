@@ -98,3 +98,48 @@ def test_dead_engine_propagates(tiny_llama_path):
                 pass
 
     asyncio.new_event_loop().run_until_complete(main())
+
+
+def test_per_request_error_is_raised_not_swallowed(tiny_llama_path):
+    """A bad request (over-long prompt) must raise to THAT caller's
+    iterator, not end its stream cleanly with zero outputs, and must
+    not kill the engine (reference propagate_exception puts the
+    exception before aborting the stream)."""
+    from vllm_legacy_tpu.sampling_params import SamplingParams
+
+    async def main():
+        engine = _make_engine(tiny_llama_path)
+        sp = SamplingParams(temperature=0.0, max_tokens=4,
+                            ignore_eos=True)
+        long_prompt = {"prompt_token_ids": list(range(500))}  # > 128
+        with pytest.raises(ValueError, match="max_model_len|longer"):
+            async for _ in engine.generate(long_prompt, sp, "toolong"):
+                pass
+        # the engine is still alive and serves the next request
+        assert not engine.errored
+        outs = [o async for o in engine.generate("Hello", sp, "ok")]
+        assert outs[-1].finished
+
+    asyncio.new_event_loop().run_until_complete(main())
+
+
+def test_tracker_exception_ordering():
+    """Unit check: propagate_exception(exc, rid) delivers the exception
+    even though abort finishes the stream."""
+    from vllm_legacy_tpu.engine.async_llm_engine import RequestTracker
+
+    async def main():
+        tracker = RequestTracker()
+        tracker.add_request("r1", prompt="x")
+        tracker.get_new_and_finished_requests()  # admit into _streams
+        tracker.propagate_exception(ValueError("bad"), "r1")
+        stream = None
+        # the stream was popped on the next drain; hold a reference
+        # via the admitted dict instead: re-fetch before drain
+        # (propagate_exception only appends to departures)
+        stream = tracker._streams["r1"]
+        with pytest.raises(ValueError, match="bad"):
+            async for _ in stream:
+                pass
+
+    asyncio.new_event_loop().run_until_complete(main())

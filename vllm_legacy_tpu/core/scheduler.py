@@ -342,7 +342,11 @@ class Scheduler:
                 active_loras.add(group.lora_int_id)
 
         self.running = queue
-        plan.lookahead += self._lookahead_slots(is_prefill=False)
+        # max, not +=: several admission passes may run in one step and
+        # the frozen output must carry the per-step slot count, not a
+        # per-pass sum (reference uses running_scheduled's value alone).
+        plan.lookahead = max(plan.lookahead,
+                             self._lookahead_slots(is_prefill=False))
 
     def _resume_swapped(self, plan: _StepPlan, budget: SchedulingBudget,
                         active_loras: Optional[Set[int]],
@@ -400,7 +404,8 @@ class Scheduler:
         for group in reversed(lora_deferred):
             queue.appendleft(group)  # retry next step, order preserved
         self.swapped = queue
-        plan.lookahead += self._lookahead_slots(is_prefill=False)
+        plan.lookahead = max(plan.lookahead,
+                             self._lookahead_slots(is_prefill=False))
 
     def _full_length_blocks(self, group: SequenceGroup) -> int:
         """KV blocks this group needs if every sequence runs to its
@@ -512,7 +517,8 @@ class Scheduler:
         self.waiting = queue
         if plan.new_prefills:
             self.prev_prompt = True
-        plan.lookahead += self._lookahead_slots(is_prefill=True)
+        plan.lookahead = max(plan.lookahead,
+                             self._lookahead_slots(is_prefill=True))
 
     def _defer_for_lora(self, group: SequenceGroup,
                         active_loras: Optional[Set[int]]) -> bool:

@@ -162,10 +162,15 @@ class RequestTracker:
                             request_id: Optional[str] = None) -> None:
         """Deliver a failure to one stream, or (engine death) to all."""
         if request_id is not None:
-            self.abort_request(request_id)
+            # Deliver BEFORE aborting: abort_request() finishes the
+            # stream and a finished AsyncStream drops put() items, so
+            # the other order silently swallows per-request errors
+            # (matches the all-streams branch below and the reference
+            # ordering in async_llm_engine.py propagate_exception).
             stream = self._streams.get(request_id)
             if stream is not None:
                 stream.put(exc)
+            self.abort_request(request_id)
             return
         for rid in list(self._streams):
             self._streams[rid].put(exc)

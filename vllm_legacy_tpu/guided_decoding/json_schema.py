@@ -13,6 +13,10 @@ import json
 import re
 from typing import Any, Dict, List
 
+from vllm_legacy_tpu.logger import init_logger
+
+logger = init_logger(__name__)
+
 _WS = r"[ \n\t\r]{0,8}"
 _STRING_CHAR = r'([^"\\\x00-\x1f]|\\(["\\/bfnrt]|u[0-9a-fA-F]{4}))'
 _STRING = f'"{_STRING_CHAR}*"'
@@ -189,6 +193,14 @@ class _Builder:
 
             any_order = (self.any_order
                          and len(props) <= self._MAX_ANY_ORDER_PROPS)
+            if self.any_order and not any_order:
+                logger.warning(
+                    "guided JSON: object has %d properties (> %d); "
+                    "any-order key matching (lm-format-enforcer "
+                    "semantics) degrades to declaration order for this "
+                    "object — generations using other key orders will "
+                    "be masked off.", len(props),
+                    self._MAX_ANY_ORDER_PROPS)
             # every legal subset: required props plus any subset of
             # optional ones — in schema order, or (any_order) in every
             # permutation.
