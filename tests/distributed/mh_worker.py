@@ -31,7 +31,8 @@ def build_config():
         num_tpu_blocks_override=64,  # CPU-host test: keep KV tiny
         tensor_parallel_size=int(os.environ["MH_TP"]),
         data_parallel_size=int(os.environ["MH_DP"]),
-        swap_space_gb=0,
+        # MH_SWAP=1: per-host shard swap under artificial preemption
+        swap_space_gb=float(os.environ.get("MH_SWAP", "0")),
     )
 
 
@@ -57,8 +58,17 @@ def main() -> None:
 
     engine = LLMEngine(cfg, executor_class=MultihostTPUExecutor,
                        log_stats=False)
-    params = SamplingParams(temperature=0.0, max_tokens=8,
-                            ignore_eos=True, detokenize=False)
+    if os.environ.get("MH_SWAP", "0") != "0":
+        # beam groups (multi-seq) preempt by SWAP; artificial
+        # preemption (VLT_TEST_ENABLE_ARTIFICIAL_PREEMPT in our env)
+        # forces the per-host shard swap path while outputs must stay
+        # exact vs a never-preempted single-process engine
+        params = SamplingParams(temperature=0.0, use_beam_search=True,
+                                best_of=2, max_tokens=8,
+                                ignore_eos=True, detokenize=False)
+    else:
+        params = SamplingParams(temperature=0.0, max_tokens=8,
+                                ignore_eos=True, detokenize=False)
     prompts = {
         "a": [11, 12, 13, 14, 15],
         "b": [7, 8, 9],

@@ -25,7 +25,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn(rank: int, port: int, tp: int, dp: int):
+def _spawn(rank: int, port: int, tp: int, dp: int, swap: bool = False):
     env = dict(os.environ)
     env.update(
         MH_RANK=str(rank),
@@ -34,6 +34,9 @@ def _spawn(rank: int, port: int, tp: int, dp: int):
         MH_TP=str(tp),
         MH_DP=str(dp),
     )
+    if swap:
+        env.update(MH_SWAP="1",
+                   VLT_TEST_ENABLE_ARTIFICIAL_PREEMPT="1")
     # the entry script sets its own platform/device-count flags
     env.pop("PYTEST_CURRENT_TEST", None)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
@@ -43,7 +46,7 @@ def _spawn(rank: int, port: int, tp: int, dp: int):
                             env=env, text=True)
 
 
-def _reference_tokens(tp: int, dp: int):
+def _reference_tokens(tp: int, dp: int, params=None):
     """Same engine, same config, one process (8 virtual devices)."""
     from vllm_legacy_tpu.engine.llm_engine import LLMEngine
     from vllm_legacy_tpu.sampling_params import SamplingParams
@@ -54,8 +57,9 @@ def _reference_tokens(tp: int, dp: int):
         num_tpu_blocks_override=64,
         tensor_parallel_size=tp, data_parallel_size=dp, swap_space_gb=0)
     engine = LLMEngine(cfg, log_stats=False)
-    params = SamplingParams(temperature=0.0, max_tokens=8,
-                            ignore_eos=True, detokenize=False)
+    if params is None:
+        params = SamplingParams(temperature=0.0, max_tokens=8,
+                                ignore_eos=True, detokenize=False)
     prompts = {"a": [11, 12, 13, 14, 15], "b": [7, 8, 9]}
     for rid, toks in prompts.items():
         engine.add_request(rid, {"prompt_token_ids": toks}, params)
@@ -87,4 +91,34 @@ def test_two_process_tp4_greedy_equality():
     got = json.loads(line[0][len("RESULT "):])
 
     want = _reference_tokens(tp, dp)
+    assert got == want, (got, want)
+
+
+@pytest.mark.slow
+def test_two_process_swap_preemption_equality():
+    """Per-host shard swap: beam groups under artificial preemption
+    swap out/in across both processes' local host pools, and greedy
+    beam outputs must still match a never-preempted single-process
+    engine (swap is exact)."""
+    tp, dp = 4, 1
+    port = _free_port()
+    procs = [_spawn(rank, port, tp, dp, swap=True) for rank in range(2)]
+    try:
+        out0, err0 = procs[0].communicate(timeout=600)
+        out1, err1 = procs[1].communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        raise
+    assert procs[0].returncode == 0, f"primary failed:\n{err0[-4000:]}"
+    assert procs[1].returncode == 0, f"follower failed:\n{err1[-4000:]}"
+    line = [l for l in out0.splitlines() if l.startswith("RESULT ")]
+    assert line, f"no RESULT line in primary stdout:\n{out0[-2000:]}"
+    got = json.loads(line[0][len("RESULT "):])
+
+    from vllm_legacy_tpu.sampling_params import SamplingParams
+    want = _reference_tokens(
+        tp, dp, params=SamplingParams(
+            temperature=0.0, use_beam_search=True, best_of=2,
+            max_tokens=8, ignore_eos=True, detokenize=False))
     assert got == want, (got, want)

@@ -225,3 +225,42 @@ def test_lora_then_plain_batch_under_tp(base_model_path, tmp_path):
     base = run_engine(base_model_path, [[9, 4, 7]], max_tokens=4)
     assert plain["plain"] == base[0]
     assert with_lora["with"] != plain["plain"]
+
+
+def test_lora_multistep_decode_equality(base_model_path, tmp_path):
+    """LoRA requests ride the on-device multi-step decode loop
+    (num_scheduler_steps>1): outputs must equal the single-step engine
+    (previously LoRA silently forced per-step host round-trips)."""
+    from vllm_legacy_tpu.engine.arg_utils import EngineArgs
+    from vllm_legacy_tpu.engine.llm_engine import LLMEngine
+    from vllm_legacy_tpu.lora import LoRARequest
+    from vllm_legacy_tpu.sampling_params import SamplingParams
+
+    adapter = make_adapter(tmp_path, seed=11)
+    lr = LoRARequest("a11", 1, adapter)
+    prompts = [[9, 4, 7, 11], [100, 101, 102]]
+    want = run_engine(base_model_path, prompts, [lr, None],
+                      max_tokens=12)
+
+    args = EngineArgs(model=base_model_path, dtype="float32",
+                      max_model_len=128, num_tpu_blocks_override=64,
+                      enable_lora=True, max_loras=2, max_lora_rank=8,
+                      num_scheduler_steps=8,
+                      skip_tokenizer_init=True, disable_log_stats=True)
+    engine = LLMEngine.from_engine_args(args)
+    p = SamplingParams(temperature=0.0, max_tokens=12,
+                       detokenize=False, ignore_eos=True)
+    engine.add_request("0", {"prompt_token_ids": prompts[0]}, p,
+                       lora_request=lr)
+    engine.add_request("1", {"prompt_token_ids": prompts[1]}, p)
+    outs = {}
+    steps = 0
+    while engine.has_unfinished_requests():
+        steps += 1
+        for o in engine.step():
+            if o.finished:
+                outs[o.request_id] = list(o.outputs[0].token_ids)
+    got = [outs["0"], outs["1"]]
+    assert got == want
+    # multi-step actually engaged: far fewer host steps than tokens
+    assert steps < 12, steps

@@ -72,6 +72,18 @@ def test_opt_vs_hf(tmp_path):
            prompts=[[9, 4, 7, 11], [100, 101, 102, 103, 104]])
 
 
+def test_opt_350m_vs_hf(tmp_path):
+    """word_embed_proj_dim != hidden_size exercises the replicated
+    project_in/project_out path (reference: models/opt.py:208-222)."""
+    from transformers import OPTConfig, OPTForCausalLM
+    cfg = OPTConfig(vocab_size=256, hidden_size=64, ffn_dim=128,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    max_position_embeddings=128,
+                    word_embed_proj_dim=32)
+    _check(tmp_path, OPTForCausalLM(cfg),
+           prompts=[[9, 4, 7, 11], [100, 101, 102, 103, 104]])
+
+
 def test_gemma_vs_hf(tmp_path):
     from transformers import GemmaConfig, GemmaForCausalLM
     cfg = GemmaConfig(vocab_size=256, hidden_size=64,

@@ -41,10 +41,11 @@ class OPTForCausalLM:
         self.do_ln_before = bool(getattr(c, "do_layer_norm_before", True))
         self.sliding_window = None
         self.scale = self.head_dim**-0.5
-        if c.word_embed_proj_dim != c.hidden_size:
-            raise NotImplementedError(
-                "OPT word_embed_proj_dim != hidden_size (350m variant) "
-                "is not supported yet")
+        # 350m variant: token embeddings live in word_embed_proj_dim
+        # and replicated project_in/project_out linears bridge to the
+        # transformer width (reference: models/opt.py:208-222).
+        self.word_embed_proj_dim = c.word_embed_proj_dim
+        self.has_proj = c.word_embed_proj_dim != c.hidden_size
         if self.num_heads % tp_size != 0:
             raise ValueError("num heads must divide tp size")
 
@@ -59,13 +60,17 @@ class OPTForCausalLM:
             "final_layer_norm": rep2,
             "fc1": col, "fc2": row,
         }
-        return {
+        specs = {
             "embed_tokens": {"weight": P("model", None)},
             "embed_positions": {"weight": P()},
             "layers": [dict(layer) for _ in range(self.num_layers)],
             "final_layer_norm": rep2,
             "lm_head": {"weight": P("model", None)},
         }
+        if self.has_proj:
+            specs["project_in"] = {"weight": P()}
+            specs["project_out"] = {"weight": P()}
+        return specs
 
     def forward(self, params, kv_caches, token_ids, positions, md,
                 lora_indices=None):
@@ -78,6 +83,8 @@ class OPTForCausalLM:
                            self.max_position + 1)
         pos = jnp.take(params["embed_positions"]["weight"], pos_ids,
                        axis=0)
+        if self.has_proj:
+            tok = linear(tok, params["project_in"])
         hidden = (tok + pos).reshape(b, l, self.hidden_size)
 
         for i in range(self.num_layers):
@@ -122,6 +129,10 @@ class OPTForCausalLM:
             hidden = layer_norm(hidden,
                                 params["final_layer_norm"]["weight"],
                                 params["final_layer_norm"]["bias"])
+        if self.has_proj:
+            hidden = linear(hidden.reshape(b * l, self.hidden_size),
+                            params["project_out"]).reshape(
+                                b, l, self.word_embed_proj_dim)
         return hidden, kv_caches
 
     def compute_logits(self, params, hidden):
@@ -153,6 +164,9 @@ class OPTForCausalLM:
                 params["embed_positions"]["weight"] = w
             elif name.startswith("final_layer_norm."):
                 params["final_layer_norm"][name.split(".")[-1]] = w
+            elif name in ("project_in.weight", "project_out.weight"):
+                params.setdefault(name.split(".")[0],
+                                  {})["weight"] = w.T
             elif name == "lm_head.weight":
                 params["lm_head"]["weight"] = self._pad_vocab(w)
             elif name.startswith("layers."):

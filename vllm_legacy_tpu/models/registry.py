@@ -9,6 +9,10 @@ from typing import Dict, List, Optional, Tuple, Type
 _MODELS: Dict[str, Tuple[str, str]] = {
     "LlamaForCausalLM": ("llama", "LlamaForCausalLM"),
     "LLaMAForCausalLM": ("llama", "LlamaForCausalLM"),
+    # llama-shaped aliases (reference: models/__init__.py:21,36)
+    "AquilaModel": ("llama", "LlamaForCausalLM"),
+    "AquilaForCausalLM": ("llama", "LlamaForCausalLM"),
+    "InternLMForCausalLM": ("llama", "LlamaForCausalLM"),
     "MistralForCausalLM": ("llama", "LlamaForCausalLM"),
     "Qwen2ForCausalLM": ("llama", "LlamaForCausalLM"),
     "TinyLlamaForCausalLM": ("llama", "LlamaForCausalLM"),

@@ -18,11 +18,14 @@ Protocol (one ``(op, payload)`` message per broadcast):
     ("stop",       None)                              shutdown
 
 Constraints in multi-host mode:
-  * swap space must be 0 (host swap DMAs fetch per-host shards; the
-    cross-host variant is future work) — enforced at follower/primary
-    bring-up.
   * every process must create the engine with identical configs; the
     first broadcast carries a config fingerprint and mismatches abort.
+
+Host swap works multi-host: the swap mapping rides the ``execute``
+broadcast and every process moves only its ADDRESSABLE cache shards
+to/from its local host pool (CacheEngine.swap_out/swap_in per-host
+shard paths) — the analogue of the reference's per-GPU Ray worker swap
+(vllm/worker/worker.py:214-226).
 """
 from __future__ import annotations
 
@@ -95,13 +98,6 @@ def config_fingerprint(engine_config) -> str:
             f"bs{c.block_size}")
 
 
-def _check_no_swap(engine_config) -> None:
-    if engine_config.cache_config.num_cpu_blocks:
-        raise ValueError(
-            "multi-host mode requires swap_space_gb=0 (host-swap DMAs "
-            "are per-host; preemption falls back to recompute)")
-
-
 class MultihostTPUExecutor:
     """Primary-side executor: every engine call is mirrored to the
     followers by broadcast before running locally, so all processes
@@ -122,7 +118,6 @@ class MultihostTPUExecutor:
 
     def initialize_cache(self, num_tpu_blocks: int,
                          num_cpu_blocks: int) -> None:
-        _check_no_swap(self.engine_config)
         logger.info("# TPU blocks: %d, # CPU blocks: %d", num_tpu_blocks,
                     num_cpu_blocks)
         broadcast_msg(("init_cache", (num_tpu_blocks, num_cpu_blocks)))
@@ -146,7 +141,6 @@ def follower_serve(engine_config) -> None:
     """Follower main loop: mirror the primary's worker calls forever.
     Blocks until the primary broadcasts ("stop", None)."""
     assert not is_primary()
-    _check_no_swap(engine_config)
     from vllm_legacy_tpu.worker.worker import Worker
 
     op, payload = broadcast_msg()

@@ -77,6 +77,12 @@ class SamplingParams:
     detokenize: bool = True
     skip_special_tokens: bool = True
     spaces_between_special_tokens: bool = True
+    # Per-request user callables over the logits. The jitted TPU
+    # sampler cannot run arbitrary Python, so rows carrying processors
+    # take a host-callback lane: the step returns that batch's raw
+    # logits and the affected rows are re-sampled host-side after the
+    # callables run (model_runner._apply_user_logits_processors;
+    # reference: model_executor/layers/logits_processor.py:81-126).
     logits_processors: Optional[List[LogitsProcessor]] = None
     truncate_prompt_tokens: Optional[int] = None
     # Token-FSM constraint (guided decoding). The TPU sampler runs

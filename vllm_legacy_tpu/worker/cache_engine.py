@@ -219,18 +219,39 @@ class CacheEngine:
 
     def swap_out(self, mapping: Dict[int, int]) -> None:
         """Device -> host block movement (gather on device, one
-        transfer per cache tensor)."""
+        transfer per cache tensor).
+
+        Multi-host: every process runs this on the same broadcast
+        mapping, but each only D2Hs its ADDRESSABLE shards (its local
+        heads range under the TP sharding) into its host pool — the
+        per-host shard swap the reference gets from per-GPU Ray workers
+        (reference: vllm/worker/worker.py:214-226 driven through
+        ray_gpu_executor)."""
         if not mapping:
             return
         from vllm_legacy_tpu.ops.kv_cache import gather_blocks
         src = jnp.asarray(list(mapping.keys()), jnp.int32)
         dst = list(mapping.values())
+        multi = jax.process_count() > 1
         for host, dev in zip(self.cpu_cache, self.gpu_cache):
-            blocks = np.asarray(jax.device_get(gather_blocks(dev,
-                                                             src)))
-            if host.dtype == np.uint16:
-                blocks = blocks.view(np.uint16)
-            host[:, dst] = blocks
+            gathered = gather_blocks(dev, src)
+            if not multi:
+                blocks = np.asarray(jax.device_get(gathered))
+                if host.dtype == np.uint16:
+                    blocks = blocks.view(np.uint16)
+                host[:, dst] = blocks
+                continue
+            seen = set()
+            for shard in gathered.addressable_shards:
+                if shard.index in seen:  # replicated dims: copy once
+                    continue
+                seen.add(shard.index)
+                data = np.asarray(shard.data)
+                if host.dtype == np.uint16:
+                    data = data.view(np.uint16)
+                # dim 1 (blocks) is unsharded; replace its full slice
+                # with the destination block ids
+                host[(shard.index[0], dst) + shard.index[2:]] = data
 
     def swap_in(self, mapping: Dict[int, int]) -> None:
         if not mapping:
@@ -240,11 +261,30 @@ class CacheEngine:
         from vllm_legacy_tpu.ops.kv_cache import scatter_blocks
         src = list(mapping.keys())
         dst = jnp.asarray(list(mapping.values()), jnp.int32)
+        multi = jax.process_count() > 1
         new_caches = []
         for host, dev in zip(self.cpu_cache, self.gpu_cache):
-            blocks = host[:, src]
-            if host.dtype == np.uint16:
-                blocks = blocks.view(ml_dtypes.bfloat16)
-            new_caches.append(
-                scatter_blocks(dev, jnp.asarray(blocks), dst))
+            if not multi:
+                blocks = host[:, src]
+                if host.dtype == np.uint16:
+                    blocks = blocks.view(ml_dtypes.bfloat16)
+                new_caches.append(
+                    scatter_blocks(dev, jnp.asarray(blocks), dst))
+                continue
+            # Rebuild the global [L, P, ...] blocks array from each
+            # process's host shards: the callback hands every process
+            # exactly the slices it owns (the same ranges swap_out
+            # filled on this host).
+            gshape = (host.shape[0], len(src)) + host.shape[2:]
+            sharding = jax.sharding.NamedSharding(
+                dev.sharding.mesh, dev.sharding.spec)
+
+            def cb(index, host=host):
+                data = host[(index[0], src) + index[2:]]
+                if host.dtype == np.uint16:
+                    data = data.view(ml_dtypes.bfloat16)
+                return data
+
+            blocks = jax.make_array_from_callback(gshape, sharding, cb)
+            new_caches.append(scatter_blocks(dev, blocks, dst))
         self.gpu_cache = tuple(new_caches)

@@ -211,6 +211,8 @@ class ModelRunner:
             steps=0, measured_steps=0, prepare_ms=0.0, dispatch_ms=0.0,
             fetch_ms=0.0, step_ms=0.0, tokens_per_step=0.0)
         self._step_key = jax.random.PRNGKey(model_config.seed or 0)
+        # host RNG for the user-logits-processor re-sampling lane
+        self._host_rng = np.random.default_rng(model_config.seed or 0)
         self._jit_step_cache: Dict[Any, Any] = {}
         self._lora_struct_ver = 0
         # guided decoding: seq_id -> (consumed_out_len, fsm_state, fsm)
@@ -686,7 +688,7 @@ class ModelRunner:
     # ------------------------------------------------------------------
     def _build_step_fn(self, flags: Tuple[bool, bool, bool, bool],
                        max_logprobs: int, prompt_lp_k: int = -1,
-                       n_samples: int = 1):
+                       n_samples: int = 1, return_logits: bool = False):
         """prompt_lp_k >= 0 adds prompt-logprob outputs: per-position
         next-token logprobs over the whole [B, L] grid plus top-k
         (reference: sampler.py _get_logprobs prompt path :689 +
@@ -767,6 +769,15 @@ class ModelRunner:
                 do_top_k_p=do_top_k_p, do_min_p=do_min_p,
                 all_greedy=all_greedy, max_logprobs=max_logprobs,
                 token_mask=token_mask, n_samples=n_samples)
+            if return_logits:
+                # host-callback lane for per-request user logits
+                # processors: the raw pre-sampling logits travel back in
+                # the same packed D2H fetch (reference analogue:
+                # layers/logits_processor.py:81-126 applies callables
+                # in-stream; on TPU the jitted sampler cannot, so rows
+                # carrying processors are re-sampled host-side).
+                return (kv_caches, sampled, logprob, top, prompt_lp,
+                        multi, logits)
             return kv_caches, sampled, logprob, top, prompt_lp, multi
 
         return jax.jit(step, donate_argnums=(1, ))
@@ -793,9 +804,11 @@ class ModelRunner:
         rep = P()
         md_specs = self._md_specs(rep)
 
-        def sharded_fwd(params, kv_caches, tokens, positions, md, sel):
+        def sharded_fwd(params, kv_caches, tokens, positions, md, sel,
+                        lora_indices):
             hidden, kv_caches = model.forward(params, kv_caches, tokens,
-                                              positions, md)
+                                              positions, md,
+                                              lora_indices=lora_indices)
             b, l, h = hidden.shape
             logits = model.compute_logits(params,
                                           hidden.reshape(b * l, h)[sel])
@@ -806,14 +819,15 @@ class ModelRunner:
             fwd = shard_map(
                 sharded_fwd,
                 mesh=mesh,
-                in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep),
+                in_specs=(param_specs, kv_specs, rep, rep, md_specs, rep,
+                          rep),
                 out_specs=(rep, kv_specs), check_vma=False,
             )
         else:
             fwd = sharded_fwd  # see _build_step_fn
 
         def multistep(params, kv_caches, tokens, positions, md, sel, st,
-                      step_key):
+                      step_key, lora_indices=None):
             b = tokens.shape[0]
             out_tokens = jnp.zeros((num_steps, b), jnp.int32)
             out_logprobs = jnp.zeros((num_steps, b), jnp.float32)
@@ -832,8 +846,11 @@ class ModelRunner:
                 md_i = AttentionMetadata(md.slot_mapping,
                                          md.block_tables, ctx,
                                          md.query_lens)
+                # LoRA slots are per-sequence and constant across the k
+                # on-device steps, so the adapter einsum lives inside
+                # the loop at zero host cost (was: forced single-step)
                 logits, kv_caches = fwd(params, kv_caches, tok, pos, md_i,
-                                        sel)
+                                        sel, lora_indices)
                 import dataclasses as _dc
                 st_i = _dc.replace(st,
                                    seed_positions=st.seed_positions + i)
@@ -925,8 +942,10 @@ class ModelRunner:
 
     def _get_step_fn(self, flags: Tuple[bool, bool, bool, bool],
                      max_logprobs: int, num_steps: int = 1,
-                     prompt_lp_k: int = -1, n_samples: int = 1):
+                     prompt_lp_k: int = -1, n_samples: int = 1,
+                     return_logits: bool = False):
         key = (flags, max_logprobs, num_steps, prompt_lp_k, n_samples,
+               return_logits,
                self._lora_struct_ver if self.lora_params is not None
                else -1)
         if key not in self._jit_step_cache:
@@ -935,7 +954,8 @@ class ModelRunner:
                     flags, max_logprobs, num_steps)
             else:
                 self._jit_step_cache[key] = self._build_step_fn(
-                    flags, max_logprobs, prompt_lp_k, n_samples)
+                    flags, max_logprobs, prompt_lp_k, n_samples,
+                    return_logits)
         return self._jit_step_cache[key]
 
     # ------------------------------------------------------------------
@@ -1238,6 +1258,114 @@ class ModelRunner:
                 return 1
         return k
 
+    def _apply_user_logits_processors(
+            self, proc_rows: List[int], rows: List[Tuple[str, int]],
+            by_req: Dict[str, SequenceGroupMetadata],
+            logits_np: np.ndarray, token_mask: Optional[np.ndarray],
+            sampled_np: np.ndarray, logprob_np: np.ndarray,
+            top_np, multi_np, n_samples: int, max_logprobs: int):
+        """Host-callback lane for per-request user ``logits_processors``.
+
+        The jitted sampler cannot run arbitrary Python callables, so
+        rows that carry processors are re-sampled here from the raw
+        logits the step returned: mask (guided/min-tokens) first, then
+        each processor in order with the reference's 2-arg
+        ``(past_ids, logits)`` / 3-arg ``(prompt_ids, past_ids,
+        logits)`` calling convention (reference:
+        model_executor/layers/logits_processor.py:81-126), then
+        temperature/top-k/top-p/min-p and the draw. Other rows keep
+        their jitted results untouched. Callables receive a
+        ``torch.Tensor`` row for drop-in compatibility with processors
+        written against the reference.
+        """
+        import inspect
+
+        import torch
+
+        for i in proc_rows:
+            rid, seq_id = rows[i]
+            meta = by_req[rid]
+            sp = meta.sampling_params
+            data = meta.seq_data[seq_id]
+            row = np.asarray(logits_np[i], np.float32).copy()
+            if token_mask is not None:
+                row = np.where(token_mask[i], row, -np.inf)
+            t_row = torch.from_numpy(row)
+            prompt_ids = list(data.prompt_token_ids)
+            past_ids = list(data.output_token_ids)
+            for proc in sp.logits_processors:
+                try:
+                    n_par = len(inspect.signature(proc).parameters)
+                except (TypeError, ValueError):
+                    n_par = 2
+                if n_par == 3:
+                    t_row = proc(prompt_ids, past_ids, t_row)
+                else:
+                    t_row = proc(past_ids, t_row)
+            if isinstance(t_row, torch.Tensor):
+                row = t_row.detach().to(torch.float32).cpu().numpy()
+            else:
+                row = np.asarray(t_row, np.float32)
+
+            # log-softmax over the processed row (logprobs must reflect
+            # the constrained distribution, as in the jitted path)
+            m = np.max(row)
+            raw_lp = row - (m + np.log(np.sum(np.exp(row - m))))
+
+            greedy_tok = int(np.argmax(row))
+            if sp.temperature < 1e-5:
+                toks = [greedy_tok] * max(n_samples, 1)
+            else:
+                scaled = row / sp.temperature
+                if sp.top_k and sp.top_k > 0:
+                    kth = np.partition(scaled, -sp.top_k)[-sp.top_k]
+                    scaled = np.where(scaled < kth, -np.inf, scaled)
+                if sp.top_p < 1.0:
+                    order = np.argsort(scaled)[::-1]
+                    sm = np.max(scaled)
+                    p = np.exp(scaled[order] - sm)
+                    p /= p.sum()
+                    cut = np.searchsorted(np.cumsum(p), sp.top_p) + 1
+                    drop = order[cut:]
+                    scaled[drop] = -np.inf
+                if sp.min_p > 0.0:
+                    sm = np.max(scaled)
+                    p = np.exp(scaled - sm)
+                    p /= p.sum()
+                    scaled = np.where(p < sp.min_p * p.max(), -np.inf,
+                                      scaled)
+                sm = np.max(scaled)
+                probs = np.exp(scaled - sm)
+                probs /= probs.sum()
+                if sp.seed:
+                    rng = np.random.default_rng(
+                        (sp.seed, data.get_output_len()))
+                else:
+                    rng = self._host_rng
+                toks = [int(rng.choice(len(probs), p=probs))
+                        for _ in range(max(n_samples, 1))]
+
+            sampled_np[0, i] = toks[0]
+            logprob_np[0, i] = raw_lp[toks[0]]
+            if top_np is not None and max_logprobs > 0:
+                tv, ti = top_np
+                tv = np.array(tv)
+                ti = np.array(ti)
+                ids = np.argpartition(raw_lp, -max_logprobs)
+                ids = ids[-max_logprobs:]
+                ids = ids[np.argsort(raw_lp[ids])[::-1]]
+                ti[0, i] = ids
+                tv[0, i] = raw_lp[ids]
+                top_np = (tv, ti)
+            if multi_np is not None and n_samples > 1:
+                mt, mlp = multi_np
+                mt = np.array(mt)
+                mlp = np.array(mlp)
+                mt[i, :] = toks
+                mlp[i, :] = raw_lp[np.asarray(toks)]
+                multi_np = (mt, mlp)
+        return top_np, multi_np
+
     def execute_model(
         self,
         seq_group_metadata_list: List[SequenceGroupMetadata],
@@ -1293,13 +1421,30 @@ class ModelRunner:
             # all_greedy + best_of>1 is rejected by SamplingParams; the
             # flag combination cannot occur
             n_samples = 1
+        # Per-request user logits processors (host callables): flag the
+        # rows that carry them; those batches run single-step with the
+        # raw logits fetched back so the callables execute host-side
+        # (reference: layers/logits_processor.py:81-126).
+        by_req_all = {m.request_id: m for m in seq_group_metadata_list}
+        user_proc_rows: List[int] = []
+        for i, (rid, _seq_id) in enumerate(rows):
+            sp = by_req_all[rid].sampling_params
+            if sp is not None and sp.logits_processors:
+                if sp.use_beam_search:
+                    raise ValueError(
+                        "logits_processors are not supported together "
+                        "with beam search")
+                user_proc_rows.append(i)
         # Guided/min-tokens masks depend on the sampled token (FSM state
-        # advances on host), so masked steps run single-step.
-        num_steps = 1 if (has_lora or token_mask is not None) else \
+        # advances on host), so masked steps run single-step. LoRA rides
+        # multi-step: slots are per-sequence constants inside the loop.
+        num_steps = 1 if (token_mask is not None
+                          or user_proc_rows) else \
             self._num_multistep(seq_group_metadata_list, is_prefill, flags)
 
         step_fn = self._get_step_fn(flags, max_logprobs, num_steps,
-                                    prompt_lp_k, n_samples)
+                                    prompt_lp_k, n_samples,
+                                    return_logits=bool(user_proc_rows))
 
         # ---- pack every host input into ONE H2D transfer ----
         named: List[Tuple[str, np.ndarray]] = [
@@ -1380,16 +1525,21 @@ class ModelRunner:
         out = step_fn(params, kv_caches, staged["tokens"],
                       staged["positions"], md, staged["sel"], st, key,
                       **extra)
+        raw_logits = None
         if num_steps > 1:
             kv_caches, sampled, logprob, top = out
             prompt_lp = multi = None
+        elif user_proc_rows:
+            (kv_caches, sampled, logprob, top, prompt_lp, multi,
+             raw_logits) = out
         else:
             kv_caches, sampled, logprob, top, prompt_lp, multi = out
         t_dispatch = time.perf_counter()
 
         # ---- fetch every output with ONE D2H transfer ----
-        sampled_f, logprob_f, top_f, prompt_lp_f, multi_f = fetch_outputs(
-            (sampled, logprob, top, prompt_lp, multi))
+        (sampled_f, logprob_f, top_f, prompt_lp_f, multi_f,
+         raw_logits_f) = fetch_outputs(
+             (sampled, logprob, top, prompt_lp, multi, raw_logits))
         # [B] single-step -> [1, B] so both paths share the fan-out.
         sampled_np = np.atleast_2d(sampled_f)
         logprob_np = np.atleast_2d(logprob_f)
@@ -1406,6 +1556,13 @@ class ModelRunner:
                 if isinstance(prompt_lp_f, tuple) else (prompt_lp_f, None,
                                                         None)
             prompt_lp_np = (tok_lp, tv, ti)
+        if user_proc_rows:
+            sampled_np = np.array(sampled_np)  # make writable
+            logprob_np = np.array(logprob_np)
+            top_np, multi_np = self._apply_user_logits_processors(
+                user_proc_rows, rows, by_req_all,
+                np.asarray(raw_logits_f), token_mask, sampled_np,
+                logprob_np, top_np, multi_np, n_samples, max_logprobs)
         t_done = time.perf_counter()
         if envs.VLT_BENCHMARK_RUNNER:
             # Fork-parity per-step instrumentation (reference:
