@@ -121,4 +121,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--check-kernels" in sys.argv:
+        # On-chip kernel numerics gate: every Pallas kernel family runs
+        # compiled on the real chip vs the XLA reference; any mismatch
+        # raises and exits nonzero (Mosaic lowering regressions that
+        # interpret-mode CPU tests cannot catch).
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks", "micro"))
+        from tpu_kernel_check import check_all
+        check_all()
+        sys.exit(0)
     main()

@@ -25,7 +25,10 @@ DT = os.getenv('DT', 'bf16')
 dt = (np.float32 if CHECK else
       jnp.float8_e4m3fn if DT == 'fp8' else jnp.bfloat16)
 
-kv = rng.randn(LNUM, NBLK, 2 * R, RD).astype(np.float32) * 0.3
+if CHECK:
+    kv = rng.randn(LNUM, NBLK, 2 * R, RD).astype(np.float32) * 0.3
+else:
+    kv = None  # perf mode: init on device (13B shapes OOM a host f32)
 q = rng.randn(B, HQ, D).astype(np.float32)
 kn = rng.randn(B, HKV, D).astype(np.float32)
 vn = rng.randn(B, HKV, D).astype(np.float32)
@@ -41,7 +44,16 @@ for i in range(B):
     tables[i, :nblk] = perm[i * nblk:(i + 1) * nblk] + 1
 
 act_dt = jnp.bfloat16 if DT == 'fp8' else dt  # activations stay bf16
-kvj = jnp.asarray(kv, dt); qj = jnp.asarray(q, act_dt)
+if kv is None:
+    # plain (head>=128) mode feeds the engine's 5-D fused layout
+    # [L, N, 2*Hkv, bs, dpad]; pair mode the flat 4-D row form
+    kshape = ((LNUM, NBLK, 2 * R, RD) if PAIR else
+              (LNUM, NBLK, 2 * HKV, BS, D))
+    kvj = (jax.random.normal(jax.random.PRNGKey(0), kshape,
+                             jnp.bfloat16) * 0.3).astype(dt)
+else:
+    kvj = jnp.asarray(kv, dt)
+qj = jnp.asarray(q, act_dt)
 knj = jnp.asarray(kn, act_dt); vnj = jnp.asarray(vn, act_dt)
 bt = jnp.asarray(tables); cl = jnp.asarray(ctx_lens)
 lidx = jnp.zeros((1,), jnp.int32)
@@ -104,6 +116,6 @@ else:
         acc, kvj = f(qj, knj, vnj, kvj)
     acc.block_until_ready()
     dtm = (time.perf_counter() - t0) / N
-    gb = LNUM * B * nblk * 2 * R * RD * 2 / 1e9
+    gb = LNUM * B * nblk * 2 * R * RD * jnp.dtype(dt).itemsize / 1e9
     print(f"B={B} ctx={CTX} bs={BS} pair={PAIR} attn22_ms={dtm*1e3:.2f} "
           f"kv_GB={gb:.2f} eff_BW={gb/dtm:.0f}GB/s")

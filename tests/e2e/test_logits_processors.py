@@ -27,8 +27,14 @@ def _run(engine, rid, prompt_ids, sp):
 
 @pytest.fixture(scope="module")
 def engine():
-    cfg = make_dummy_engine_config(tiny_llama_hf_config(),
-                                   max_model_len=128, max_num_seqs=8)
+    cfg = make_dummy_engine_config(
+        tiny_llama_hf_config(num_hidden_layers=2, hidden_size=64,
+                             intermediate_size=128,
+                             num_attention_heads=4,
+                             num_key_value_heads=2, vocab_size=256),
+        dtype="float32",  # CPU-native: bf16 emulation is ~10x slower
+        max_model_len=128, max_num_seqs=8,
+        num_tpu_blocks_override=64)
     return LLMEngine(cfg, log_stats=False)
 
 

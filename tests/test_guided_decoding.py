@@ -365,3 +365,38 @@ def test_backend_validation():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="backend"):
         get_guided_fsm(None, guided_regex="a+", backend="nope")
+
+
+def test_engine_guided_multistep_equality(guided_llm, tmp_path_factory):
+    """Guided decoding rides the on-device multi-step loop
+    (num_scheduler_steps>1, dense FSM tables shipped to device):
+    seeded outputs must equal the single-step engine's (the FSM mask
+    gather and state transition are inside the fori_loop)."""
+    from vllm_legacy_tpu import LLM, SamplingParams
+
+    path = guided_llm.llm_engine.model_config.model
+    llm_ms = LLM(model=path, dtype="float32", max_model_len=128,
+                 num_tpu_blocks_override=128, num_scheduler_steps=8,
+                 disable_log_stats=True)
+    tok = llm_ms.llm_engine.tokenizer
+    fsm = get_guided_fsm(tok, guided_regex=r'(true|false)')
+    for seed in (1, 2):
+        want = _generate_guided(guided_llm, fsm, seed=seed)
+        got = _generate_guided(llm_ms, fsm, seed=seed)
+        assert got.text == want.text, (got.text, want.text)
+        assert got.text in ("true", "false")
+    # steady-state multi-step actually engages for a guided request:
+    # whole bursts of tokens arrive per engine step
+    params = SamplingParams(temperature=1.0, seed=9, max_tokens=24,
+                            guided_fsm=get_guided_fsm(
+                                tok, guided_regex=r'[a-z ]{30,40}'))
+    engine = llm_ms.llm_engine
+    engine.add_request("ms", {"prompt": "the"}, params)
+    steps = 0
+    n_toks = 0
+    while engine.has_unfinished_requests():
+        steps += 1
+        for o in engine.step():
+            if o.finished:
+                n_toks = len(o.outputs[0].token_ids)
+    assert n_toks >= 16 and steps < n_toks, (steps, n_toks)

@@ -62,6 +62,41 @@ def _eq(a, b):
     return 1.0 - jnp.minimum(jnp.abs(a - b), 1.0)
 
 
+def _fast_e4m3_to_bf16(x: jax.Array) -> jax.Array:
+    """Exact e4m3fn -> bf16 upcast from fast integer primitives.
+
+    Mosaic's native f8e4m3->bf16 convert_element_type lowers ~10x
+    slower than int8 converts on v5e (the whole fused-decode kernel ran
+    4x slower than its bf16 twin through it: 66 ms vs 16 ms at 13B
+    decode shapes; swapping in an int8 convert alone gave 22 ms). This
+    builds the bf16 bit pattern directly: for normals the bf16 bits are
+    ((bits & 0x7f) << 4) + (120 << 7) — e4m3 bias 7 vs bf16 bias 127 —
+    plus the sign in bit 15; subnormals (exp==0) decode as m * 2^-9.
+    e4m3fn NaN (0x7f/0xff) is NOT mapped to NaN (it becomes +-480);
+    quantized KV caches never store NaN, matching the reference
+    kernels' finite-cache assumption
+    (csrc/quantization/fp8/quant_utils.cuh upconverts finite values
+    only).
+    """
+    # ONE int8->bf16 convert (the fast 8->16 widening primitive on
+    # this target) reads the byte as its two's-complement value;
+    # everything after is ordinary f32 arithmetic + one int16 bitcast.
+    # Mosaic here lowers neither sub-32-bit vector compares nor int16
+    # shifts, so: magnitude = value + 128 for negative bytes (f32
+    # select), bf16 bit pattern = magnitude * 16 + 0x3C00 built in f32
+    # (exact: <= 17392 < 2^24) and converted to int16 for the bitcast.
+    v = jax.lax.bitcast_convert_type(x, jnp.int8).astype(
+        jnp.bfloat16).astype(jnp.float32)  # [-128, 127] exact
+    neg = v < 0.0
+    mag = jnp.where(neg, v + 128.0, v)  # sign-magnitude bits, [0, 127]
+    bits = (mag * 16.0 + 15360.0).astype(jnp.int16)
+    val = jax.lax.bitcast_convert_type(bits, jnp.bfloat16).astype(
+        jnp.float32)
+    # subnormals (mag < 8): value = mantissa * 2^-9
+    val = jnp.where(mag < 8.0, mag * (2.0**-9), val)
+    return jnp.where(neg, -val, val).astype(jnp.bfloat16)
+
+
 def _decode_kernel(
     # scalar prefetch
     layer_ref,  # [1] SMEM
@@ -314,7 +349,13 @@ def _decode_kernel(
                         for ic in in_col
                     ], axis=0)  # [GANG, 2R, 1]
                     sel = (base_sel * colgate).astype(blend_dt)
-                    tile = kv_buf[slot, :, jcol].astype(blend_dt)
+                    tile = kv_buf[slot, :, jcol]
+                    if jnp.dtype(tile.dtype) == jnp.float8_e4m3fn:
+                        # arithmetic decode beats the native upcast
+                        # ~10x; bf16 round-trips back to e4m3 exactly
+                        tile = _fast_e4m3_to_bf16(tile)
+                    else:
+                        tile = tile.astype(blend_dt)
                     kv_buf[slot, :, jcol] = (
                         tile * (1.0 - sel) + src3 * sel
                     ).astype(kv_buf.dtype)
@@ -337,11 +378,24 @@ def _decode_kernel(
 
         # ---- batched attention over the unit ----
         # [GANG, KBLK, 2R, rd] -> K/V [GANG, Hkv, KBLK*rows, rd]
-        kv_u = kv_buf[slot].reshape(gang, kblk, hkv, 2, rows, rd)
+        # FP8 caches: upcast to bf16 FIRST, on the buffer's natural
+        # layout — the raw e4m3->bf16 vector convert runs at copy speed
+        # (fp8_convert_probe: ~14 TB/s), but the same convert fused
+        # through the reshape/transpose below forces Mosaic 8-bit
+        # relayouts that ran the whole kernel 4x slower than bf16
+        # (66 ms vs 16 ms at 13B decode shapes). Casting up front makes
+        # every relayout 16-bit.
+        kv_unit = kv_buf[slot]
+        if kv_unit.dtype != mm_dt:
+            if jnp.dtype(kv_unit.dtype) == jnp.float8_e4m3fn:
+                kv_unit = _fast_e4m3_to_bf16(kv_unit)
+            else:
+                kv_unit = kv_unit.astype(mm_dt)
+        kv_u = kv_unit.reshape(gang, kblk, hkv, 2, rows, rd)
         k_t = kv_u[:, :, :, 0].transpose(0, 2, 1, 3, 4).reshape(
-            gang, hkv, kblk * rows, rd).astype(mm_dt)
+            gang, hkv, kblk * rows, rd)
         v_t = kv_u[:, :, :, 1].transpose(0, 2, 1, 3, 4).reshape(
-            gang, hkv, kblk * rows, rd).astype(mm_dt)
+            gang, hkv, kblk * rows, rd)
         nrows = kblk * rows
         row_lane = jax.lax.broadcasted_iota(jnp.int32, (1, nrows), 1)
         row_col = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
@@ -371,9 +425,17 @@ def _decode_kernel(
             # the mask is single-orientation [GANG, 1, row, 1], which
             # Mosaic relayouts fine (unlike the merge's mixed
             # sublane x lane broadcasts)
-            valid = (ctx_v - pos_col[None, None]) > 0
-            k = jnp.where(valid, k, 0.0)
-            v = jnp.where(valid, v, 0.0)
+            # Zero streamed garbage so 0-weight columns can't poison
+            # p @ v (stale bf16 can hold inf/nan; NaN survives
+            # multiplies). 1-byte caches skip this: the arithmetic
+            # e4m3 decode yields bounded finite values (<= 480) for
+            # every bit pattern, so keep==0 already kills them — and
+            # the two [GANG, Hkv, rows, rd] masked copies were the
+            # largest VMEM intermediates at MHA shapes.
+            if kv_buf.dtype.itemsize != 1:
+                valid = (ctx_v - pos_col[None, None]) > 0
+                k = jnp.where(valid, k, 0.0)
+                v = jnp.where(valid, v, 0.0)
             # fuse (gang, hkv) into ONE batch dim: Mosaic matmul
             # supports at most one
             nr = k.shape[2]
@@ -554,21 +616,37 @@ def fused_decode_attention(
         gang //= 2
     cells = batch // (ncores * gang)
 
-    # VMEM budget: double-buffered gang units + staging + f32 compute
+    # VMEM budget: double-buffered gang units + staging + compute
+    # copies. Compute buffers are sized at the ACTUAL matmul dtype
+    # (bf16 fast path / f32 exact) — the old always-f32 estimate halved
+    # gang at MHA (hkv=40) shapes for nothing, costing ~2x per-unit
+    # overhead amortization on 13B decode.
     itm = jnp.dtype(kv_cache.dtype).itemsize
+    exact = jnp.dtype(kv_cache.dtype) == jnp.float32
+    mm_sz = 4 if exact else 2
     blk_bytes = two_r * rd * itm
 
     def vmem_est(gang_, kblk_):
         bufs = (2 * kblk_ + 1) * gang_ * blk_bytes
-        f32kv = 2 * 2 * gang_ * kblk_ * r * rd * 4  # k_t/v_t (+halves)
+        # k_t + v_t views (pair mode additionally materializes the two
+        # d-wide halves of each)
+        kv_mm = 2 * gang_ * kblk_ * r * rd * mm_sz * (2 if pair else 1)
+        # 1-byte caches add the upfront bf16 decode copy of the unit
+        conv = (gang_ * kblk_ * two_r * rd * mm_sz if itm == 1 else 0)
         smat = 3 * gang_ * hkv * group * kblk_ * rows * (
             2 if pair else 1) * 4
         acc = 4 * gang_ * hkv * group * max(d, 32) * 4
-        return bufs + f32kv + smat + acc
+        return bufs + kv_mm + conv + smat + acc
 
-    while kblk > 1 and vmem_est(gang, kblk) > 40 * 2**20:
+    # Mosaic's true scoped-vmem usage runs ~2.5x this estimate (stack
+    # temporaries). Measured at 13B MHA decode shapes: gang=8 fits the
+    # chip (fp8 actual 100M) but runs SLOWER than gang=4 (42.9 ms vs
+    # 33.6 — VMEM pressure starves the DMA pipeline), so the budget is
+    # set where those shapes settle at gang=4.
+    budget = 24 * 2**20
+    while kblk > 1 and vmem_est(gang, kblk) > budget:
         kblk //= 2
-    while gang > 1 and vmem_est(gang, kblk) > 40 * 2**20:
+    while gang > 1 and vmem_est(gang, kblk) > budget:
         gang //= 2
         cells = batch // (ncores * gang)
 
@@ -658,7 +736,7 @@ def fused_decode_attention(
         input_output_aliases={8: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(layer_idx.astype(jnp.int32), block_tables,
       context_lens.astype(jnp.int32), alibi_arr, phase_arr, qr, kn, vn,

@@ -213,6 +213,8 @@ class ModelRunner:
         self._step_key = jax.random.PRNGKey(model_config.seed or 0)
         # host RNG for the user-logits-processor re-sampling lane
         self._host_rng = np.random.default_rng(model_config.seed or 0)
+        # device-staged dense FSM tables for guided multi-step decode
+        self._fsm_dev_tables: Dict[int, Optional[Tuple]] = {}
         self._jit_step_cache: Dict[Any, Any] = {}
         self._lora_struct_ver = 0
         # guided decoding: seq_id -> (consumed_out_len, fsm_state, fsm)
@@ -782,8 +784,81 @@ class ModelRunner:
 
         return jax.jit(step, donate_argnums=(1, ))
 
+    def _fsm_device_tables(self, fsm):
+        """Dense device tables for a guided-decoding FSM so masked
+        decode can ride the on-device multi-step loop: [S+1, V] bool
+        allowed-mask and [S+1, V] int32 transition (row S = sink for
+        violated constraints, EOS-only). Staged to device ONCE per FSM
+        and cached. Returns None when the tables would exceed the
+        budget (large regex FSMs fall back to per-step host masks).
+        Reference analogue: the outlines logits-processor state machine
+        (vllm/model_executor/guided_decoding/) runs host-side per step;
+        on TPU that forfeits multi-step decode, so small FSMs are
+        shipped whole.
+        """
+        key = id(fsm)
+        cached = self._fsm_dev_tables.get(key)
+        if cached is not None:
+            return cached
+        S = fsm.num_states
+        vocab = self.model.vocab_size  # padded logits width
+        if S * vocab * 5 > 48 * 2**20:  # mask(1B) + trans(4B) budget
+            self._fsm_dev_tables[key] = None
+            return None
+        sink = S
+        trans = np.full((S + 1, vocab), sink, np.int32)
+        mask = np.zeros((S + 1, vocab), np.bool_)
+        for s in range(S):
+            t_row, m_row = fsm.next_row(s)
+            v = t_row.shape[0]
+            trans[s, :v] = np.where(t_row < 0, sink, t_row)
+            mask[s, :v] = m_row
+        # EOS keeps the state (TokenFSM.next_state semantics)
+        trans[:S, fsm.eos_token_id] = np.arange(S)
+        mask[sink, fsm.eos_token_id] = True
+        trans[sink, fsm.eos_token_id] = sink
+        dev = (jnp.asarray(mask), jnp.asarray(trans))
+        if self._replicated is not None:
+            dev = tuple(jax.device_put(x, self._replicated) for x in dev)
+        self._fsm_dev_tables[key] = dev
+        return dev
+
+    def _try_guided_multistep(self, seq_group_metadata_list, rows,
+                              b_pad):
+        """If every masked row is guided by ONE common FSM whose dense
+        tables fit on device (and no row needs min-tokens suppression),
+        return (mask_table, trans_table, state0 [b_pad]) for the
+        on-device loop; else None."""
+        by_req = {m.request_id: m for m in seq_group_metadata_list}
+        fsm = None
+        states = np.full((b_pad, ), -1, np.int32)
+        any_guided = False
+        for i, (req_id, seq_id) in enumerate(rows):
+            meta = by_req[req_id]
+            sp = meta.sampling_params
+            data = meta.seq_data[seq_id]
+            if sp.min_tokens and data.get_output_len() < sp.min_tokens:
+                return None
+            f = sp.guided_fsm
+            if f is None:
+                continue
+            if fsm is None:
+                fsm = f
+            elif fsm is not f:
+                return None  # mixed FSMs: fall back
+            state = self._guided_state(seq_id, f, data.output_token_ids)
+            states[i] = state if state >= 0 else f.num_states  # sink
+            any_guided = True
+        if not any_guided:
+            return None
+        tables = self._fsm_device_tables(fsm)
+        if tables is None:
+            return None
+        return tables[0], tables[1], states
+
     def _build_multistep_fn(self, flags: Tuple[bool, bool, bool, bool],
-                            max_logprobs: int, num_steps: int):
+                            max_logprobs: int, num_steps: int,
+                            guided: bool = False):
         """K decode iterations fully on device per host round-trip.
 
         The per-step host<->device round-trip (~1ms on local PCIe, ~100ms
@@ -827,7 +902,8 @@ class ModelRunner:
             fwd = sharded_fwd  # see _build_step_fn
 
         def multistep(params, kv_caches, tokens, positions, md, sel, st,
-                      step_key, lora_indices=None):
+                      step_key, lora_indices=None, fsm_mask=None,
+                      fsm_trans=None, fsm_state=None):
             b = tokens.shape[0]
             out_tokens = jnp.zeros((num_steps, b), jnp.int32)
             out_logprobs = jnp.zeros((num_steps, b), jnp.float32)
@@ -838,10 +914,12 @@ class ModelRunner:
                                       jnp.int32)
             else:
                 out_top_v = out_top_i = None
+            if not guided:
+                fsm_state = jnp.zeros((b, ), jnp.int32)  # carry dummy
 
             def body(i, carry):
-                (kv_caches, tok, pos, ctx, out_tokens, out_logprobs,
-                 out_top_v, out_top_i) = carry
+                (kv_caches, tok, pos, ctx, fstate, out_tokens,
+                 out_logprobs, out_top_v, out_top_i) = carry
                 valid = ctx > 0
                 md_i = AttentionMetadata(md.slot_mapping,
                                          md.block_tables, ctx,
@@ -851,6 +929,16 @@ class ModelRunner:
                 # the loop at zero host cost (was: forced single-step)
                 logits, kv_caches = fwd(params, kv_caches, tok, pos, md_i,
                                         sel, lora_indices)
+                token_mask = None
+                if guided:
+                    # guided decoding INSIDE the loop: per-row FSM mask
+                    # gather + post-sample transition — the state
+                    # machine advances on device instead of forcing
+                    # per-step host round-trips
+                    gate = fstate >= 0
+                    srow = jnp.maximum(fstate, 0)
+                    token_mask = jnp.where(gate[:, None],
+                                           fsm_mask[srow], True)
                 import dataclasses as _dc
                 st_i = _dc.replace(st,
                                    seed_positions=st.seed_positions + i)
@@ -858,7 +946,10 @@ class ModelRunner:
                     logits, st_i, jax.random.fold_in(step_key, i),
                     do_penalties=False, do_top_k_p=do_top_k_p,
                     do_min_p=do_min_p, all_greedy=all_greedy,
-                    max_logprobs=max_logprobs)
+                    max_logprobs=max_logprobs, token_mask=token_mask)
+                if guided:
+                    nxt = fsm_trans[srow, sampled]
+                    fstate = jnp.where(gate, nxt, fstate)
                 out_tokens = out_tokens.at[i].set(sampled.astype(jnp.int32))
                 out_logprobs = out_logprobs.at[i].set(logprob)
                 if top is not None:
@@ -867,13 +958,14 @@ class ModelRunner:
                 tok = sampled.astype(jnp.int32)[:, None]
                 pos = jnp.where(valid[:, None], pos + 1, pos)
                 ctx = jnp.where(valid, ctx + 1, ctx)
-                return (kv_caches, tok, pos, ctx, out_tokens,
+                return (kv_caches, tok, pos, ctx, fstate, out_tokens,
                         out_logprobs, out_top_v, out_top_i)
 
             carry = (kv_caches, tokens, positions, md.context_lens,
-                     out_tokens, out_logprobs, out_top_v, out_top_i)
+                     fsm_state, out_tokens, out_logprobs, out_top_v,
+                     out_top_i)
             carry = jax.lax.fori_loop(0, num_steps, body, carry)
-            (kv_caches, _, _, _, out_tokens, out_logprobs, out_top_v,
+            (kv_caches, _, _, _, _, out_tokens, out_logprobs, out_top_v,
              out_top_i) = carry
             top = (out_top_v, out_top_i) if max_logprobs > 0 else None
             return kv_caches, out_tokens, out_logprobs, top
@@ -943,15 +1035,15 @@ class ModelRunner:
     def _get_step_fn(self, flags: Tuple[bool, bool, bool, bool],
                      max_logprobs: int, num_steps: int = 1,
                      prompt_lp_k: int = -1, n_samples: int = 1,
-                     return_logits: bool = False):
+                     return_logits: bool = False, guided: bool = False):
         key = (flags, max_logprobs, num_steps, prompt_lp_k, n_samples,
-               return_logits,
+               return_logits, guided,
                self._lora_struct_ver if self.lora_params is not None
                else -1)
         if key not in self._jit_step_cache:
             if num_steps > 1:
                 self._jit_step_cache[key] = self._build_multistep_fn(
-                    flags, max_logprobs, num_steps)
+                    flags, max_logprobs, num_steps, guided)
             else:
                 self._jit_step_cache[key] = self._build_step_fn(
                     flags, max_logprobs, prompt_lp_k, n_samples,
@@ -1435,16 +1527,30 @@ class ModelRunner:
                         "logits_processors are not supported together "
                         "with beam search")
                 user_proc_rows.append(i)
-        # Guided/min-tokens masks depend on the sampled token (FSM state
-        # advances on host), so masked steps run single-step. LoRA rides
-        # multi-step: slots are per-sequence constants inside the loop.
+        # Masked steps: guided decoding rides the on-device multi-step
+        # loop when the batch's rows share one FSM with device-resident
+        # tables (state gather + transition happen inside the loop);
+        # otherwise (mixed FSMs, min-tokens suppression, oversized
+        # FSMs, user processors) fall back to single-step host masks.
+        # LoRA rides multi-step: slots are per-sequence constants.
+        guided_ms = None
         num_steps = 1 if (token_mask is not None
                           or user_proc_rows) else \
             self._num_multistep(seq_group_metadata_list, is_prefill, flags)
+        if token_mask is not None and not user_proc_rows:
+            k = self._num_multistep(seq_group_metadata_list, is_prefill,
+                                    flags)
+            if k > 1:
+                guided_ms = self._try_guided_multistep(
+                    seq_group_metadata_list, rows, b_pad)
+                if guided_ms is not None:
+                    num_steps = k
+                    token_mask = None  # masks now applied in-loop
 
         step_fn = self._get_step_fn(flags, max_logprobs, num_steps,
                                     prompt_lp_k, n_samples,
-                                    return_logits=bool(user_proc_rows))
+                                    return_logits=bool(user_proc_rows),
+                                    guided=guided_ms is not None)
 
         # ---- pack every host input into ONE H2D transfer ----
         named: List[Tuple[str, np.ndarray]] = [
@@ -1466,6 +1572,8 @@ class ModelRunner:
             named.append(("lora_indices", tok_lora.reshape(-1)))
         if token_mask is not None:
             named.append(("token_mask", token_mask))
+        if guided_ms is not None:
+            named.append(("fsm_state", guided_ms[2]))
         if "v_block_tables" in arrays:
             named.append(("v_block_tables", arrays["v_block_tables"]))
         if "pixel_values" in arrays:
@@ -1517,6 +1625,10 @@ class ModelRunner:
                       "lp_targets", "prompt_embeds", "embeds_mask")
             if k in staged
         }
+        if guided_ms is not None:
+            extra["fsm_mask"] = guided_ms[0]
+            extra["fsm_trans"] = guided_ms[1]
+            extra["fsm_state"] = staged["fsm_state"]
         self._step_key, key = jax.random.split(self._step_key)
         if self._replicated is not None:
             key = jax.device_put(np.asarray(key), self._replicated)
