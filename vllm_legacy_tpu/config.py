@@ -125,6 +125,7 @@ class ModelConfig:
         enforce_eager: bool = False,
         max_logprobs: int = 20,
         skip_tokenizer_init: bool = False,
+        tokenizer_pool_size: int = 0,
         served_model_name: Optional[str] = None,
         hf_config: Optional["PretrainedConfig"] = None,
         rope_scaling: Optional[dict] = None,
@@ -144,6 +145,9 @@ class ModelConfig:
         self.enforce_eager = enforce_eager
         self.max_logprobs = max_logprobs
         self.skip_tokenizer_init = skip_tokenizer_init
+        # >0: encode_async offloads to this many pool threads
+        # (reference: --tokenizer-pool-size, ray_tokenizer_group.py)
+        self.tokenizer_pool_size = tokenizer_pool_size
         self.served_model_name = served_model_name or model
         self.embedding_mode = embedding_mode
         # SparseAttentionConfig or None (fork HiP capability, models/

@@ -25,6 +25,7 @@ class EngineArgs:
     tokenizer: Optional[str] = None
     tokenizer_mode: str = "auto"
     skip_tokenizer_init: bool = False
+    tokenizer_pool_size: int = 0
     trust_remote_code: bool = False
     revision: Optional[str] = None
     dtype: str = "auto"
@@ -145,6 +146,7 @@ class EngineArgs:
             quantization_param_path=self.quantization_param_path,
             max_logprobs=self.max_logprobs,
             skip_tokenizer_init=self.skip_tokenizer_init,
+            tokenizer_pool_size=self.tokenizer_pool_size,
             served_model_name=self.served_model_name,
             sparse_attention=self._sparse_attention_config(),
             self_extend=((self.se_window, self.se_group)

@@ -55,6 +55,8 @@ class LLMEngine:
                 trust_remote_code=self.model_config.trust_remote_code,
                 revision=self.model_config.revision,
                 enable_lora=bool(self.lora_config),
+                tokenizer_pool_size=getattr(self.model_config,
+                                            "tokenizer_pool_size", 0),
             )
             self.detokenizer: Optional[Detokenizer] = Detokenizer(
                 self.tokenizer)

@@ -348,14 +348,14 @@ def _decode_kernel(
                         jnp.full((1, two_r, 1), ic, jnp.float32)
                         for ic in in_col
                     ], axis=0)  # [GANG, 2R, 1]
+                    # NOTE: the blend keeps the NATIVE up/downcast pair
+                    # — swapping the upcast for _fast_e4m3_to_bf16 here
+                    # measured SLOWER end-to-end (42 ms vs 34 ms at 13B
+                    # shapes): Mosaic appears to fuse the matched
+                    # convert pair, while the arithmetic decode forces
+                    # a standalone downcast on the write
                     sel = (base_sel * colgate).astype(blend_dt)
-                    tile = kv_buf[slot, :, jcol]
-                    if jnp.dtype(tile.dtype) == jnp.float8_e4m3fn:
-                        # arithmetic decode beats the native upcast
-                        # ~10x; bf16 round-trips back to e4m3 exactly
-                        tile = _fast_e4m3_to_bf16(tile)
-                    else:
-                        tile = tile.astype(blend_dt)
+                    tile = kv_buf[slot, :, jcol].astype(blend_dt)
                     kv_buf[slot, :, jcol] = (
                         tile * (1.0 - sel) + src3 * sel
                     ).astype(kv_buf.dtype)
@@ -571,7 +571,12 @@ def fused_decode_attention(
 
     if prewrite is None:
         from vllm_legacy_tpu import envs
-        prewrite = bool(envs.VLT_DECODE_PREWRITE)
+        # fp8 caches default to prewrite: the in-kernel merge's
+        # cast-blend-cast on 1-byte tiles costs ~10 ms per 20-layer
+        # decode sweep at 13B shapes (34.8 ms vs 25.1 with the XLA
+        # scatter landing the rows before the kernel)
+        prewrite = bool(envs.VLT_DECODE_PREWRITE) or \
+            jnp.dtype(kv_cache.dtype).itemsize == 1
     if prewrite:
         # Scatter the new K/V rows into the cache up front (XLA keeps
         # the donated buffer in place); dead batch rows (ctx == 0)

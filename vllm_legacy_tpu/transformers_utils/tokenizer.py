@@ -34,20 +34,33 @@ def get_tokenizer(
 
 
 class TokenizerGroup:
-    """Synchronous in-process tokenizer group (reference:
-    tokenizer_group/tokenizer_group.py:94 — the Ray actor pool variant is
-    unnecessary in a single-controller engine; encode happens off the
-    device-critical path)."""
+    """In-process tokenizer group (reference:
+    tokenizer_group/tokenizer_group.py:94 + ray_tokenizer_group.py:169).
+
+    The capability the reference gets from its Ray actor pool —
+    tokenization off the engine loop under heavy chat traffic — comes
+    from a thread pool here: HF fast tokenizers run in Rust and release
+    the GIL, so ``encode_async`` offloads to ``tokenizer_pool_size``
+    executor threads and the asyncio engine loop keeps stepping the
+    device while prompts tokenize. ``tokenizer_pool_size=0`` (default)
+    keeps the synchronous in-loop behavior."""
 
     def __init__(self, tokenizer_id: str, *, enable_lora: bool = False,
                  max_num_seqs: Optional[int] = None,
-                 max_input_length: Optional[int] = None, **kwargs) -> None:
+                 max_input_length: Optional[int] = None,
+                 tokenizer_pool_size: int = 0, **kwargs) -> None:
         self.tokenizer_id = tokenizer_id
         self.max_input_length = max_input_length
         self.enable_lora = enable_lora
         self.tokenizer = get_tokenizer(tokenizer_id, **kwargs)
         self._lora_tokenizers = LRUCache(capacity=max(max_num_seqs or 0,
                                                       32))
+        self._pool = None
+        if tokenizer_pool_size > 0:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=tokenizer_pool_size,
+                thread_name_prefix="tokenizer")
 
     def ping(self) -> bool:
         return True
@@ -63,7 +76,12 @@ class TokenizerGroup:
     async def encode_async(self, prompt: str,
                            request_id: Optional[str] = None,
                            lora_request=None) -> List[int]:
-        return self.encode(prompt, request_id, lora_request)
+        if self._pool is None:
+            return self.encode(prompt, request_id, lora_request)
+        import asyncio
+        loop = asyncio.get_running_loop()
+        return await loop.run_in_executor(
+            self._pool, self.encode, prompt, request_id, lora_request)
 
     def get_lora_tokenizer(self, lora_request=None):
         if lora_request is None or not self.enable_lora:
