@@ -58,6 +58,13 @@ def build_config(model: str, input_len: int, output_len: int,
     if model == "7b_int4":
         return make_dummy_engine_config(llama2_7b_gptq_hf_config(),
                                         **common)
+    if model == "7b_int4_fp8kv":
+        # FP8 KV roughly doubles resident sequences beside the 3.5 GB
+        # INT4 weights — the residency lever the reference pairs with
+        # 7B serving (docs/source/quantization/fp8_e4m3_kvcache.rst)
+        return make_dummy_engine_config(llama2_7b_gptq_hf_config(),
+                                        kv_cache_dtype="fp8",
+                                        **common)
     if model == "13b_awq_fp8kv":
         return make_dummy_engine_config(llama2_13b_awq_hf_config(),
                                         kv_cache_dtype="fp8",
@@ -110,6 +117,7 @@ def main() -> None:
     names = {
         "tinyllama_bf16": "tinyllama1.1b_bf16",
         "7b_int4": "llama2_7b_gptq_int4",
+        "7b_int4_fp8kv": "llama2_7b_gptq_int4_fp8kv",
         "13b_awq_fp8kv": "llama2_13b_awq_int4_fp8kv",
     }
     print(json.dumps({

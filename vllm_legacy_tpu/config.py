@@ -277,6 +277,8 @@ class CacheConfig:
         enable_prefix_caching: bool = False,
         v_offload_window: Optional[int] = None,
         kv_offload: bool = False,
+        v_offload_exact: bool = False,
+        v_stage_blocks: int = 8,
     ) -> None:
         self.block_size = block_size
         self.hbm_utilization = hbm_utilization
@@ -297,6 +299,16 @@ class CacheConfig:
         # under V-offload, so in-ring K preserves the served attention
         # exactly; logical KV blocks become free bookkeeping entries.
         self.kv_offload = kv_offload
+        # Exact paging over offloaded V (closes the fork UVM gap,
+        # map_cache_engine.py:268-379): completed V blocks write
+        # through to a host pool; the sparse selection reports which
+        # out-of-window blocks it WANTS and the runner stages them
+        # into per-sequence device slots (one-step prefetch,
+        # double-buffered), so attention over selected history is
+        # exact instead of window-truncated. ``v_stage_blocks`` =
+        # staged slots per sequence.
+        self.v_offload_exact = v_offload_exact
+        self.v_stage_blocks = v_stage_blocks
         self._verify_args()
 
         # Set after cache-size computation (worker/cache_engine.py).
@@ -318,6 +330,15 @@ class CacheConfig:
             raise ValueError(
                 "kv_offload extends the V-offload ring to K; set "
                 "v_offload_window as well")
+        if self.v_offload_exact and not self.v_offload_window:
+            raise ValueError(
+                "v_offload_exact pages offloaded V blocks back in; it "
+                "requires v_offload_window")
+        if self.v_offload_exact and self.kv_offload:
+            raise ValueError(
+                "v_offload_exact needs the full K cache for "
+                "unrestricted top-k scoring; it is incompatible with "
+                "kv_offload (ringed K)")
         if self.hbm_utilization > 1.0 or self.hbm_utilization <= 0:
             raise ValueError(
                 "hbm_utilization must be in (0, 1]. Got "

@@ -130,6 +130,10 @@ class SchedulerOutputs:
     num_lookahead_slots: int
     running_queue_size: int
     preempted: int = 0
+    # requests still waiting/swapped after this step was admitted: the
+    # runner caps multi-step burst length under queue pressure so a
+    # new arrival's TTFT is not one full k-step burst
+    waiting_queue_size: int = 0
 
     def __post_init__(self) -> None:
         # A step swaps in XOR out; the cache engine issues one direction.
@@ -185,7 +189,8 @@ class _StepPlan:
             self.copies.setdefault(src, []).extend(dsts)
 
     def finalize(self, budget: SchedulingBudget,
-                 running_queue_size: int) -> SchedulerOutputs:
+                 running_queue_size: int,
+                 waiting_queue_size: int = 0) -> SchedulerOutputs:
         # Batch layout contract: prefill rows precede decode rows (the
         # model runner splits the batch on this boundary).
         ordered = self.new_prefills + self.carry_prefills + self.decodes
@@ -201,6 +206,7 @@ class _StepPlan:
             num_lookahead_slots=self.lookahead,
             running_queue_size=running_queue_size,
             preempted=self.num_preempted,
+            waiting_queue_size=waiting_queue_size,
         )
 
 
@@ -564,7 +570,8 @@ class Scheduler:
         assert budget.num_curr_seqs <= self.scheduler_config.max_num_seqs
 
         self._requeue(plan)
-        return plan.finalize(budget, len(self.running))
+        return plan.finalize(budget, len(self.running),
+                             len(self.waiting) + len(self.swapped))
 
     def _plan_chunked(self) -> SchedulerOutputs:
         """Chunked-prefill policy: decodes admitted first (they bound
@@ -589,7 +596,8 @@ class Scheduler:
         assert budget.num_curr_seqs <= self.scheduler_config.max_num_seqs
 
         self._requeue(plan)
-        return plan.finalize(budget, len(self.running))
+        return plan.finalize(budget, len(self.running),
+                             len(self.waiting) + len(self.swapped))
 
     def _requeue(self, plan: _StepPlan) -> None:
         """Put every group the passes touched back into its pool.

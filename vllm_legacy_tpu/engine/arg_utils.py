@@ -82,6 +82,8 @@ class EngineArgs:
     # fork CACHE_ENGINE=offload_v equivalent; tokens of resident V
     v_offload_window: Optional[int] = None
     kv_offload: bool = False
+    v_offload_exact: bool = False
+    v_stage_blocks: int = 8
     hip_dense_layers: int = 3
 
     # Self-extend RoPE (reference env SE_WINDOW / SE_SCALE)
@@ -162,6 +164,8 @@ class EngineArgs:
             enable_prefix_caching=self.enable_prefix_caching,
             v_offload_window=self._v_offload_window(),
             kv_offload=self.kv_offload,
+            v_offload_exact=self.v_offload_exact,
+            v_stage_blocks=self.v_stage_blocks,
         )
         parallel_config = ParallelConfig(
             pipeline_parallel_size=self.pipeline_parallel_size,

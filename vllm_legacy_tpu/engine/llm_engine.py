@@ -265,6 +265,8 @@ class LLMEngine:
             blocks_to_copy=scheduler_outputs.blocks_to_copy,
             num_lookahead_slots=scheduler_outputs.num_lookahead_slots,
             running_queue_size=scheduler_outputs.running_queue_size,
+            waiting_queue_size=getattr(scheduler_outputs,
+                                       "waiting_queue_size", 0),
         )
 
     def _process_model_outputs(

@@ -139,6 +139,10 @@ class AttentionMetadata(NamedTuple):
     # V-offload ring-slot table [B, max_blocks] (None = V shares the
     # physical table)
     v_block_tables: Any = None
+    # exact-offload availability [B, max_blocks] bool: True where the
+    # entry's V is resident (in-window or staged); the sparse selection
+    # restricts to these instead of the window (None = window rule)
+    v_avail: Any = None
 
 
 def attention(
@@ -183,11 +187,20 @@ def attention(
     else:
         kv_scale = None
     fused = len(kv_cache) == 1
+    wanted_acc = None
     if fused:
         # [L, N, Hkv*2*rows, 2d] pair (4-D) or
         # [L, N, Hkv*2, bs, dpad] plain (5-D)
         k_cache, v_cache = kv_cache[0], None
         packed = k_cache.ndim == 4
+    elif len(kv_cache) == 3:
+        # exact V-offload: third element is the [S, M] wanted-scores
+        # accumulator the staging planner reads back (see
+        # worker/cache_engine host V pool + model_runner staging)
+        k_cache, v_cache, wanted_acc = kv_cache
+        packed = False
+        if layer_idx == 0:
+            wanted_acc = jnp.zeros_like(wanted_acc)
     else:
         k_cache, v_cache = kv_cache
         packed = False  # split caches are always the plain 5-D layout
@@ -233,13 +246,24 @@ def attention(
             num_sel = max(sparse.top_k // block_size,
                           sparse.num_sink + sparse.num_recent + 1)
             if num_sel < tables.shape[1]:  # else dense is never pruned
+                exact = wanted_acc is not None and md.v_avail is not None
                 sel = select_kv_blocks(
                     q[:, 0], k_cache, lidx, tables, ctx,
                     num_sel=num_sel, num_sink=sparse.num_sink,
                     num_recent=sparse.num_recent,
                     window_blocks=sparse.v_window_blocks,
-                    v_block_tables=v_tables)
-                if offload:
+                    v_block_tables=v_tables,
+                    avail_entries=md.v_avail if exact else None,
+                    want_scores=exact)
+                if exact:
+                    tables, v_tables, ctx, wanted = sel
+                    bsz, m = wanted.shape
+                    wanted_acc = jax.lax.dynamic_update_slice(
+                        wanted_acc,
+                        (jax.lax.dynamic_slice(
+                            wanted_acc, (0, 0), (bsz, m)) +
+                         wanted).astype(wanted_acc.dtype), (0, 0))
+                elif offload:
                     tables, v_tables, ctx = sel
                 else:
                     tables, ctx = sel
@@ -275,4 +299,6 @@ def attention(
         out = out[..., :d]
     if fused:
         return out, (k_cache, )
+    if wanted_acc is not None:
+        return out, (k_cache, v_cache, wanted_acc)
     return out, (k_cache, v_cache)

@@ -50,7 +50,9 @@ def select_kv_blocks(
     reps_per_block: int = 3,
     window_blocks: int = 0,
     v_block_tables: jax.Array = None,
-) -> Tuple[jax.Array, jax.Array]:
+    avail_entries: jax.Array = None,  # [B, M] bool, exact-offload mode
+    want_scores: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Returns (virtual_tables [B, Hkv, num_sel] physical ids,
     virtual_ctx [B] int32) — or with ``v_block_tables`` given,
     (k_tables, v_tables, virtual_ctx) where v_tables carries the
@@ -90,7 +92,14 @@ def select_kv_blocks(
     force = entry < num_sink  # sink blocks
     force |= entry >= (nb[:, None] - num_recent)  # recent + last block
     s = jnp.where(valid[:, None, :], s, _NEG)
-    if window_blocks > 0:
+    s_unrestricted = s  # exact-offload: pre-residency scores
+    if avail_entries is not None:
+        # exact-offload: candidates = sink/recent + whatever V is
+        # resident (in-window ring or staged slot) — availability is
+        # data, not a window rule
+        resident = force | avail_entries
+        s = jnp.where(resident[:, None, :], s, _NEG)
+    elif window_blocks > 0:
         resident = force | (entry >= (nb[:, None] - window_blocks))
         s = jnp.where(resident[:, None, :], s, _NEG)
     s = jnp.where((force & valid)[:, None, :], _FORCE, s)
@@ -112,7 +121,15 @@ def select_kv_blocks(
     r_last = context_lens - (nb - 1) * bs
     vctx = jnp.where(nb <= num_sel, context_lens,
                      (num_sel - 1) * bs + r_last)
+    outs: Tuple[jax.Array, ...]
     if v_block_tables is not None:
-        return (vtables.astype(jnp.int32),
+        outs = (vtables.astype(jnp.int32),
                 gather_tables(v_block_tables), vctx.astype(jnp.int32))
-    return vtables.astype(jnp.int32), vctx.astype(jnp.int32)
+    else:
+        outs = (vtables.astype(jnp.int32), vctx.astype(jnp.int32))
+    if want_scores:
+        # per-entry desire, max over heads, for the staging planner:
+        # what the UNRESTRICTED selection would want (K is full under
+        # v_offload, so these scores see the whole history)
+        outs = outs + (s_unrestricted.max(axis=1), )
+    return outs

@@ -549,6 +549,7 @@ class ExecuteModelRequest:
     blocks_to_copy: Dict[int, List[int]] = field(default_factory=dict)
     num_lookahead_slots: int = 0
     running_queue_size: int = 0
+    waiting_queue_size: int = 0
 
     def clone(
         self, seq_group_metadata_list: List[SequenceGroupMetadata]

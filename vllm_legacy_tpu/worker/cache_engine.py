@@ -150,6 +150,7 @@ class CacheEngine:
                                model_config.get_head_size(),
                                packed=self.packed, fused=self.fused)
         v_shape = shape
+        self.v_stage_base = 0
         if cache_config.v_offload_window:
             # V ring pool: max_num_seqs rings of sink+window blocks
             # (fork offload_v capability, map_cache_engine.py:356 — V
@@ -158,6 +159,12 @@ class CacheEngine:
             assert not self.packed
             num_v_slots = max_num_seqs * v_ring_blocks(
                 cache_config, model_config) + 1
+            if cache_config.v_offload_exact:
+                # staged slots: per-seq segments appended after the
+                # rings; out-of-window V blocks page back in here
+                self.v_stage_base = num_v_slots
+                num_v_slots += (max_num_seqs *
+                                cache_config.v_stage_blocks)
             v_shape = (shape[0], num_v_slots) + shape[2:]
             logger.info(
                 "V-offload: %d V ring slots vs %d K blocks "
@@ -183,6 +190,29 @@ class CacheEngine:
             self.gpu_cache: Tuple[jax.Array, ...] = (alloc(shape), )
         else:
             self.gpu_cache = (alloc(shape), alloc(v_shape))
+        # Exact V-offload: host V pool (indexed by the K PHYSICAL block
+        # id — one host slot per logical KV block) + the wanted-scores
+        # accumulator the in-graph selection fills for the staging
+        # planner. TPU analogue of the fork's UVM-managed V
+        # (map_cache_engine.py:268-379): blocks retire to host RAM at
+        # completion and page back into staged ring slots on demand.
+        self.host_v_pool: Optional[np.ndarray] = None
+        if cache_config.v_offload_exact:
+            host_dtype = (jnp.dtype(self.dtype).name
+                          if self.dtype != jnp.bfloat16 else "uint16")
+            self.host_v_pool = np.zeros(
+                (self.num_layers, self.num_gpu_blocks) + shape[2:],
+                host_dtype)
+            from vllm_legacy_tpu.utils import cdiv
+            max_entries = cdiv(model_config.max_model_len,
+                               self.block_size)
+            # rows cover the LARGEST padded batch bucket (buckets pad
+            # to powers of two and can exceed max_num_seqs)
+            srows = max(8, 1 << (max_num_seqs - 1).bit_length())
+            wanted = jax.jit(
+                lambda: jnp.zeros((srows, max_entries), jnp.float32),
+                out_shardings=NamedSharding(mesh, P()))()
+            self.gpu_cache = self.gpu_cache + (wanted, )
         # Host swap tier (reference: pinned-CPU swap pool).
         self.cpu_cache: Optional[Tuple[np.ndarray, ...]] = None
         if self.num_cpu_blocks > 0:
@@ -192,6 +222,9 @@ class CacheEngine:
             self.cpu_cache = tuple(
                 np.zeros(cshape, host_dtype) for _ in self.gpu_cache)
 
+        # block-addressed arrays (copy/swap operate on these only —
+        # the exact-offload wanted accumulator is not block-shaped)
+        self._n_block_caches = 1 if self.fused else 2
         self._jit_copy = None
 
     # -- block movement ------------------------------------------------
@@ -214,8 +247,10 @@ class CacheEngine:
                 return tuple(copy_one(c, s, d) for c in caches)
 
             self._jit_copy = jax.jit(run, donate_argnums=(0, ))
+        n = self._n_block_caches
         self.gpu_cache = tuple(
-            self._jit_copy(self.gpu_cache, src_a, dst_a))
+            self._jit_copy(self.gpu_cache[:n], src_a, dst_a)
+        ) + self.gpu_cache[n:]
 
     def swap_out(self, mapping: Dict[int, int]) -> None:
         """Device -> host block movement (gather on device, one
@@ -233,7 +268,8 @@ class CacheEngine:
         src = jnp.asarray(list(mapping.keys()), jnp.int32)
         dst = list(mapping.values())
         multi = jax.process_count() > 1
-        for host, dev in zip(self.cpu_cache, self.gpu_cache):
+        for host, dev in zip(self.cpu_cache,
+                             self.gpu_cache[:self._n_block_caches]):
             gathered = gather_blocks(dev, src)
             if not multi:
                 blocks = np.asarray(jax.device_get(gathered))
@@ -263,7 +299,8 @@ class CacheEngine:
         dst = jnp.asarray(list(mapping.values()), jnp.int32)
         multi = jax.process_count() > 1
         new_caches = []
-        for host, dev in zip(self.cpu_cache, self.gpu_cache):
+        for host, dev in zip(self.cpu_cache,
+                             self.gpu_cache[:self._n_block_caches]):
             if not multi:
                 blocks = host[:, src]
                 if host.dtype == np.uint16:
@@ -288,3 +325,37 @@ class CacheEngine:
             blocks = jax.make_array_from_callback(gshape, sharding, cb)
             new_caches.append(scatter_blocks(dev, blocks, dst))
         self.gpu_cache = tuple(new_caches)
+
+    # -- exact V-offload paging -----------------------------------------
+    def v_writethrough(self, ring_slots: List[int],
+                       phys_blocks: List[int]) -> None:
+        """Copy completed V blocks ring -> host pool (one gathered D2H).
+        Called by the runner as blocks fill; the ring slot is reused a
+        window later, so completion-time write-through is race-free."""
+        if not ring_slots:
+            return
+        import ml_dtypes  # noqa: F401
+        from vllm_legacy_tpu.ops.kv_cache import gather_blocks
+        v_dev = self.gpu_cache[1]
+        blocks = np.asarray(jax.device_get(
+            gather_blocks(v_dev, jnp.asarray(ring_slots, jnp.int32))))
+        if self.host_v_pool.dtype == np.uint16:
+            blocks = blocks.view(np.uint16)
+        self.host_v_pool[:, phys_blocks] = blocks
+
+    def v_stage(self, phys_blocks: List[int],
+                staged_slots: List[int]) -> None:
+        """Page offloaded V blocks host pool -> staged ring slots (one
+        H2D scatter); the runner's v_block_tables then point selected
+        out-of-window entries at these slots."""
+        if not phys_blocks:
+            return
+        import ml_dtypes
+
+        from vllm_legacy_tpu.ops.kv_cache import scatter_blocks
+        blocks = self.host_v_pool[:, phys_blocks]
+        if self.host_v_pool.dtype == np.uint16:
+            blocks = blocks.view(ml_dtypes.bfloat16)
+        v_dev = scatter_blocks(self.gpu_cache[1], jnp.asarray(blocks),
+                               jnp.asarray(staged_slots, jnp.int32))
+        self.gpu_cache = (self.gpu_cache[0], v_dev) + self.gpu_cache[2:]

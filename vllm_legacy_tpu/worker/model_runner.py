@@ -225,12 +225,21 @@ class ModelRunner:
         # preemption, so an absent sequence rebuilds its V on return.
         self._v_rings: Dict[int, int] = {}
         self._v_ring_entry_map: Optional[np.ndarray] = None
+        # exact V-offload paging state: per-seq staged entries
+        # (entry -> local staged slot), write-through progress, and the
+        # owning CacheEngine (set by Worker.initialize_cache)
+        self._v_staged: Dict[int, Dict[int, int]] = {}
+        self._v_written: Dict[int, int] = {}
+        self._last_step_was_prefill = False
+        self.cache_engine: Any = None
         # Stacked LoRA arrays (merged into params per call; structure
         # changes only when an adapter first occupies a (layer, proj)).
         self.lora_params: Optional[Dict[str, Any]] = None
 
     def _md_specs(self, rep):
         from vllm_legacy_tpu.models.attention import AttentionMetadata
+        if self.cache_config.v_offload_exact:
+            return AttentionMetadata(rep, rep, rep, rep, rep, rep)
         if self.cache_config.v_offload_window:
             return AttentionMetadata(rep, rep, rep, rep, rep)
         return AttentionMetadata(rep, rep, rep, rep)
@@ -238,6 +247,9 @@ class ModelRunner:
     def _kv_specs(self):
         spec = P(None, None, "model", None) if self.kv_cache_ndim == 4 \
             else P(None, None, "model", None, None)
+        if self.kv_cache_arity == 3:
+            # (k, v_ring, wanted-scores accumulator [S, M] replicated)
+            return (spec, spec, P())
         return (spec, ) * self.kv_cache_arity
 
     # ------------------------------------------------------------------
@@ -488,6 +500,27 @@ class ModelRunner:
             arrays["pixel_values"] = pixels
         if self.cache_config.v_offload_window:
             vt = self._assign_v_rings(rows)
+            if self.cache_config.v_offload_exact:
+                # staged out-of-window entries: point their table slots
+                # at the staged pool and mark availability for the
+                # in-graph selection
+                avail = np.zeros((b_pad, self.max_blocks_per_seq),
+                                 np.bool_)
+                sparse = self.model_config.sparse_attention
+                wb = cdiv(self.cache_config.v_offload_window,
+                          self.block_size)
+                for i, (_, seq_id) in enumerate(rows):
+                    nb = cdiv(int(ctx_arr[i]), self.block_size)
+                    lo = max(nb - wb, 0)
+                    avail[i, lo:nb] = True
+                    avail[i, :min(sparse.num_sink, nb)] = True
+                    for entry, slot in self._v_staged.get(
+                            seq_id, {}).items():
+                        if entry < lo:
+                            vt[i, entry] = self._staged_slot_id(
+                                seq_id, slot)
+                            avail[i, entry] = True
+                arrays["v_avail"] = avail
             arrays["v_block_tables"] = vt
             if self.cache_config.kv_offload:
                 # fork offload_kv: K shares the V ring pool, so every K
@@ -542,6 +575,8 @@ class ModelRunner:
                 for old, ring in list(self._v_rings.items()):
                     if old not in current:
                         del self._v_rings[old]
+                        self._v_staged.pop(old, None)
+                        self._v_written.pop(old, None)
                         self._v_rings[seq_id] = ring
                         break
                 else:
@@ -558,6 +593,89 @@ class ModelRunner:
             base = self._v_rings[seq_id] * ring_blocks
             out[i] = base + self._v_ring_entry_map
         return out
+
+    def _staged_slot_id(self, seq_id: int, local_slot: int) -> int:
+        """Global V-pool slot id of a seq's local staged slot."""
+        ce = self.cache_engine
+        return (ce.v_stage_base +
+                self._v_rings[seq_id] *
+                self.cache_config.v_stage_blocks + local_slot)
+
+    def _v_offload_exact_poststep(self, rows, arrays,
+                                  kv_caches) -> None:
+        """After each exact-offload step: (1) write completed V blocks
+        through to the host pool (before their ring slots recycle);
+        (2) read the selection's wanted scores and stage the most-
+        desired out-of-window blocks for the NEXT step (one-step
+        prefetch; LRU over the per-seq staged slots). Capability
+        target: the reference fork's UVM paging
+        (map_cache_engine.py:268-379), exact attention over selected
+        history at bounded V residency."""
+        ce = self.cache_engine
+        bs = self.block_size
+        sparse = self.model_config.sparse_attention
+        wb = cdiv(self.cache_config.v_offload_window, bs)
+        stage_cap = self.cache_config.v_stage_blocks
+        tables = arrays["block_tables"]
+        ctx = arrays["context_lens"]
+
+        # ---- write-through of newly completed blocks ----
+        wt_ring, wt_phys = [], []
+        for i, (_, seq_id) in enumerate(rows):
+            done = int(ctx[i]) // bs
+            written = self._v_written.get(seq_id, 0)
+            if written > done:  # recompute restart after preemption
+                written = max(done - 1, 0)
+            ring_base = self._v_rings[seq_id] * (sparse.num_sink + wb)
+            for e in range(written, done):
+                wt_ring.append(int(ring_base +
+                                   self._v_ring_entry_map[e]))
+                wt_phys.append(int(tables[i, e]))
+            self._v_written[seq_id] = done
+        ce.v_writethrough(wt_ring, wt_phys)
+
+        # ---- staging plan from the wanted scores (decode steps only:
+        # prefill runs no selection, so the accumulator is stale) ----
+        if self._last_step_was_prefill:
+            return
+        wanted = np.asarray(jax.device_get(kv_caches[2]))  # [S, M]
+        st_phys, st_slots = [], []
+        for i, (_, seq_id) in enumerate(rows):
+            nb = cdiv(int(ctx[i]), bs)
+            lo = max(nb - wb, 0)
+            written = self._v_written.get(seq_id, 0)
+            # candidates: written-through entries that are out of the
+            # window OR about to exit it (margin 2 — double-buffered
+            # prefetch so availability never gaps at the boundary)
+            cand = {
+                e: float(wanted[i, e])
+                for e in range(min(sparse.num_sink, lo),
+                               min(lo + 2, written))
+            }
+            if not cand:
+                continue
+            desire = sorted(cand, key=cand.get,
+                            reverse=True)[:stage_cap]
+            staged = self._v_staged.setdefault(seq_id, {})
+            want_new = [e for e in desire if e not in staged]
+            if not want_new:
+                continue
+            free = [s for s in range(stage_cap)
+                    if s not in set(staged.values())]
+            # evict the least-desired currently staged entries
+            victims = sorted((e for e in staged if e not in desire),
+                             key=lambda e: cand.get(e, -1e30))
+            for e in want_new:
+                if free:
+                    slot = free.pop()
+                elif victims:
+                    slot = staged.pop(victims.pop(0))
+                else:
+                    break
+                staged[e] = slot
+                st_phys.append(int(tables[i, e]))
+                st_slots.append(self._staged_slot_id(seq_id, slot))
+        ce.v_stage(st_phys, st_slots)
 
     def _guided_state(self, seq_id: int, fsm, output_tokens) -> int:
         """FSM state after ``output_tokens``; incremental via a per-seq
@@ -1464,6 +1582,7 @@ class ModelRunner:
         kv_caches: Tuple[jax.Array, jax.Array],
         lora_slots: Optional[List[int]] = None,
         lora_rope_offsets: Optional[List[int]] = None,
+        queue_pressure: bool = False,
     ) -> Tuple[List[SamplerOutput], Tuple[jax.Array, jax.Array]]:
         """Run one (possibly multi-)step; returns one SamplerOutput per
         executed decode step (len 1 for prefill / single-step)."""
@@ -1534,9 +1653,18 @@ class ModelRunner:
         # FSMs, user processors) fall back to single-step host masks.
         # LoRA rides multi-step: slots are per-sequence constants.
         guided_ms = None
-        num_steps = 1 if (token_mask is not None
-                          or user_proc_rows) else \
+        # V-offload steps run single-step: the in-loop metadata rebuild
+        # drops the ring tables, and exact paging needs the wanted
+        # scores back every step.
+        num_steps = 1 if (token_mask is not None or user_proc_rows
+                          or self.cache_config.v_offload_window) else \
             self._num_multistep(seq_group_metadata_list, is_prefill, flags)
+        if queue_pressure and num_steps > 4:
+            # requests are waiting: cap the on-device burst so a new
+            # arrival's TTFT is one short burst away, not a full
+            # k-step one (serving-path finding: p50 TTFT 2.4 s at
+            # 2 req/s with k=32 bursts vs 93 ms once batched)
+            num_steps = 4
         if token_mask is not None and not user_proc_rows:
             k = self._num_multistep(seq_group_metadata_list, is_prefill,
                                     flags)
@@ -1576,6 +1704,8 @@ class ModelRunner:
             named.append(("fsm_state", guided_ms[2]))
         if "v_block_tables" in arrays:
             named.append(("v_block_tables", arrays["v_block_tables"]))
+        if "v_avail" in arrays:
+            named.append(("v_avail", arrays["v_avail"]))
         if "pixel_values" in arrays:
             named.append(("pixel_values", arrays["pixel_values"]))
         if "prompt_embeds" in arrays:
@@ -1615,6 +1745,7 @@ class ModelRunner:
             context_lens=staged["context_lens"],
             query_lens=staged["query_lens"],
             v_block_tables=staged.get("v_block_tables"),
+            v_avail=staged.get("v_avail"),
         )
         st = SamplingTensors(
             **{k[3:]: v
@@ -1781,6 +1912,13 @@ class ModelRunner:
                         samples=samples,
                         prompt_logprobs=group_prompt_lp))
             outs.append(SamplerOutput(outputs=outputs))
+        if self.cache_config.v_offload_exact and rows and \
+                self.cache_engine is not None:
+            # caches must be current before write-through/staging DMAs
+            self._last_step_was_prefill = is_prefill
+            self.cache_engine.gpu_cache = kv_caches
+            self._v_offload_exact_poststep(rows, arrays, kv_caches)
+            kv_caches = self.cache_engine.gpu_cache
         return outs, kv_caches
 
     def _assemble_prompt_logprobs(self, meta, rows, row_i, arrays,

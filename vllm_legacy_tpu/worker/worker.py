@@ -180,6 +180,9 @@ class Worker:
             self.cache_engine.gpu_cache[0].ndim
         self.model_runner.kv_cache_arity = \
             len(self.cache_engine.gpu_cache)
+        # exact V-offload paging: the runner drives write-through and
+        # staging DMAs against the engine's host pool
+        self.model_runner.cache_engine = self.cache_engine
 
     def _validate_v_offload(self) -> None:
         """V-offload pairs with sparse attention and recompute-only
@@ -213,6 +216,23 @@ class Worker:
                 "would never restrict anything; lower hip_k or raise "
                 "max_model_len")
         wb = cdiv(window, self.cache_config.block_size)
+        if self.cache_config.v_offload_exact:
+            # write-through happens at step end; a prefill pass longer
+            # than the window would recycle ring slots before their V
+            # could retire to the host pool
+            if not self.scheduler_config.enable_chunked_prefill:
+                raise ValueError(
+                    "v_offload_exact requires chunked prefill "
+                    "(--enable-chunked-prefill): write-through saves "
+                    "completed V blocks between chunks")
+            if (self.scheduler_config.max_num_batched_tokens
+                    > window):
+                raise ValueError(
+                    "v_offload_exact: max_num_batched_tokens "
+                    f"({self.scheduler_config.max_num_batched_tokens}) "
+                    f"must not exceed v_offload_window ({window}) — a "
+                    "longer chunk recycles ring slots before "
+                    "write-through")
         # propagate the residency restriction into the model's sparse
         # config (models/attention.py reads v_window_blocks)
         self.model_runner.model.sparse_config = sparse._replace(
@@ -294,7 +314,8 @@ class Worker:
         outputs, new_caches = self.model_runner.execute_model(
             metas, self.cache_engine.gpu_cache,
             lora_slots=lora_slots if self.lora_manager else None,
-            lora_rope_offsets=rope_offsets)
+            lora_rope_offsets=rope_offsets,
+            queue_pressure=request.waiting_queue_size > 0)
         self.cache_engine.gpu_cache = new_caches
         return outputs
 
