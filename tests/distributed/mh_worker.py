@@ -49,12 +49,35 @@ def main() -> None:
 
     cfg = build_config()
     if not multihost.is_primary():
+        if os.environ.get("MH_BCAST_BENCH", "0") != "0":
+            while True:  # mirror the primary's probe broadcasts
+                op, _ = multihost.broadcast_msg()
+                if op == "stop":
+                    return
         multihost.follower_serve(cfg)
         return
 
     from vllm_legacy_tpu.engine.llm_engine import LLMEngine
     from vllm_legacy_tpu.parallel.multihost import MultihostTPUExecutor
     from vllm_legacy_tpu.sampling_params import SamplingParams
+
+    if os.environ.get("MH_BCAST_BENCH", "0") != "0":
+        # control-plane probe: time the per-step pickled broadcast with
+        # a typical ExecuteModelRequest-sized payload (the multi-host
+        # scaling risk at DCN latencies — measured, not guessed)
+        import time
+        payload = ("execute", {"seq": list(range(2000)),
+                               "tables": [[0] * 32] * 16})
+        for _ in range(5):
+            multihost.broadcast_msg(payload)  # warm
+        t0 = time.perf_counter()
+        n = 200
+        for _ in range(n):
+            multihost.broadcast_msg(payload)
+        per = (time.perf_counter() - t0) / n
+        print(f"BCAST {per*1e6:.0f} us/step")
+        multihost.broadcast_msg(("stop", None))
+        return
 
     engine = LLMEngine(cfg, executor_class=MultihostTPUExecutor,
                        log_stats=False)

@@ -122,3 +122,30 @@ def test_two_process_swap_preemption_equality():
             temperature=0.0, use_beam_search=True, best_of=2,
             max_tokens=8, ignore_eos=True, detokenize=False))
     assert got == want, (got, want)
+
+
+@pytest.mark.slow
+def test_control_broadcast_overhead():
+    """Measure the per-step pickled control broadcast (the multi-host
+    scaling risk): must stay well under a decode step (<20 ms here on
+    loopback; real DCN adds its RTT on top — recorded, not hidden)."""
+    port = _free_port()
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.update(MH_RANK=str(rank), MH_NPROCS="2",
+                   MH_PORT=str(port), MH_TP="4", MH_DP="1",
+                   MH_BCAST_BENCH="1")
+        env.pop("PYTEST_CURRENT_TEST", None)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER], stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, env=env, text=True))
+    out0, err0 = procs[0].communicate(timeout=300)
+    procs[1].communicate(timeout=60)
+    assert procs[0].returncode == 0, err0[-2000:]
+    line = [l for l in out0.splitlines() if l.startswith("BCAST ")]
+    assert line, out0[-1000:]
+    us = float(line[0].split()[1])
+    print(f"control broadcast: {us:.0f} us/step")
+    assert us < 20000, us
