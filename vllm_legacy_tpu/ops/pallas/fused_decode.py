@@ -647,12 +647,28 @@ def fused_decode_attention(
     # temporaries). Measured at 13B MHA decode shapes: gang=8 fits the
     # chip (fp8 actual 100M) but runs SLOWER than gang=4 (42.9 ms vs
     # 33.6 — VMEM pressure starves the DMA pipeline), so the budget is
-    # set where those shapes settle at gang=4.
-    budget = 24 * 2**20
+    # set where those shapes settle at gang=4. Tunable for sweeps.
+    import os as _os
+    budget = int(_os.getenv("VLT_DECODE_VMEM_BUDGET_MB", "34")) * 2**20
+    kblk_cap = kblk
     while kblk > 1 and vmem_est(gang, kblk) > budget:
         kblk //= 2
     while gang > 1 and vmem_est(gang, kblk) > budget:
         gang //= 2
+        cells = batch // (ncores * gang)
+    # regrow kblk once gang settled: fewer, larger units amortize the
+    # per-unit overhead (7B-shape sweep: gang=4 kblk=2 ran 10.3 ms vs
+    # 11.3 at kblk=1; 13B shapes stay gang=4 kblk=1 under this budget)
+    while kblk < kblk_cap and vmem_est(gang, kblk * 2) <= budget:
+        kblk *= 2
+    # same-footprint trade: (gang/2, kblk*2) streams identical bytes
+    # per unit but halves DMA count — measured faster at 7B MHA shapes
+    # (gang=4 kblk=2: 10.3 ms vs gang=8 kblk=1: 10.8)
+    if kblk == 1 and kblk_cap > 1 and gang >= 8 and \
+            (batch // ncores) % (gang // 2) == 0 and \
+            vmem_est(gang // 2, 2) <= budget:
+        gang //= 2
+        kblk = 2
         cells = batch // (ncores * gang)
 
     qr = q.reshape(ncores * cells, gang, hkv, group, d)
