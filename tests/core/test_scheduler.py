@@ -5,6 +5,7 @@ from typing import List
 from vllm_legacy_tpu.config import CacheConfig, SchedulerConfig
 from vllm_legacy_tpu.core.interfaces import AllocStatus
 from vllm_legacy_tpu.core.scheduler import Scheduler, SchedulingBudget
+from vllm_legacy_tpu.sampling_params import SamplingParams
 from vllm_legacy_tpu.sequence import Logprob, SequenceGroup, SequenceStatus
 
 from .utils import create_dummy_prompt
@@ -380,3 +381,43 @@ def append_new_token_to_running(scheduler):
         for seq in g.get_seqs(status=SequenceStatus.RUNNING):
             if not seq.is_prefill():
                 seq.append_token_id(100, {100: Logprob(0.0)})
+
+
+def test_steps_to_first_free_horizon():
+    """A pure-decode step reports the soonest max_tokens finish so the
+    runner can bound its multi-step burst (a waiting request refused
+    admission can only progress when a running decode frees capacity)."""
+    scheduler = make_scheduler(max_num_seqs=2, num_gpu_blocks=16)
+    for i, max_toks in enumerate((7, 50)):
+        _, group = create_dummy_prompt(str(i), 4, block_size=4)
+        group.sampling_params = SamplingParams(max_tokens=max_toks)
+        scheduler.add_seq_group(group)
+    # Prefill both.
+    _, out = schedule_and_update_computed_tokens(scheduler)
+    assert out.num_prefill_groups == 2
+    for s in out.scheduled_seq_groups:
+        append_new_token(s.seq_group, 100)
+    # Third request sits waiting (seat-limited).
+    _, blocked = create_dummy_prompt("2", 4, block_size=4)
+    scheduler.add_seq_group(blocked)
+    # Decode step: horizon = min remaining = 7 - 1 generated = 6.
+    _, out = schedule_and_update_computed_tokens(scheduler)
+    assert out.num_prefill_groups == 0
+    assert out.waiting_queue_size == 1
+    assert out.steps_to_first_free == 6
+
+
+def test_burst_len_ladder():
+    """Runner burst quantization: full burst when nothing can free
+    capacity mid-burst; otherwise the largest {4,8,16,...} <= horizon."""
+    from vllm_legacy_tpu.worker.model_runner import ModelRunner
+    bl = ModelRunner._burst_len
+    assert bl(32, False, 5) == 32          # no pressure: full burst
+    assert bl(32, True, 0) == 32           # unknown horizon: full burst
+    assert bl(32, True, 200) == 32         # nothing frees mid-burst
+    assert bl(32, True, 31) == 16
+    assert bl(32, True, 11) == 8
+    assert bl(32, True, 5) == 4
+    assert bl(32, True, 1) == 4            # floor of the ladder
+    assert bl(4, True, 1) == 4             # k<=4 never shortened
+    assert bl(8, True, 200) == 8

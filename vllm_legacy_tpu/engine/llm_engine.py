@@ -267,6 +267,8 @@ class LLMEngine:
             running_queue_size=scheduler_outputs.running_queue_size,
             waiting_queue_size=getattr(scheduler_outputs,
                                        "waiting_queue_size", 0),
+            steps_to_first_free=getattr(scheduler_outputs,
+                                        "steps_to_first_free", 0),
         )
 
     def _process_model_outputs(

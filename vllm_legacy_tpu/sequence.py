@@ -550,6 +550,10 @@ class ExecuteModelRequest:
     num_lookahead_slots: int = 0
     running_queue_size: int = 0
     waiting_queue_size: int = 0
+    # Steps until a scheduled decode can free capacity (max_tokens);
+    # bounds how far a multi-step burst may usefully run under queue
+    # pressure. 0 = unknown.
+    steps_to_first_free: int = 0
 
     def clone(
         self, seq_group_metadata_list: List[SequenceGroupMetadata]

@@ -315,7 +315,8 @@ class Worker:
             metas, self.cache_engine.gpu_cache,
             lora_slots=lora_slots if self.lora_manager else None,
             lora_rope_offsets=rope_offsets,
-            queue_pressure=request.waiting_queue_size > 0)
+            queue_pressure=request.waiting_queue_size > 0,
+            steps_to_free=request.steps_to_first_free)
         self.cache_engine.gpu_cache = new_caches
         return outputs
 
