@@ -127,3 +127,34 @@ def test_fp8_requires_block_32(tiny_llama_path):
     from vllm_legacy_tpu.config import CacheConfig
     with pytest.raises(ValueError, match="block_size"):
         CacheConfig(block_size=16, cache_dtype="fp8")
+
+
+def test_kv_scale_fold_is_exact_algebra():
+    """attention() with an fp8 cache + kv_scale must return outputs on
+    the SAME scale as the f32-cache truth (q*s cancels k/s in scores;
+    out*s undoes v/s). Regression: the out*s half of the fold was
+    missing, scaling the whole attention branch by 1/kv_scale."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from vllm_legacy_tpu.models.attention import (AttentionMetadata,
+                                                  attention,
+                                                  kv_cache_shape)
+    B, L, H, D = 1, 4, 2, 128
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, L, H, D).astype(np.float32)) * 50
+    shape = kv_cache_shape(1, 4, H, 32, D, packed=False, fused=True)
+    md = AttentionMetadata(
+        slot_mapping=jnp.arange(B * L, dtype=jnp.int32),
+        block_tables=jnp.asarray([[1, 2]], jnp.int32),
+        context_lens=jnp.asarray([L], jnp.int32),
+        query_lens=jnp.asarray([L], jnp.int32))
+    truth, _ = attention(q, k, v, (jnp.zeros(shape, jnp.float32), ),
+                         md, scale=D**-0.5)
+    out8, _ = attention(q, k, v,
+                        (jnp.zeros(shape, jnp.float8_e4m3fn), ),
+                        md, scale=D**-0.5, kv_scale=jnp.asarray(8.0))
+    ratio = jnp.median(out8 / truth)
+    assert 0.97 < float(ratio) < 1.03, float(ratio)

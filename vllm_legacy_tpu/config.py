@@ -346,13 +346,14 @@ class CacheConfig:
         if self.block_size < 1:
             raise ValueError(f"block_size must be >= 1: {self.block_size}")
         if self.cache_dtype not in ("auto", "fp8", "fp8_e4m3", "fp8_e5m2",
-                                    "bfloat16", "float32"):
+                                    "int8", "bfloat16", "float32"):
             raise ValueError(f"Unknown cache dtype: {self.cache_dtype}")
-        if self.cache_dtype.startswith("fp8") and self.block_size < 32:
-            # fp8 tiles are (32, 128): per-block DMA slices must cover
-            # at least one sublane tile.
+        if self.cache_dtype.startswith(("fp8", "int8")) and \
+                self.block_size < 32:
+            # 1-byte tiles are (32, 128): per-block DMA slices must
+            # cover at least one sublane tile.
             raise ValueError(
-                "fp8 KV cache requires block_size >= 32 "
+                "fp8/int8 KV cache requires block_size >= 32 "
                 f"(got {self.block_size})")
 
     @property

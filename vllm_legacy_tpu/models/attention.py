@@ -176,13 +176,28 @@ def attention(
     The kernels never see a scale — exact algebra, zero kernel cost.
     """
     b, l, hq, d = q.shape
-    if kv_scale is not None and jnp.issubdtype(
-            (kv_cache[0]).dtype, jnp.floating) and (
-            kv_cache[0]).dtype.itemsize == 1:
+    cache_dt = jnp.dtype(kv_cache[0].dtype)
+    is_int8_kv = cache_dt == jnp.int8
+    if is_int8_kv and kv_scale is None:
+        # int8 KV NEEDS a scale (resolution 1.0 is useless for ~N(0,1)
+        # KV values). Default 1/8: range +-15.9 at step 0.125 (~3.6%
+        # rms error on unit-variance values, comparable to e4m3 with 2x
+        # the clip headroom); calibrated per-layer scales load via
+        # --quantization-param-path exactly as for fp8.
+        kv_scale = jnp.asarray(0.125, jnp.float32)
+    if kv_scale is not None and cache_dt.itemsize == 1:
         inv = (1.0 / kv_scale).astype(q.dtype)
         s = jnp.asarray(kv_scale, q.dtype)
         k = k * inv
         v = v * inv
+        if is_int8_kv:
+            # The cast sites (.astype(int8) at the prewrite scatter /
+            # in-kernel merge / prefill write) truncate toward zero and
+            # wrap on overflow; pre-round and clip here so every cast
+            # downstream is exact. Integer values <= 127 are exact in
+            # bf16 and f32 alike.
+            k = jnp.clip(jnp.round(k), -127.0, 127.0)
+            v = jnp.clip(jnp.round(v), -127.0, 127.0)
         q = q * s
     else:
         kv_scale = None
@@ -295,6 +310,16 @@ def attention(
             sliding_window=eff_window, soft_cap=soft_cap,
             self_extend=self_extend, alibi_slopes=alibi_slopes,
             v_block_tables=md.v_block_tables, **bs_args)
+    if kv_scale is not None:
+        # V was stored as v/kv_scale; P rows sum to 1, so the kernel
+        # output is out_true/kv_scale — undo it here. (The K half of
+        # the fold is already complete: q*s cancelled k/s in the
+        # scores.) Without this the whole attention branch is uniformly
+        # scaled by 1/kv_scale — RMSNorm hides it when attention
+        # dominates the residual (which is how the loud-V e2e test
+        # stayed green), but it distorts real models whenever
+        # kv_scale != 1.
+        out = out * s
     if d_pad != d:
         out = out[..., :d]
     if fused:

@@ -177,5 +177,6 @@ STR_DTYPE_TO_JAX_DTYPE = {
     "fp8": "float8_e4m3fn",
     "fp8_e4m3": "float8_e4m3fn",
     "fp8_e5m2": "float8_e5m2",
+    "int8": "int8",
     "auto": "bfloat16",
 }
