@@ -23,7 +23,8 @@ NBLK = B * nblk + 8
 rng = np.random.RandomState(0)
 DT = os.getenv('DT', 'bf16')
 dt = (np.float32 if CHECK else
-      jnp.float8_e4m3fn if DT == 'fp8' else jnp.bfloat16)
+      jnp.float8_e4m3fn if DT == 'fp8' else
+      jnp.int8 if DT == 'int8' else jnp.bfloat16)
 
 if CHECK:
     kv = rng.randn(LNUM, NBLK, 2 * R, RD).astype(np.float32) * 0.3
