@@ -413,7 +413,7 @@ def test_burst_len_ladder():
     from vllm_legacy_tpu.worker.model_runner import ModelRunner
     bl = ModelRunner._burst_len
     assert bl(32, False, 5) == 32          # no pressure: full burst
-    assert bl(32, True, 0) == 32           # unknown horizon: full burst
+    assert bl(32, True, 0) == 4            # unknown horizon: fail closed
     assert bl(32, True, 200) == 32         # nothing frees mid-burst
     assert bl(32, True, 31) == 16
     assert bl(32, True, 11) == 8

@@ -134,13 +134,17 @@ class SchedulerOutputs:
     # runner caps multi-step burst length under queue pressure so a
     # new arrival's TTFT is not one full k-step burst
     waiting_queue_size: int = 0
-    # Earliest step at which any scheduled decode can hit max_tokens
-    # and free its seats/KV reserve. A waiting request that was just
-    # REFUSED admission cannot progress until that happens, so the
-    # runner only shortens a multi-step burst to this horizon — a
-    # blanket short-burst cap under queue pressure polled 8x more
-    # often than capacity could change and cost ~25% offline
-    # throughput (k=32 -> k=4 for an entire 256-request bench).
+    # Earliest step at which any scheduled decode is guaranteed to
+    # finish (max_tokens / model-len budget) and free its seats/KV
+    # reserve. A waiting request that was just REFUSED admission
+    # cannot progress until that happens, so the runner only shortens
+    # a multi-step burst to this horizon — a blanket short-burst cap
+    # under queue pressure polled 8x more often than capacity could
+    # change and cost ~25% offline throughput (k=32 -> k=4 for an
+    # entire 256-request bench). When a scheduled decode may also stop
+    # EARLY (EOS allowed / stop strings), the horizon is pre-clamped
+    # to VLT_MAX_PRESSURED_BURST in finalize(). 0 means "unknown";
+    # the runner fails CLOSED to its short-burst cap on 0.
     steps_to_first_free: int = 0
 
     def __post_init__(self) -> None:
@@ -198,24 +202,37 @@ class _StepPlan:
 
     def finalize(self, budget: SchedulingBudget,
                  running_queue_size: int,
-                 waiting_queue_size: int = 0) -> SchedulerOutputs:
+                 waiting_queue_size: int = 0,
+                 max_model_len: int = 1 << 30) -> SchedulerOutputs:
         # Batch layout contract: prefill rows precede decode rows (the
         # model runner splits the batch on this boundary).
         ordered = self.new_prefills + self.carry_prefills + self.decodes
-        # Soonest max_tokens finish among scheduled decodes (see
-        # SchedulerOutputs.steps_to_first_free). EOS finishes are
-        # unpredictable and ignored — the horizon is an upper bound on
-        # useful burst length, not a correctness bound (the runner
-        # already trims tokens past a finish).
+        # Soonest capacity-freeing finish among scheduled decodes (see
+        # SchedulerOutputs.steps_to_first_free). The max_tokens /
+        # model-len budget is a guaranteed bound; a decode that can
+        # also stop EARLY (EOS allowed, or stop strings/tokens set)
+        # makes the true horizon unpredictable, so the horizon is then
+        # clamped to VLT_MAX_PRESSURED_BURST — a queued request should
+        # not wait out a full long burst past an unpredicted finish.
         first_free = 1 << 30
+        may_stop_early = False
         for sched in self.decodes:
             group = sched.seq_group
             sp = group.sampling_params
-            if sp is None or sp.max_tokens is None:
+            if sp is None:
                 continue
+            if (not sp.ignore_eos) or sp.stop or sp.stop_token_ids:
+                may_stop_early = True
             for seq in group.get_seqs(status=SequenceStatus.RUNNING):
-                first_free = min(first_free,
-                                 sp.max_tokens - seq.get_output_len())
+                remaining = max_model_len - seq.get_len()
+                if sp.max_tokens is not None:
+                    remaining = min(remaining,
+                                    sp.max_tokens - seq.get_output_len())
+                first_free = min(first_free, remaining)
+        first_free = max(first_free, 1)
+        if may_stop_early:
+            first_free = min(first_free,
+                             max(int(envs.VLT_MAX_PRESSURED_BURST), 1))
         return SchedulerOutputs(
             scheduled_seq_groups=ordered,
             num_prefill_groups=(len(self.new_prefills) +
@@ -229,7 +246,7 @@ class _StepPlan:
             running_queue_size=running_queue_size,
             preempted=self.num_preempted,
             waiting_queue_size=waiting_queue_size,
-            steps_to_first_free=max(first_free, 1),
+            steps_to_first_free=first_free,
         )
 
 
@@ -594,7 +611,8 @@ class Scheduler:
 
         self._requeue(plan)
         return plan.finalize(budget, len(self.running),
-                             len(self.waiting) + len(self.swapped))
+                             len(self.waiting) + len(self.swapped),
+                             self.scheduler_config.max_model_len)
 
     def _plan_chunked(self) -> SchedulerOutputs:
         """Chunked-prefill policy: decodes admitted first (they bound
@@ -620,7 +638,8 @@ class Scheduler:
 
         self._requeue(plan)
         return plan.finalize(budget, len(self.running),
-                             len(self.waiting) + len(self.swapped))
+                             len(self.waiting) + len(self.swapped),
+                             self.scheduler_config.max_model_len)
 
     def _requeue(self, plan: _StepPlan) -> None:
         """Put every group the passes touched back into its pool.

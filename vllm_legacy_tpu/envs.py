@@ -69,6 +69,14 @@ environment_variables: dict[str, Callable[[], Any]] = {
     lambda: int(os.getenv("VLT_DECODE_GANG", "16")),
     "VLT_DECODE_KBLK":
     lambda: int(os.getenv("VLT_DECODE_KBLK", "4")),
+    # Ceiling on a multi-step decode burst under queue pressure when a
+    # scheduled decode may finish EARLY (EOS / stop strings): their
+    # finishes are unpredictable, so the scheduler clamps the
+    # capacity-freeing horizon to this many steps (core/scheduler.py
+    # finalize). Bursts with only guaranteed-length decodes (e.g.
+    # ignore_eos benchmarks) use the exact max_tokens horizon instead.
+    "VLT_MAX_PRESSURED_BURST":
+    lambda: int(os.getenv("VLT_MAX_PRESSURED_BURST", "8")),
 }
 
 

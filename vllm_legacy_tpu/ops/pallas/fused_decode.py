@@ -376,39 +376,23 @@ def _decode_kernel(
                                 wsem.at[s]).start()
                     cnt[1] = cnt[1] | (1 << s)
 
-        # ---- batched attention over the unit ----
-        # [GANG, KBLK, 2R, rd] -> K/V [GANG, Hkv, KBLK*rows, rd]
-        # FP8 caches: upcast to bf16 FIRST, on the buffer's natural
-        # layout — the raw e4m3->bf16 vector convert runs at copy speed
-        # (fp8_convert_probe: ~14 TB/s), but the same convert fused
-        # through the reshape/transpose below forces Mosaic 8-bit
-        # relayouts that ran the whole kernel 4x slower than bf16
-        # (66 ms vs 16 ms at 13B decode shapes). Casting up front makes
-        # every relayout 16-bit.
-        kv_unit = kv_buf[slot]
-        if kv_unit.dtype != mm_dt:
-            if jnp.dtype(kv_unit.dtype) == jnp.float8_e4m3fn:
-                kv_unit = _fast_e4m3_to_bf16(kv_unit)
-            else:
-                kv_unit = kv_unit.astype(mm_dt)
-        kv_u = kv_unit.reshape(gang, kblk, hkv, 2, rows, rd)
-        k_t = kv_u[:, :, :, 0].transpose(0, 2, 1, 3, 4).reshape(
-            gang, hkv, kblk * rows, rd)
-        v_t = kv_u[:, :, :, 1].transpose(0, 2, 1, 3, 4).reshape(
-            gang, hkv, kblk * rows, rd)
-        nrows = kblk * rows
-        row_lane = jax.lax.broadcasted_iota(jnp.int32, (1, nrows), 1)
-        row_col = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
-        base_tok = sb_idx * sb
-        if pair:
-            segs = [(k_t[..., :d], v_t[..., :d],
-                     base_tok + 2 * row_lane, base_tok + 2 * row_col),
-                    (k_t[..., d:], v_t[..., d:],
-                     base_tok + 2 * row_lane + 1,
-                     base_tok + 2 * row_col + 1)]
-        else:
-            segs = [(k_t, v_t, base_tok + row_lane,
-                     base_tok + row_col)]
+        # ---- attention over the unit, one block COLUMN at a time ----
+        # Per-column online softmax replaces the old whole-unit
+        # reshape/transpose path: the [GANG, KBLK, 2R, rd] ->
+        # [GANG, Hkv, KBLK*rows, rd] transposes and the valid-masked
+        # K/V copies were the largest VMEM intermediates at MHA shapes
+        # and the dominant vector work per unit — per-column slices
+        # come straight out of the DMA buffer with no relayout, which
+        # frees the VMEM budget to deepen the gang/kblk DMA pipeline.
+        # Streamed-garbage safety: the KV pool is ZERO-INITIALIZED at
+        # allocation (worker/cache_engine.py) and every later write is
+        # a finite model activation, so masked (keep==0) columns
+        # contribute exactly 0 via p = keep * exp(...) — no jnp.where
+        # copies needed (same finite-cache assumption as the
+        # reference's CUDA kernels, csrc/attention/attention_kernels.cu
+        # — reads past a sequence's length never see NaN/inf). The f32
+        # exact path (unit tests) keeps the explicit zeroing so its
+        # oracle comparisons stay independent of pool contents.
 
         # per-member scalars broadcast to [GANG, 1, 1, 1]
         ctx_v = jnp.concatenate([
@@ -416,85 +400,111 @@ def _decode_kernel(
         ], axis=0)
         qpos_v = ctx_v - 1
 
-        m_new = m_prev
-        sm = []
-        for k, v, pos, pos_col in segs:
-            # zero streamed garbage so 0-weight columns can't poison
-            # the p @ v matmul (stale bf16 can hold inf/nan patterns,
-            # and NaN survives multiplies — must be a true select);
-            # the mask is single-orientation [GANG, 1, row, 1], which
-            # Mosaic relayouts fine (unlike the merge's mixed
-            # sublane x lane broadcasts)
-            # Zero streamed garbage so 0-weight columns can't poison
-            # p @ v (stale bf16 can hold inf/nan; NaN survives
-            # multiplies). 1-byte caches skip this: the arithmetic
-            # e4m3 decode yields bounded finite values (<= 480) for
-            # every bit pattern, so keep==0 already kills them — and
-            # the two [GANG, Hkv, rows, rd] masked copies were the
-            # largest VMEM intermediates at MHA shapes.
-            if kv_buf.dtype.itemsize != 1:
-                valid = (ctx_v - pos_col[None, None]) > 0
-                k = jnp.where(valid, k, 0.0)
-                v = jnp.where(valid, v, 0.0)
-            # fuse (gang, hkv) into ONE batch dim: Mosaic matmul
-            # supports at most one
-            nr = k.shape[2]
-            s_ = jax.lax.dot_general(
-                q.astype(mm_dt).reshape(gang * hkv, g, d),
-                k.reshape(gang * hkv, nr, d),
-                (((2, ), (2, )), ((0, ), (0, ))),
-                preferred_element_type=jnp.float32,
-                precision=mm_prec).reshape(gang, hkv, g, nr)
-            if soft_cap is not None:
-                s_ = soft_cap * jnp.tanh(s_ / soft_cap)
-            if has_alibi:
-                slope = jnp.concatenate([
-                    jnp.full((1, 1, 1, 1), alibi_ref[h * g + gi],
-                             jnp.float32) for h in range(hkv)
-                    for gi in range(g)
-                ], axis=1).reshape(1, hkv, g, 1)
-                s_ = s_ + slope * (pos[None] - qpos_v).astype(
-                    jnp.float32)
-            # mask: pos <= q_pos (=> also < ctx)
-            keep = 1.0 - jnp.minimum(
-                jnp.maximum(pos[None] - qpos_v, 0), 1).astype(
-                    jnp.float32)  # [GANG, 1, 1, S]
-            if sliding_window is not None:
-                keep = keep * (1.0 - jnp.minimum(
-                    jnp.maximum(qpos_v - sliding_window + 1 - pos[None],
-                                0), 1).astype(jnp.float32))
-            if blocksparse is not None:
-                bs_blk, lblk, vs = blocksparse
-                k_blk = pos[None] // bs_blk
-                local_ok = 1.0 - jnp.minimum(jnp.maximum(
-                    qpos_v // bs_blk - k_blk - (lblk - 1), 0),
-                    1).astype(jnp.float32)
-                phase = jnp.concatenate([
-                    jnp.full((1, 1, 1, 1), bs_phase_ref[h * g + gi],
-                             jnp.int32) for h in range(hkv)
-                    for gi in range(g)
-                ], axis=1).reshape(1, hkv, g, 1)
-                vert_ok = _eq((k_blk + phase + 1) % vs, 0)
-                keep = keep * jnp.minimum(local_ok + vert_ok, 1.0)
-            s_ = s_ + (keep - 1.0) * (-_NEG_INF)  # keep==0 -> -inf-ish
-            m_new = jnp.maximum(m_new,
-                                jnp.max(s_, axis=3, keepdims=True))
-            sm.append((s_, keep, v))
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha
-        acc = acc * alpha
-        for s_, keep, v in sm:
-            p = jnp.exp(s_ - m_new) * keep
-            l_new = l_new + jnp.sum(p, axis=3, keepdims=True)
-            nr = v.shape[2]
-            acc = acc + jax.lax.dot_general(
-                p.astype(mm_dt).reshape(gang * hkv, g, nr),
-                v.reshape(gang * hkv, nr, d),
-                (((2, ), (1, )), ((0, ), (0, ))),
-                preferred_element_type=jnp.float32,
-                precision=mm_prec).reshape(gang, hkv, g, d)
-        m_ref[...] = m_new
-        l_ref[...] = l_new
+        row_lane = jax.lax.broadcasted_iota(jnp.int32, (1, rows), 1)
+        row_col = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        if has_alibi:
+            alibi_slope = jnp.concatenate([
+                jnp.full((1, 1, 1, 1), alibi_ref[h * g + gi],
+                         jnp.float32) for h in range(hkv)
+                for gi in range(g)
+            ], axis=1).reshape(1, hkv, g, 1)
+        if blocksparse is not None:
+            bs_phase = jnp.concatenate([
+                jnp.full((1, 1, 1, 1), bs_phase_ref[h * g + gi],
+                         jnp.int32) for h in range(hkv)
+                for gi in range(g)
+            ], axis=1).reshape(1, hkv, g, 1)
+
+        q_mm = q.astype(mm_dt).reshape(gang * hkv, g, d)
+        # 1-byte caches upcast the WHOLE unit ONCE, on the buffer's
+        # natural contiguous layout — 8-bit strided column slices force
+        # Mosaic 8-bit relayouts (measured: per-column e4m3 decode ran
+        # the 7B sweep 13.2 ms vs 8.4 bf16; whole-unit-first restores
+        # the round-4 behavior). 16-bit caches slice the ref per
+        # column instead (no whole-unit materialization at all).
+        kv_up = None
+        if jnp.dtype(kv_buf.dtype).itemsize == 1:
+            kv_up = kv_buf[slot]  # [GANG, KBLK, 2R, rd]
+            if jnp.dtype(kv_up.dtype) == jnp.float8_e4m3fn:
+                kv_up = _fast_e4m3_to_bf16(kv_up)
+            else:
+                kv_up = kv_up.astype(mm_dt)
+        for jcol in range(kblk):
+            if kv_up is not None:
+                col = kv_up[:, jcol]  # [GANG, 2R, rd] bf16 slice
+            else:
+                col = kv_buf[slot, :, jcol]  # [GANG, 2R, rd]
+                if col.dtype != mm_dt:
+                    col = col.astype(mm_dt)
+            kv_col = col.reshape(gang, hkv, 2, rows, rd)
+            k_c = kv_col[:, :, 0]  # [GANG, Hkv, rows, rd]
+            v_c = kv_col[:, :, 1]
+            base_tok = (sb_idx * kblk + jcol) * block_size
+            if pair:
+                segs = [(k_c[..., :d], v_c[..., :d],
+                         base_tok + 2 * row_lane,
+                         base_tok + 2 * row_col),
+                        (k_c[..., d:], v_c[..., d:],
+                         base_tok + 2 * row_lane + 1,
+                         base_tok + 2 * row_col + 1)]
+            else:
+                segs = [(k_c, v_c, base_tok + row_lane,
+                         base_tok + row_col)]
+
+            for k, v, pos, pos_col in segs:
+                if exact:
+                    # unit tests compare against oracles on arbitrary
+                    # pool contents: zero out-of-context rows
+                    valid = (ctx_v - pos_col[None, None]) > 0
+                    k = jnp.where(valid, k, 0.0)
+                    v = jnp.where(valid, v, 0.0)
+                # fuse (gang, hkv) into ONE batch dim: Mosaic matmul
+                # supports at most one
+                nr = k.shape[2]
+                s_ = jax.lax.dot_general(
+                    q_mm,
+                    k.reshape(gang * hkv, nr, d),
+                    (((2, ), (2, )), ((0, ), (0, ))),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_prec).reshape(gang, hkv, g, nr)
+                if soft_cap is not None:
+                    s_ = soft_cap * jnp.tanh(s_ / soft_cap)
+                if has_alibi:
+                    s_ = s_ + alibi_slope * (pos[None] - qpos_v).astype(
+                        jnp.float32)
+                # mask: pos <= q_pos (=> also < ctx)
+                keep = 1.0 - jnp.minimum(
+                    jnp.maximum(pos[None] - qpos_v, 0), 1).astype(
+                        jnp.float32)  # [GANG, 1, 1, S]
+                if sliding_window is not None:
+                    keep = keep * (1.0 - jnp.minimum(
+                        jnp.maximum(
+                            qpos_v - sliding_window + 1 - pos[None],
+                            0), 1).astype(jnp.float32))
+                if blocksparse is not None:
+                    bs_blk, lblk, vs = blocksparse
+                    k_blk = pos[None] // bs_blk
+                    local_ok = 1.0 - jnp.minimum(jnp.maximum(
+                        qpos_v // bs_blk - k_blk - (lblk - 1), 0),
+                        1).astype(jnp.float32)
+                    vert_ok = _eq((k_blk + bs_phase + 1) % vs, 0)
+                    keep = keep * jnp.minimum(local_ok + vert_ok, 1.0)
+                s_ = s_ + (keep - 1.0) * (-_NEG_INF)  # keep==0 -> -inf
+                m_new = jnp.maximum(m_prev,
+                                    jnp.max(s_, axis=3, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                p = jnp.exp(s_ - m_new) * keep
+                l_prev = l_prev * alpha + jnp.sum(p, axis=3,
+                                                  keepdims=True)
+                acc = acc * alpha + jax.lax.dot_general(
+                    p.astype(mm_dt).reshape(gang * hkv, g, nr),
+                    v.reshape(gang * hkv, nr, d),
+                    (((2, ), (1, )), ((0, ), (0, ))),
+                    preferred_element_type=jnp.float32,
+                    precision=mm_prec).reshape(gang, hkv, g, d)
+                m_prev = m_new
+        m_ref[...] = m_prev
+        l_ref[...] = l_prev
         acc_ref[...] = acc
         return 0
 
@@ -633,15 +643,17 @@ def fused_decode_attention(
 
     def vmem_est(gang_, kblk_):
         bufs = (2 * kblk_ + 1) * gang_ * blk_bytes
-        # k_t + v_t views (pair mode additionally materializes the two
-        # d-wide halves of each)
-        kv_mm = 2 * gang_ * kblk_ * r * rd * mm_sz * (2 if pair else 1)
-        # 1-byte caches add the upfront bf16 decode copy of the unit
-        conv = (gang_ * kblk_ * two_r * rd * mm_sz if itm == 1 else 0)
-        smat = 3 * gang_ * hkv * group * kblk_ * rows * (
+        # per-COLUMN compute (no whole-unit transposes/copies): one
+        # column's slice copies live at a time (x2 headroom for Mosaic
+        # keeping the next column's slice in flight); 1-byte caches add
+        # the whole-unit bf16 upcast copy
+        col = 2 * gang_ * two_r * rd * mm_sz
+        if itm == 1:
+            col += gang_ * kblk_ * two_r * rd * mm_sz
+        smat = 3 * gang_ * hkv * group * rows * (
             2 if pair else 1) * 4
         acc = 4 * gang_ * hkv * group * max(d, 32) * 4
-        return bufs + kv_mm + conv + smat + acc
+        return bufs + col + smat + acc
 
     # Mosaic's true scoped-vmem usage runs ~2.5x this estimate (stack
     # temporaries). Measured at 13B MHA decode shapes: gang=8 fits the

@@ -265,6 +265,7 @@ class ModelRunner:
             self.model, host_params = get_model(self.model_config,
                                                 self.parallel_config,
                                                 load_format)
+        self._check_int8_kv_scales(host_params)
         specs = self.model.param_specs(host_params)
         is_leaf = lambda x: isinstance(x, (np.ndarray, jnp.ndarray,
                                            NoiseLeaf))
@@ -312,6 +313,29 @@ class ModelRunner:
                 lambda x: next(it) if isinstance(x, NoiseLeaf) else x,
                 placed, is_leaf=is_leaf)
         self.params = placed
+
+    def _check_int8_kv_scales(self, host_params) -> None:
+        """An int8 KV cache quantizes at step=kv_scale; fp8-era
+        checkpoints commonly carry a default-filled kv_scale=1.0,
+        which on ~N(0,1) K/V silently destroys accuracy (resolution
+        1.0). Mirror the reference's default-kv_scale warning
+        (reference llama.py:477-493) and substitute the calibrated-
+        free 0.125 default instead of using the useless value."""
+        if self.cache_config.cache_dtype != "int8":
+            return
+        if not isinstance(host_params, dict):
+            return
+        for idx, lp in enumerate(host_params.get("layers", [])):
+            sc = lp.get("kv_scale", {}).get("scale") \
+                if isinstance(lp, dict) else None
+            if sc is not None and float(sc) >= 0.5:
+                logger.warning(
+                    "Layer %d carries kv_scale=%.3g with an int8 KV "
+                    "cache — that step size cannot represent typical "
+                    "K/V values; substituting the 0.125 default. Load "
+                    "calibrated int8 scales via "
+                    "--quantization-param-path.", idx, float(sc))
+                lp.pop("kv_scale", None)
 
     def param_bytes(self) -> int:
         return sum(
@@ -1466,14 +1490,20 @@ class ModelRunner:
         compiled {4, 8, 16, ...} k-ladder. A blanket k=4 cap here
         polled 8x more often than capacity could change and cost ~25%
         offline throughput (a 256-request bench runs its whole length
-        with a non-empty queue). New arrivals still see at most one
-        burst of latency, exactly as with the blanket cap: had they
-        been admissible, this step would have been a prefill, not a
-        capped decode burst.
+        with a non-empty queue). New arrivals see at most one burst of
+        latency; the scheduler keeps that burst honest by pre-clamping
+        the horizon to VLT_MAX_PRESSURED_BURST whenever a scheduled
+        decode may finish EARLY (EOS / stop strings), since those
+        finishes are unpredictable. ``steps_to_free == 0`` means the
+        horizon is unknown (legacy caller or dropped field): fail
+        CLOSED to the conservative 4-step cap rather than silently
+        disabling the queue-pressure bound.
         """
         if not queue_pressure or num_steps <= 4:
             return num_steps
-        horizon = steps_to_free if steps_to_free > 0 else num_steps
+        if steps_to_free <= 0:
+            return 4
+        horizon = steps_to_free
         if horizon >= num_steps:
             return num_steps
         k = 4
@@ -1697,7 +1727,10 @@ class ModelRunner:
                 guided_ms = self._try_guided_multistep(
                     seq_group_metadata_list, rows, b_pad)
                 if guided_ms is not None:
-                    num_steps = k
+                    # Guided bursts obey the same queue-pressure bound
+                    # as plain decode bursts.
+                    num_steps = self._burst_len(k, queue_pressure,
+                                                steps_to_free)
                     token_mask = None  # masks now applied in-loop
 
         step_fn = self._get_step_fn(flags, max_logprobs, num_steps,
