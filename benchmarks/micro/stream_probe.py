@@ -28,6 +28,7 @@ SHUFFLE = os.getenv('SHUFFLE', '0') == '1'
 # span: ONE DMA per (member, unit) covering kblk CONTIGUOUS blocks
 # (exploits consecutive table entries; tests per-DMA overhead)
 MODE = os.getenv('MODE', 'per-block')
+TOUCH = os.getenv('TOUCH', '0') == '1'
 
 TWO_R = 2 * HKV * BS
 nblk = CTX // BS
@@ -35,7 +36,7 @@ NBLK = B * nblk + 1
 
 
 def kernel(bt_ref, kv_hbm, o_ref, kv_buf, acc_ref, sem, *, cells,
-           gang, kblk, nunits, slots, mode):
+           gang, kblk, nunits, slots, mode, touch):
     core = pl.program_id(0)
     cell = pl.program_id(1)
     b0 = (core * cells + cell) * gang
@@ -80,15 +81,18 @@ def kernel(bt_ref, kv_hbm, o_ref, kv_buf, acc_ref, sem, *, cells,
             fetch(b0 + gang, ahead - nunits, ahead % slots, wait=False)
 
         fetch(b0, i, slot, wait=True)
-        # touch one vreg per fetched block so the DMAs can't be elided;
-        # accumulator lives in a VMEM ref, NOT a fori carry (carries
-        # materialize every iteration and serialize the scalar core
-        # against the vector core — the fused kernel's own lesson)
-        t = acc_ref[...]
-        for s in range(gang):
-            for j in range(kblk):
-                t = t + kv_buf[slot, s, j, :8, :128].astype(jnp.float32)
-        acc_ref[...] = t
+        # NO VMEM touches: Mosaic DMAs are effectful and never DCE'd,
+        # so the loop is pure issue/wait — any gap to the GEMM
+        # pipeline's ~800 GB/s is the DMA path itself. TOUCH=1 adds
+        # one vreg read per block (the old behavior) to measure the
+        # cost of coupling the vector core in.
+        if touch:
+            t = acc_ref[...]
+            for s in range(gang):
+                for j in range(kblk):
+                    t = t + kv_buf[slot, s, j, :8, :128].astype(
+                        jnp.float32)
+            acc_ref[...] = t
         return 0
 
     @pl.when(cell == 0)
@@ -131,7 +135,8 @@ def main():
     )
     f = pl.pallas_call(
         functools.partial(kernel, cells=cells, gang=GANG, kblk=KBLK,
-                          nunits=nunits, slots=SLOTS, mode=MODE),
+                          nunits=nunits, slots=SLOTS, mode=MODE,
+                          touch=TOUCH),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((ncores, 8, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -156,7 +161,7 @@ def main():
     dt = (time.perf_counter() - t0) / n
     gb = LNUM * B * nblk * TWO_R * D * 2 / 1e9
     print(f"stream-only B={B} ctx={CTX} bs={BS} gang={GANG} kblk={KBLK}"
-          f" slots={SLOTS} mode={MODE} shuffle={int(SHUFFLE)} ms={dt*1e3:.2f} GB={gb:.2f} ->"
+          f" slots={SLOTS} mode={MODE} touch={int(TOUCH)} shuffle={int(SHUFFLE)} ms={dt*1e3:.2f} GB={gb:.2f} ->"
           f" {gb/dt:.0f} GB/s")
 
 

@@ -56,6 +56,11 @@ class EngineArgs:
     max_num_seqs: int = 256
     enable_chunked_prefill: bool = False
     num_scheduler_steps: int = 1
+    # Compile the (decode batch-bucket, multi-step k) grid at startup
+    # (TPU analogue of the reference's CUDA-graph capture) so serving
+    # traffic never hits a first-use compile stall mid-request; makes
+    # multi-step serving (num_scheduler_steps > 1) viable
+    prewarm_decode: bool = False
     preemption_mode: Optional[str] = None
     admission_control: str = "optimistic"
     delay_factor: float = 0.0

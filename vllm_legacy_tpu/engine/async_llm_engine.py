@@ -280,6 +280,10 @@ class AsyncLLMEngine:
                      log_stats=not engine_args.disable_log_stats,
                      max_log_len=engine_args.max_log_len)
         engine.start_engine_loop = start_engine_loop
+        if getattr(engine_args, "prewarm_decode", False):
+            # before the background loop starts: the sync engine is
+            # idle and fully owned here
+            engine.engine.prewarm_decode_buckets()
         return engine
 
     # ------------------------------------------------------- loop state

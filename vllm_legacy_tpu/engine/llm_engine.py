@@ -107,9 +107,74 @@ class LLMEngine:
     def from_engine_args(cls, engine_args,
                          log_stats: Optional[bool] = None) -> "LLMEngine":
         engine_config = engine_args.create_engine_config()
-        return cls(engine_config,
-                   log_stats=not engine_args.disable_log_stats
-                   if log_stats is None else log_stats)
+        engine = cls(engine_config,
+                     log_stats=not engine_args.disable_log_stats
+                     if log_stats is None else log_stats)
+        if getattr(engine_args, "prewarm_decode", False):
+            engine.prewarm_decode_buckets()
+        return engine
+
+    def prewarm_decode_buckets(self, buckets=None) -> float:
+        """Compile the (decode batch-bucket, multi-step k) grid up
+        front — the TPU analogue of the reference's CUDA-graph capture
+        at init (reference worker/model_runner.py capture_model: one
+        graph per batch size, vllm/worker/model_runner.py:976-1018).
+
+        Serving traffic churns batch buckets, and with
+        num_scheduler_steps > 1 each (bucket, k) pair otherwise
+        compiles on FIRST USE mid-traffic (measured: p99 TPOT 14 s
+        under churn) — which is why multi-step serving was previously
+        unsupported. This drives the engine's own request path with
+        throwaway single-token requests: for each bucket, bucket
+        seats decode under queue pressure with a max_tokens budget
+        sized so the burst horizon walks the whole compiled
+        {4, 8, ..., k} ladder. Engine state drains completely; only
+        wall-clock (returned, seconds) and the XLA compile cache are
+        affected.
+        """
+        import time as _time
+
+        from vllm_legacy_tpu.worker.model_runner import (
+            _MAX_NUM_SEQS_BUCKETS)
+
+        assert not self.has_unfinished_requests(), \
+            "prewarm_decode_buckets needs an idle engine"
+        k = self.scheduler_config.num_scheduler_steps
+        seats = self.scheduler_config.max_num_seqs
+        if buckets is None:
+            buckets = [b for b in _MAX_NUM_SEQS_BUCKETS if b <= seats]
+            if not buckets:
+                buckets = [seats]
+        # sum of the {k, k/2, ..., 8, 4} ladder + 1: each burst's
+        # remaining-token horizon lands exactly on the next rung
+        ladder_tokens = max(2 * k - 3, 3)
+        ladder_tokens = min(ladder_tokens,
+                            self.model_config.max_model_len - 2)
+        t0 = _time.monotonic()
+        saved_seats = self.scheduler_config.max_num_seqs
+        try:
+            for b in buckets:
+                # cap seats at the bucket so b requests decode while
+                # one waits (queue pressure shortens the bursts down
+                # the ladder); restore afterwards
+                self.scheduler_config.max_num_seqs = min(b, saved_seats)
+                for i in range(min(b, saved_seats) + 1):
+                    self.add_request(
+                        f"_prewarm-{b}-{i}",
+                        {"prompt_token_ids": [1]},
+                        SamplingParams(temperature=0.0,
+                                       max_tokens=ladder_tokens,
+                                       ignore_eos=True,
+                                       detokenize=False))
+                while self.has_unfinished_requests():
+                    self.step()
+        finally:
+            self.scheduler_config.max_num_seqs = saved_seats
+        dt = _time.monotonic() - t0
+        logger.info(
+            "Prewarmed decode buckets %s (k=%d) in %.1fs",
+            list(buckets), k, dt)
+        return dt
 
     def _initialize_kv_caches(self) -> None:
         num_tpu_blocks, num_cpu_blocks = (

@@ -416,6 +416,63 @@ def _decode_kernel(
             ], axis=1).reshape(1, hkv, g, 1)
 
         q_mm = q.astype(mm_dt).reshape(gang * hkv, g, d)
+
+        state = [m_prev, l_prev, acc]
+
+        def seg_update(k, v, pos, pos_col):
+            """Online-softmax update with one K/V segment."""
+            m_p, l_p, a_p = state
+            if exact:
+                # unit tests compare against oracles on arbitrary pool
+                # contents: zero out-of-context rows
+                valid = (ctx_v - pos_col[None, None]) > 0
+                k = jnp.where(valid, k, 0.0)
+                v = jnp.where(valid, v, 0.0)
+            # fuse (gang, hkv) into ONE batch dim: Mosaic matmul
+            # supports at most one
+            nr = k.shape[2]
+            s_ = jax.lax.dot_general(
+                q_mm,
+                k.reshape(gang * hkv, nr, d),
+                (((2, ), (2, )), ((0, ), (0, ))),
+                preferred_element_type=jnp.float32,
+                precision=mm_prec).reshape(gang, hkv, g, nr)
+            if soft_cap is not None:
+                s_ = soft_cap * jnp.tanh(s_ / soft_cap)
+            if has_alibi:
+                s_ = s_ + alibi_slope * (pos[None] - qpos_v).astype(
+                    jnp.float32)
+            # mask: pos <= q_pos (=> also < ctx)
+            keep = 1.0 - jnp.minimum(
+                jnp.maximum(pos[None] - qpos_v, 0), 1).astype(
+                    jnp.float32)  # [GANG, 1, 1, S]
+            if sliding_window is not None:
+                keep = keep * (1.0 - jnp.minimum(
+                    jnp.maximum(
+                        qpos_v - sliding_window + 1 - pos[None],
+                        0), 1).astype(jnp.float32))
+            if blocksparse is not None:
+                bs_blk, lblk, vs = blocksparse
+                k_blk = pos[None] // bs_blk
+                local_ok = 1.0 - jnp.minimum(jnp.maximum(
+                    qpos_v // bs_blk - k_blk - (lblk - 1), 0),
+                    1).astype(jnp.float32)
+                vert_ok = _eq((k_blk + bs_phase + 1) % vs, 0)
+                keep = keep * jnp.minimum(local_ok + vert_ok, 1.0)
+            s_ = s_ + (keep - 1.0) * (-_NEG_INF)  # keep==0 -> -inf
+            m_new = jnp.maximum(m_p,
+                                jnp.max(s_, axis=3, keepdims=True))
+            alpha = jnp.exp(m_p - m_new)
+            p = jnp.exp(s_ - m_new) * keep
+            l_new = l_p * alpha + jnp.sum(p, axis=3, keepdims=True)
+            a_new = a_p * alpha + jax.lax.dot_general(
+                p.astype(mm_dt).reshape(gang * hkv, g, nr),
+                v.reshape(gang * hkv, nr, d),
+                (((2, ), (1, )), ((0, ), (0, ))),
+                preferred_element_type=jnp.float32,
+                precision=mm_prec).reshape(gang, hkv, g, d)
+            state[0], state[1], state[2] = m_new, l_new, a_new
+
         # 1-byte caches upcast the WHOLE unit ONCE, on the buffer's
         # natural contiguous layout — 8-bit strided column slices force
         # Mosaic 8-bit relayouts (measured: per-column e4m3 decode ran
@@ -423,89 +480,48 @@ def _decode_kernel(
         # the round-4 behavior). 16-bit caches slice the ref per
         # column instead (no whole-unit materialization at all).
         kv_up = None
-        if jnp.dtype(kv_buf.dtype).itemsize == 1:
+        if jnp.dtype(kv_buf.dtype).itemsize == 1 or pair:
             kv_up = kv_buf[slot]  # [GANG, KBLK, 2R, rd]
             if jnp.dtype(kv_up.dtype) == jnp.float8_e4m3fn:
                 kv_up = _fast_e4m3_to_bf16(kv_up)
-            else:
+            elif kv_up.dtype != mm_dt:
                 kv_up = kv_up.astype(mm_dt)
-        for jcol in range(kblk):
-            if kv_up is not None:
-                col = kv_up[:, jcol]  # [GANG, 2R, rd] bf16 slice
-            else:
-                col = kv_buf[slot, :, jcol]  # [GANG, 2R, rd]
-                if col.dtype != mm_dt:
-                    col = col.astype(mm_dt)
-            kv_col = col.reshape(gang, hkv, 2, rows, rd)
-            k_c = kv_col[:, :, 0]  # [GANG, Hkv, rows, rd]
-            v_c = kv_col[:, :, 1]
-            base_tok = (sb_idx * kblk + jcol) * block_size
-            if pair:
-                segs = [(k_c[..., :d], v_c[..., :d],
-                         base_tok + 2 * row_lane,
-                         base_tok + 2 * row_col),
-                        (k_c[..., d:], v_c[..., d:],
-                         base_tok + 2 * row_lane + 1,
-                         base_tok + 2 * row_col + 1)]
-            else:
-                segs = [(k_c, v_c, base_tok + row_lane,
-                         base_tok + row_col)]
 
-            for k, v, pos, pos_col in segs:
-                if exact:
-                    # unit tests compare against oracles on arbitrary
-                    # pool contents: zero out-of-context rows
-                    valid = (ctx_v - pos_col[None, None]) > 0
-                    k = jnp.where(valid, k, 0.0)
-                    v = jnp.where(valid, v, 0.0)
-                # fuse (gang, hkv) into ONE batch dim: Mosaic matmul
-                # supports at most one
-                nr = k.shape[2]
-                s_ = jax.lax.dot_general(
-                    q_mm,
-                    k.reshape(gang * hkv, nr, d),
-                    (((2, ), (2, )), ((0, ), (0, ))),
-                    preferred_element_type=jnp.float32,
-                    precision=mm_prec).reshape(gang, hkv, g, nr)
-                if soft_cap is not None:
-                    s_ = soft_cap * jnp.tanh(s_ / soft_cap)
-                if has_alibi:
-                    s_ = s_ + alibi_slope * (pos[None] - qpos_v).astype(
-                        jnp.float32)
-                # mask: pos <= q_pos (=> also < ctx)
-                keep = 1.0 - jnp.minimum(
-                    jnp.maximum(pos[None] - qpos_v, 0), 1).astype(
-                        jnp.float32)  # [GANG, 1, 1, S]
-                if sliding_window is not None:
-                    keep = keep * (1.0 - jnp.minimum(
-                        jnp.maximum(
-                            qpos_v - sliding_window + 1 - pos[None],
-                            0), 1).astype(jnp.float32))
-                if blocksparse is not None:
-                    bs_blk, lblk, vs = blocksparse
-                    k_blk = pos[None] // bs_blk
-                    local_ok = 1.0 - jnp.minimum(jnp.maximum(
-                        qpos_v // bs_blk - k_blk - (lblk - 1), 0),
-                        1).astype(jnp.float32)
-                    vert_ok = _eq((k_blk + bs_phase + 1) % vs, 0)
-                    keep = keep * jnp.minimum(local_ok + vert_ok, 1.0)
-                s_ = s_ + (keep - 1.0) * (-_NEG_INF)  # keep==0 -> -inf
-                m_new = jnp.maximum(m_prev,
-                                    jnp.max(s_, axis=3, keepdims=True))
-                alpha = jnp.exp(m_prev - m_new)
-                p = jnp.exp(s_ - m_new) * keep
-                l_prev = l_prev * alpha + jnp.sum(p, axis=3,
-                                                  keepdims=True)
-                acc = acc * alpha + jax.lax.dot_general(
-                    p.astype(mm_dt).reshape(gang * hkv, g, nr),
-                    v.reshape(gang * hkv, nr, d),
-                    (((2, ), (1, )), ((0, ), (0, ))),
-                    preferred_element_type=jnp.float32,
-                    precision=mm_prec).reshape(gang, hkv, g, d)
-                m_prev = m_new
-        m_ref[...] = m_prev
-        l_ref[...] = l_prev
-        acc_ref[...] = acc
+        if pair:
+            # pair mode (small heads, GQA): per-column rows are too
+            # short for efficient matmuls (TinyLlama: rows=32, halved
+            # again into even/odd segs -> 8 tiny GEMMs/unit regressed
+            # the engine 13%); keep the whole-unit transpose so each
+            # seg spans kblk*rows
+            kv_u = kv_up.reshape(gang, kblk, hkv, 2, rows, rd)
+            k_t = kv_u[:, :, :, 0].transpose(0, 2, 1, 3, 4).reshape(
+                gang, hkv, kblk * rows, rd)
+            v_t = kv_u[:, :, :, 1].transpose(0, 2, 1, 3, 4).reshape(
+                gang, hkv, kblk * rows, rd)
+            nrows = kblk * rows
+            lane_u = jax.lax.broadcasted_iota(jnp.int32, (1, nrows), 1)
+            col_u = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
+            base_tok = sb_idx * sb
+            seg_update(k_t[..., :d], v_t[..., :d],
+                       base_tok + 2 * lane_u, base_tok + 2 * col_u)
+            seg_update(k_t[..., d:], v_t[..., d:],
+                       base_tok + 2 * lane_u + 1,
+                       base_tok + 2 * col_u + 1)
+        else:
+            for jcol in range(kblk):
+                if kv_up is not None:
+                    col = kv_up[:, jcol]  # [GANG, 2R, rd] bf16 slice
+                else:
+                    col = kv_buf[slot, :, jcol]  # [GANG, 2R, rd]
+                    if col.dtype != mm_dt:
+                        col = col.astype(mm_dt)
+                kv_col = col.reshape(gang, hkv, 2, rows, rd)
+                base_tok = (sb_idx * kblk + jcol) * block_size
+                seg_update(kv_col[:, :, 0], kv_col[:, :, 1],
+                           base_tok + row_lane, base_tok + row_col)
+        m_ref[...] = state[0]
+        l_ref[...] = state[1]
+        acc_ref[...] = state[2]
         return 0
 
     m_ref[...] = jnp.full((gang, hkv, g, 1), _NEG_INF, jnp.float32)
@@ -580,13 +596,15 @@ def fused_decode_attention(
     block_size = rows * (2 if pair else 1)
 
     if prewrite is None:
-        from vllm_legacy_tpu import envs
-        # fp8 caches default to prewrite: the in-kernel merge's
+        import os as _os
+        # 1-byte caches default to prewrite: the in-kernel merge's
         # cast-blend-cast on 1-byte tiles costs ~10 ms per 20-layer
         # decode sweep at 13B shapes (34.8 ms vs 25.1 with the XLA
-        # scatter landing the rows before the kernel)
-        prewrite = bool(envs.VLT_DECODE_PREWRITE) or \
-            jnp.dtype(kv_cache.dtype).itemsize == 1
+        # scatter landing the rows before the kernel). An explicitly
+        # set VLT_DECODE_PREWRITE (0 or 1) wins over the dtype default.
+        raw = _os.getenv("VLT_DECODE_PREWRITE")
+        prewrite = (bool(int(raw)) if raw is not None else
+                    jnp.dtype(kv_cache.dtype).itemsize == 1)
     if prewrite:
         # Scatter the new K/V rows into the cache up front (XLA keeps
         # the donated buffer in place); dead batch rows (ctx == 0)
@@ -643,14 +661,18 @@ def fused_decode_attention(
 
     def vmem_est(gang_, kblk_):
         bufs = (2 * kblk_ + 1) * gang_ * blk_bytes
-        # per-COLUMN compute (no whole-unit transposes/copies): one
-        # column's slice copies live at a time (x2 headroom for Mosaic
-        # keeping the next column's slice in flight); 1-byte caches add
-        # the whole-unit bf16 upcast copy
+        # plain mode computes per COLUMN (no whole-unit transposes):
+        # one column's slice copies live at a time (x2 headroom for
+        # Mosaic keeping the next column's slice in flight); 1-byte
+        # caches add the whole-unit bf16 upcast copy; pair mode keeps
+        # the whole-unit k_t/v_t transposes (+ their d-wide halves)
         col = 2 * gang_ * two_r * rd * mm_sz
-        if itm == 1:
+        if itm == 1 or pair:
             col += gang_ * kblk_ * two_r * rd * mm_sz
-        smat = 3 * gang_ * hkv * group * rows * (
+        if pair:
+            col += 2 * gang_ * kblk_ * r * rd * mm_sz * 2
+        nr_est = kblk_ * rows if pair else rows
+        smat = 3 * gang_ * hkv * group * nr_est * (
             2 if pair else 1) * 4
         acc = 4 * gang_ * hkv * group * max(d, 32) * 4
         return bufs + col + smat + acc
