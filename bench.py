@@ -74,6 +74,16 @@ def build_config(model: str, input_len: int, output_len: int,
         return make_dummy_engine_config(llama2_7b_gptq_hf_config(),
                                         kv_cache_dtype="int8",
                                         **common)
+    if model == "13b_awq_int8kv":
+        # TPU-native 1-byte KV variant of config[3]: e4m3 upcasts need
+        # an arithmetic decode on this target (~2x bf16 kernel time);
+        # int8 rides the fast widen (13B decode sweep: int8 8.2 ms vs
+        # fp8 15.8 vs bf16 10.5 per 12 layers at B=32 ctx=512)
+        return make_dummy_engine_config(llama2_13b_awq_hf_config(),
+                                        kv_cache_dtype="int8",
+                                        enable_chunked_prefill=True,
+                                        enable_prefix_caching=True,
+                                        **common)
     if model == "13b_awq_fp8kv":
         return make_dummy_engine_config(llama2_13b_awq_hf_config(),
                                         kv_cache_dtype="fp8",
@@ -129,6 +139,7 @@ def main() -> None:
         "7b_int4_fp8kv": "llama2_7b_gptq_int4_fp8kv",
         "7b_int4_int8kv": "llama2_7b_gptq_int4_int8kv",
         "13b_awq_fp8kv": "llama2_13b_awq_int4_fp8kv",
+        "13b_awq_int8kv": "llama2_13b_awq_int4_int8kv",
     }
     print(json.dumps({
         "metric": f"output_tokens_per_sec_per_chip_{names[model]}",

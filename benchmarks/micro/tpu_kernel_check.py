@@ -61,7 +61,8 @@ def check_fused_decode(pair: bool, dt_name: str, B=16, CTX=192, BS=16,
         fused_decode_attention
     from vllm_legacy_tpu.ops import xla_attention as xk
     rng = np.random.RandomState(seed)
-    dt = jnp.float8_e4m3fn if dt_name == "fp8" else jnp.bfloat16
+    dt = (jnp.float8_e4m3fn if dt_name == "fp8" else
+          jnp.int8 if dt_name == "int8" else jnp.bfloat16)
     D = 64 if pair else 128
     nblk = -(-CTX // BS)
     NBLK = B * nblk + 8
@@ -74,6 +75,17 @@ def check_fused_decode(pair: bool, dt_name: str, B=16, CTX=192, BS=16,
     q = jnp.asarray(rng.randn(B, HQ, D) * 0.5, jnp.bfloat16)
     kn = jnp.asarray(rng.randn(B, HKV, D) * 0.25, jnp.bfloat16)
     vn = jnp.asarray(rng.randn(B, HKV, D) * 0.25, jnp.bfloat16)
+    if dt_name == "int8":
+        # integer-valued cache AND new rows so every int8 cast in both
+        # implementations is exact (engine semantics: values arrive
+        # pre-scaled by 1/kv_scale and pre-rounded, models/attention)
+        kv = (jax.random.normal(jax.random.PRNGKey(seed), kshape,
+                                jnp.bfloat16) * 10).astype(jnp.int8)
+        kn = jnp.asarray(np.round(rng.randn(B, HKV, D) * 10),
+                         jnp.bfloat16)
+        vn = jnp.asarray(np.round(rng.randn(B, HKV, D) * 10),
+                         jnp.bfloat16)
+        q = q * 0.05  # keep score magnitudes sane with integer K
     tables = np.zeros((B, nblk + 1), np.int32)
     for i in range(B):
         tables[i, :nblk] = np.arange(i * nblk, (i + 1) * nblk) + 1
@@ -127,6 +139,7 @@ def check_all() -> None:
     check_fused_decode(pair=True, dt_name="bf16")
     check_fused_decode(pair=False, dt_name="bf16")
     check_fused_decode(pair=False, dt_name="fp8")
+    check_fused_decode(pair=False, dt_name="int8")
     check_dequant_gemm()
     print("all kernel checks passed on", jax.devices()[0].device_kind)
 

@@ -17,6 +17,7 @@ python -m vllm_legacy_tpu.entrypoints.openai.api_server \
   --model "$MODEL_DIR" --load-format dummy --dtype bfloat16 \
   --max-model-len 1024 --max-num-seqs 64 --port "$PORT" \
   --num-scheduler-steps "${SCHED_STEPS:-1}" \
+  ${PREWARM:+--prewarm-decode} \
   --disable-log-stats > /tmp/vlt_serve_server.log 2>&1 &
 SERVER_PID=$!
 trap 'kill $SERVER_PID 2>/dev/null' EXIT
