@@ -12,6 +12,9 @@ Model configs, selected with BENCH_MODEL:
                     device layout run the real fused dequant-GEMM path
     13b_awq_fp8kv   Llama-2-13B AWQ INT4 + FP8 KV cache + chunked
                     prefill + prefix caching (BASELINE config[2])
+    7b_int4_int8kv / 13b_awq_int8kv
+                    int8-KV variants: the TPU-native 1-byte cache
+                    (2x residency on the fast int8->bf16 widen)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -150,6 +150,12 @@ class LLMEngine:
         ladder_tokens = max(2 * k - 3, 3)
         ladder_tokens = min(ladder_tokens,
                             self.model_config.max_model_len - 2)
+        # a realistic prompt length so the PREFILL bucket serving
+        # traffic actually hits is compiled too (1-token prompts only
+        # warmed the smallest prefill shape; the first live sweep then
+        # paid multi-second prefill compiles inside TTFT)
+        prompt_len = max(1, min(128, self.model_config.max_model_len -
+                                ladder_tokens - 2))
         t0 = _time.monotonic()
         saved_seats = self.scheduler_config.max_num_seqs
         try:
@@ -161,7 +167,7 @@ class LLMEngine:
                 for i in range(min(b, saved_seats) + 1):
                     self.add_request(
                         f"_prewarm-{b}-{i}",
-                        {"prompt_token_ids": [1]},
+                        {"prompt_token_ids": [1] * prompt_len},
                         SamplingParams(temperature=0.0,
                                        max_tokens=ladder_tokens,
                                        ignore_eos=True,
